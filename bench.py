@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the noop sink (computes every
+column, writes nothing) so timings reflect full plan execution, not a
+count-only shortcut.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pubg_data_pipeline_spark.plans import all_specs
+from pubg_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "player_ranking_top10",
+    "pricing_summary",
+    "top_revenue_nations",
+    "shipping_priority",
+    "customer_order_stats",
+    "hourly_event_aggregates",
+    "moving_avg_trend",
+    "zscore_anomalies",
+    "order_priority_rollup",
+    "doc_text_stats",
+    "doc_ngram_jaccard_pairs",
+    "minhash_near_dups",
+    "embedding_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="pubg-pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    # Warm the JVM/codegen paths once with the flagship so per-query
+    # timings aren't dominated by first-job startup.
+    specs["player_ranking_top10"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

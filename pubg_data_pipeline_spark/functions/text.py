@@ -1,0 +1,114 @@
+"""Text-analysis column expressions for the LLM-data-pipeline surface.
+
+All pure Column expressions (JVM-side, codegen-friendly) so they scale
+to 100 TB corpora without Python in the hot path. The reference has no
+text operators — this is the BASELINE.json extension surface: token
+counting, quality scoring, language-ID heuristic, fingerprinting,
+shingling for MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately small + deterministic so the
+# DuckDB oracle can replicate the exact same counts.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "les", "et"),
+    "zh": ("的", "是", "了"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def word_tokens(text: Column) -> Column:
+    """Array of whitespace tokens of the trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    puncts = F.length(F.regexp_replace(text, r"[^.!?,;:'\"()\[\]-]", ""))
+    return puncts / F.greatest(F.length(text), F.lit(1))
+
+
+def marker_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens of the text are one of the marker words.
+
+    Token-filter form (not regex) so the DuckDB oracle replicates it
+    exactly with ``list_filter(regexp_split_to_array(...), ...)``.
+    """
+    toks = word_tokens(F.lower(text))
+    wordset = [F.lit(w) for w in words]
+    return F.size(F.filter(toks, lambda t: t.isin(*wordset) if len(wordset) > 1 else t == wordset[0]))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Stopword-token occurrences over total tokens."""
+    return marker_hits(text, STOPWORDS).cast("double") / F.greatest(token_count(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    Rewards mid-length documents with a healthy stopword ratio and low
+    punctuation density — the standard web-corpus quality triad.
+    """
+    n_tok = token_count(text)
+    length_term = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 10, F.lit(1.0))
+    return F.round((length_term + stop_term + punct_term) / 3.0, 6)
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Pick the language whose marker-word hit count is highest.
+
+    Deterministic argmax with ties broken by language-code order.
+    """
+    scores = [(lang, marker_hits(text, words)) for lang, words in sorted(LANG_MARKERS.items())]
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    # Iterate in reverse-sorted order so earlier codes win ties via >=.
+    for lang, score in reversed(scores):
+        cond = score >= best_score
+        # strictly-positive requirement so no-hit rows stay 'unknown'
+        best = F.when((score > 0) & cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Normalization-stable exact-dup fingerprint: md5 of
+    lowercased, whitespace-collapsed text."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles (distinct), for MinHash/Jaccard.
+
+    Implemented with JVM-side array functions: tokenize, then for each
+    start position join n consecutive tokens.
+    """
+    toks = word_tokens(F.lower(text))
+    k = F.size(toks) - (n - 1)
+    # sequence(1, k) is DESCENDING for k < 1 — guard with empty array.
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle_at))

@@ -1,0 +1,279 @@
+"""Deduplication kit: exact, fingerprint, MinHash-LSH, SimHash.
+
+The reference's dedups are streaming ``dropDuplicates`` on key columns
+(reference: spark_apps/pubg_streaming.py:247,250 — players on
+(account_id, data_collected_at), matches on (match_id, account_id));
+their batch forms live here, made DETERMINISTIC (dropDuplicates keeps
+an arbitrary row; we keep the minimum of an explicit order key so the
+DuckDB oracle can reproduce the choice). The near-dup family (MinHash,
+SimHash, n-gram Jaccard) is the LLM-pipeline extension surface.
+
+Scale design:
+- exact_dedup is one hash-partition shuffle on the keys; at 100 TB
+  pre-bucket storage on the dedup key to eliminate it.
+- MinHash signatures are computed with JVM array ops (no explode of
+  the shingle set per hash seed); only LSH band keys are exploded
+  (b rows per doc, b ~ 4-8), so the shuffle is O(b·n), not O(shingles).
+- Candidate pairs come from an equi-join on (band_idx, band_key) —
+  never an O(n²) cross join; exact Jaccard verification then touches
+  only the candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.functions.text import doc_fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, keys: Sequence[str], order_key: str) -> DataFrame:
+    """Keep exactly one row per key group — the one with the smallest
+    ``order_key`` (deterministic; plain dropDuplicates keeps an
+    arbitrary row)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, fingerprint: Column, id_col: str) -> DataFrame:
+    """Group rows by a content fingerprint; one row per group with the
+    keeper id (min id), the group size, and the fingerprint."""
+    return (
+        df.groupBy(fingerprint.alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def exact_text_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-normalized text dedup: md5 of lowercased,
+    whitespace-collapsed text as the group key."""
+    return duplicate_groups(df, doc_fingerprint(F.col(text_col)), id_col)
+
+
+# ---------------------------------------------------------------- MinHash
+
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition to the session's default parallelism.
+
+    The synthetic corpus tables arrive as a single parquet row-group,
+    so without this the scan (and everything fused after it) runs on
+    one task. At scale inputs arrive pre-partitioned and the keyed
+    repartition doubles as co-location for the self-joins below.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *key_cols)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of md5-min hex strings, from a
+    precomputed shingle-array column.
+
+    Uses md5(shingle || ':' || seed) as the hash family so the DuckDB
+    oracle can reproduce signatures bit-for-bit (both engines ship
+    identical md5). Computed with array_min/transform — JVM-side, no
+    explode per seed. Pass a MATERIALIZED shingle column (project the
+    shingle array, then put an exchange between that projection and
+    this one) — otherwise CollapseProject re-inlines the tokenizer
+    into all num_hashes branches.
+    """
+    sig = [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(s, F.lit(f":{i}")))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Array of band keys: md5 of the concatenation of each band's
+    signature slice. len(sig) must equal bands*rows."""
+    keys = []
+    for b in range(bands):
+        parts = [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+        keys.append(F.md5(F.concat_ws("|", *parts)))
+    return F.array(*keys)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b): docs sharing ≥1 band key.
+
+    shingle → minhash → band → bucket-join; the join on
+    (band_idx, band_key) replaces the O(n²) all-pairs comparison.
+    """
+    rows = num_hashes // bands
+    # Project shingles once, then repartition: the exchange stops
+    # CollapseProject from re-inlining the tokenizer into each of the
+    # num_hashes signature branches, and spreads the md5 work.
+    sh = _spread(
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+        ),
+        "doc",
+    )
+    sig = sh.select("doc", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+    banded = sig.select(
+        "doc",
+        F.posexplode(lsh_bands(F.col("__sig"), bands, rows)).alias("band_idx", "band_key"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs; keeps pairs with
+    similarity ≥ threshold. Joins the (small) candidate set back to the
+    corpus twice — cost O(|pairs|), independent of corpus size."""
+    sh = _spread(
+        df.select(
+            F.col(id_col).alias("__id"), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+        ),
+        "__id",
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All near-dup pairs by exact n-gram Jaccard, via an inverted
+    shingle index (explode + self-equi-join on shingle) — exact but
+    costlier than LSH; the oracle-checkable baseline."""
+    exploded = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash document fingerprint: per-shingle 64-bit hash, bitwise
+    +1/-1 voting, sign → bit. Uses xxhash64 (JVM; no DuckDB twin, so
+    this op is verified by property tests, not the SQL oracle).
+
+    Explodes shingles once; the vote is a single groupBy with ``bits``
+    conditional sums — one shuffle on the doc id.
+    """
+    exploded = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col))).alias("__s"),
+    ).select("doc", F.xxhash64("__s").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = exploded.groupBy("doc").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
+    return voted.select(F.col("doc").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, LSH-style: split the
+    signature into (max_hamming+1) chunks — two docs within the Hamming
+    radius must agree on at least one chunk exactly (pigeonhole), so an
+    equi-join on (chunk_idx, chunk_value) finds all candidates without
+    a cross join."""
+    sigs = simhash(df, text_col, id_col, bits)
+    chunks = max_hamming + 1
+    width = bits // chunks
+    chunk_cols = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(chunks)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.posexplode(chunk_cols).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

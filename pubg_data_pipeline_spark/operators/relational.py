@@ -1,0 +1,95 @@
+"""Relational operator kit: joins, set ops, multidimensional aggregates.
+
+The reference implements zero joins — its producer denormalizes
+(reference: producer/producer.py:162-204 embeds the per-player
+performance struct by scanning rosters/participants, which is
+semantically an inner equi-join; SURVEY.md §2.4). This engine restores
+the normalized model, so the full Catalyst join suite is first-class
+API surface here, each wrapper documenting the physical strategy it
+expects at scale.
+
+Scale notes (100 TB):
+- Small dimensions (region/nation/supplier and their analogs) are
+  broadcast (`F.broadcast`) — no shuffle of the fact table.
+- Fact-fact joins shuffle on the join key; AQE converts to broadcast
+  at runtime when one side turns out small, and splits skewed keys.
+- Set ops and rollup/cube are plain Catalyst exchanges — nothing
+  custom needed (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join; set ``broadcast_right`` for small dimension tables to
+    force a broadcast-hash join (no shuffle of ``left``)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """EXISTS semantics — returns left rows with a match, left columns only."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """NOT EXISTS semantics."""
+    return left.join(right, on, "left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Non-equi (theta/range) join. Without an equi component Catalyst
+    plans BroadcastNestedLoopJoin — keep the right side small/broadcast;
+    for big-big range joins pre-bucket both sides on a coarse band key
+    first (see similarity.lsh_bucketed_cosine for the pattern)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, condition, how)
+
+
+def union_by_name(dfs: Sequence[DataFrame], allow_missing: bool = False) -> DataFrame:
+    """UNION ALL by column name (the reference's two parallel extracts
+    from one parsed stream are the natural use case — reference:
+    spark_apps/pubg_streaming.py:148-233)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=allow_missing)
+    return out
+
+
+def rollup_agg(df: DataFrame, group_cols: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """ROLLUP aggregate (subtotals per prefix + grand total)."""
+    return df.rollup(*group_cols).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, group_cols: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """CUBE aggregate (all grouping-set combinations)."""
+    return df.cube(*group_cols).agg(*aggs)
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k via orderBy().limit(k).
+
+    Catalyst plans this as TakeOrderedAndProject — a two-phase
+    per-partition top-k + driver merge, NOT a single-partition global
+    sort, so it is safe at any scale (SURVEY.md §4.2 item 4 — the
+    reference's ``Window.orderBy(desc(...))`` at
+    spark_apps/advanced_analytics.py:129 funnels all rows into one
+    task; this is the fix)."""
+    return df.orderBy(*order_by).limit(k)

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (LLM-pipeline extension).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the corpus — one pass, no shuffle of the corpus,
+fully JVM-side via functions.vectors. The scale path is random
+hyperplane LSH: bucket both sides by sign-bit sketches, join on
+bucket, exact re-rank within buckets — recall<1 but corpus-side cost
+drops from O(n·q) to O(collisions).
+
+At 100 TB you would additionally partition the corpus by bucket at
+write time so the probe join is partition-pruned.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.functions.vectors import as_double_vec, cosine, dot
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Output: (query_id, neighbor_id, cos_sim, rank). Ties broken by
+    neighbor id for determinism; with ``round_digits`` the similarity
+    is rounded BEFORE ranking so near-tie float noise can't reorder
+    results across engines. Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-based, no
+    numpy dependency at plan-build time)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / nrm for x in v])
+    return planes
+
+
+def lsh_bucketed_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: sign-bit LSH bucket join + exact
+    re-rank inside buckets. Vectors agreeing on all ``n_planes`` sign
+    bits land in one bucket; corpus is scanned once to compute sketch
+    keys, then joined to queries on the bucket key."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def sketch(v):
+        bits = []
+        for p in planes:
+            plane = F.array(*[F.lit(x) for x in p])
+            bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", sketch(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", sketch(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

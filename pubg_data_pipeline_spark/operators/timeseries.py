@@ -1,0 +1,93 @@
+"""Time-series kit: bucketing, spine fill, last/max_by, hourly rollups.
+
+Covers the reference's hour bucketing (reference:
+spark_apps/advanced_analytics.py:236-248 buckets with
+``date_format(processed_at, "yyyy-MM-dd HH")``) and the downstream
+InfluxQL dashboard surface (SURVEY.md §2.8): ``GROUP BY time(1h)
+fill(null)`` becomes a generated time spine left-joined to the
+aggregate; ``last()`` becomes ``max_by(value, ts)``.
+
+Bucket keys are emitted as strings (``yyyy-MM-dd HH``) so oracle
+comparison is precision-safe across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_FMT = {"hour": "yyyy-MM-dd HH", "day": "yyyy-MM-dd", "minute": "yyyy-MM-dd HH:mm"}
+_INTERVAL = {"hour": "interval 1 hour", "day": "interval 1 day", "minute": "interval 1 minute"}
+
+
+def time_bucket(ts: Column, granularity: str = "hour") -> Column:
+    """String time bucket, reference-style (P13)."""
+    return F.date_format(ts, _FMT[granularity])
+
+
+def bucketed_agg(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    granularity: str = "hour",
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """GROUP BY time(granularity), dims — one hash-agg shuffle; partial
+    aggregation (map-side combine) applies automatically."""
+    return df.groupBy(
+        time_bucket(F.col(ts_col), granularity).alias(bucket_name), *group_cols
+    ).agg(*aggs)
+
+
+def time_spine(
+    df: DataFrame, ts_col: str, granularity: str = "hour", bucket_name: str = "bucket"
+) -> DataFrame:
+    """Complete bucket spine spanning [min(ts), max(ts)] of the input:
+    ``sequence(date_trunc(min), date_trunc(max), interval)`` exploded.
+    One row per bucket — tiny, broadcastable."""
+    bounds = df.agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("lo"),
+        F.date_trunc(granularity, F.max(ts_col)).alias("hi"),
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr(_INTERVAL[granularity]))).alias("__t")
+    ).select(time_bucket(F.col("__t"), granularity).alias(bucket_name))
+
+
+def spine_filled_agg(
+    df: DataFrame,
+    ts_col: str,
+    aggs: Sequence[Column],
+    granularity: str = "hour",
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """InfluxQL ``GROUP BY time(...) fill(null)`` (dashboard queries Q2/
+    Q3/Q5/Q10 — e.g. monitoring/grafana .../advanced_analytics_dashboard
+    .json:55): aggregate per bucket, then left-join from the full spine
+    so empty buckets surface as nulls. The aggregated side is small, so
+    the join broadcasts."""
+    agged = bucketed_agg(df, ts_col, [], aggs, granularity, bucket_name)
+    spine = time_spine(df, ts_col, granularity, bucket_name)
+    return spine.join(F.broadcast(agged), bucket_name, "left")
+
+
+def last_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """InfluxQL/Flux ``last()`` per series (dashboard Q6/Q8/Q12):
+    ``max_by(value, ts)`` — a single hash aggregation, no window sort."""
+    aggs = [F.max_by(c, order_col).alias(f"last_{c}") for c in value_cols]
+    aggs.append(F.max(order_col).alias(f"max_{order_col}"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def recent_top_k(df: DataFrame, ts_col: str, tiebreak: str, k: int = 10) -> DataFrame:
+    """``ORDER BY time DESC LIMIT k`` (dashboard Q7) — plans as
+    TakeOrderedAndProject (distributed two-phase top-k)."""
+    return df.orderBy(F.col(ts_col).desc(), F.col(tiebreak).desc()).limit(k)

@@ -1,0 +1,69 @@
+"""Query-spec registry shared by __spark_entry__, tests, and bench.
+
+Each QuerySpec pairs a Spark query function with (when SQL-expressible)
+an equivalent DuckDB oracle query over the same parquet tables. The
+driver's correctness gate compares them by row count + schema +
+order-insensitive value hash with columns sorted by name — so specs
+must alias every computed column identically on both sides and make
+every value deterministic across engines.
+
+Cross-engine determinism rules used throughout the plans:
+- Money-like double aggregates are summed as exact scaled integers
+  (per-row ``CAST(ROUND(x * 10^s) AS BIGINT)``; per-row IEEE double
+  arithmetic is bit-identical across engines, and integer sums are
+  order-independent), then divided/rounded at the end.
+- Ratios/averages are derived from exact integer sums by one double
+  division (deterministic) rather than engine AVG over doubles.
+- Rank/top-k orderings sort on ROUNDED scores and tie-break on a key
+  column, so near-tie float noise cannot reorder across engines.
+- Time bucket keys are emitted as formatted strings (second/hour
+  granularity) — precision-safe vs the ns-resolution DuckDB view.
+- stddev/zscore outputs are rounded to 4dp (cross-engine agg-order
+  noise is ~1e-13, five orders below the rounding quantum).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
+    tags: tuple[str, ...] = field(default=())
+
+
+def exact_scaled(col: Column, digits: int = 2) -> Column:
+    """Per-row exact fixed-point encoding: round(x * 10^digits) as long.
+
+    The per-row double product is IEEE-deterministic, so both engines
+    produce the same integer; integer sums are then order-independent.
+    """
+    return F.round(col * (10 ** digits), 0).cast("long")
+
+
+def sql_scaled(expr: str, digits: int = 2) -> str:
+    """DuckDB twin of exact_scaled."""
+    return f"CAST(ROUND(({expr}) * {10 ** digits}, 0) AS BIGINT)"
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """All registered query specs, keyed by name (import-light so
+    __spark_entry__ can call it without side effects)."""
+    from pubg_data_pipeline_spark.plans import events_queries, llm_queries, relational_queries
+
+    specs: dict[str, QuerySpec] = {}
+    for module in (events_queries, relational_queries, llm_queries):
+        for spec in module.SPECS:
+            if spec.name in specs:
+                raise ValueError(f"duplicate query spec: {spec.name}")
+            specs[spec.name] = spec
+    return specs

@@ -1,0 +1,235 @@
+"""LLM-training-data-pipeline queries over ``documents`` and
+``embeddings`` (BASELINE.json north-star extension; SURVEY.md §7.2 M5).
+
+Oracle-checked where DuckDB can express the op (exact dedup, text
+stats, language-ID, n-gram Jaccard, brute-force cosine top-k); the
+hash-family ops (MinHash-LSH, SimHash) and the ANN scale path are
+registered without oracle SQL (rows-only driver check) and verified by
+property tests in tests/test_llm_ops.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_id_expr,
+    marker_hits,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from pubg_data_pipeline_spark.operators import dedup, similarity
+from pubg_data_pipeline_spark.plans.base import QuerySpec
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+# Same RE2/Java char class as functions.text.punct_ratio, with the
+# single quote doubled for SQL-literal embedding.
+_PUNCT_CLASS_SQL = "[^.!?,;:''\"()\\[\\]-]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across the session parallelism — the synthetic
+    corpus is a single parquet row-group, so without a repartition all
+    the regex/tokenize work below would run on one task."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-text md5 fingerprint; keeper =
+    min doc_id (deterministic)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.exact_text_dedup(docs, "text", "doc_id")
+
+
+_EXACT_DEDUP_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count, stopword hits, punctuation ratio, and
+    composite quality score — all JVM-side Column expressions."""
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        marker_hits(text, STOPWORDS).alias("stop_hits"),
+        F.round(stopword_ratio(text), 4).alias("stop_ratio"),
+        F.round(punct_ratio(text), 4).alias("punct_ratio"),
+        quality_score(text).alias("quality"),
+    )
+
+
+_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
+_TEXT_STATS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x IN ({_STOPS}))) AS stop_hits,
+         length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) * 1.0
+           / GREATEST(length(text), 1) AS praw
+  FROM documents
+)
+SELECT doc_id, n_tokens, stop_hits,
+       ROUND(stop_hits * 1.0 / GREATEST(n_tokens, 1), 4) AS stop_ratio,
+       ROUND(praw, 4) AS punct_ratio,
+       ROUND((LEAST(n_tokens / 100.0, 1.0)
+            + LEAST(stop_hits * 1.0 / GREATEST(n_tokens, 1) * 4, 1.0)
+            + (1.0 - LEAST(praw * 10, 1.0))) / 3.0, 6) AS quality
+FROM t
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic vs. the labeled lang column."""
+    docs = _docs(spark, sf_dir)
+    out = docs.select("doc_id", "lang", lang_id_expr(F.col("text")).alias("lang_pred"))
+    return out.withColumn(
+        "is_match", F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+    )
+
+
+def _lang_hits_sql() -> str:
+    cols = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        cols.append(f"len(list_filter(toks, x -> x IN ({inlist}))) AS {lang}")
+    return ",\n         ".join(cols)
+
+
+# CASE arms in alphabetical order replicate the Spark fold's tie rule
+# (ties go to the alphabetically-first language).
+_LANG_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         {_lang_hits_sql()}
+  FROM t
+), p AS (
+  SELECT doc_id, lang,
+         CASE WHEN de > 0 AND de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+              WHEN en > 0 AND en >= es AND en >= fr AND en >= zh THEN 'en'
+              WHEN es > 0 AND es >= fr AND es >= zh THEN 'es'
+              WHEN fr > 0 AND fr >= zh THEN 'fr'
+              WHEN zh > 0 THEN 'zh'
+              ELSE 'unknown' END AS lang_pred
+  FROM h
+)
+SELECT doc_id, lang, lang_pred, CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS is_match FROM p
+"""
+
+
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via an inverted shingle
+    index (explode + equi-join on shingle — never an O(n²) cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.05)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(arr) - 2, 0)),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+"""
+
+
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 5
+    — the exact ANN baseline. Ranks on the ROUNDED similarity with an
+    id tie-break so ordering is reproducible cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_top_k(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, round_digits=6
+    )
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+  FROM c CROSS JOIN q WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# ----------------------- rows-only specs (no SQL-expressible oracle) ----
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs + exact Jaccard verification
+    (shingle → minhash → band → bucket-join; SURVEY.md §7.2 M5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=16, bands=4)
+    return dedup.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.05)
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (pigeonhole
+    chunk join, no cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, "text", "doc_id", bits=32, max_hamming=3)
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH bucketing + exact re-rank
+    within buckets — the 100 TB scale path for similarity search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_bucketed_top_k(
+        emb, queries, dim=64, id_col="vec_id", vec_col="embedding", k=5, n_planes=6
+    )
+
+
+SPECS = [
+    QuerySpec("doc_exact_dedup", doc_exact_dedup, _EXACT_DEDUP_SQL, ("llm", "dedup")),
+    QuerySpec("doc_text_stats", doc_text_stats, _TEXT_STATS_SQL, ("llm", "text")),
+    QuerySpec("doc_lang_id", doc_lang_id, _LANG_SQL, ("llm", "text")),
+    QuerySpec("doc_ngram_jaccard_pairs", doc_ngram_jaccard_pairs, _JACCARD_SQL, ("llm", "dedup")),
+    QuerySpec("embedding_topk_cosine", embedding_topk_cosine, _TOPK_SQL, ("llm", "ann")),
+    QuerySpec("minhash_near_dups", minhash_near_dups, None, ("llm", "dedup")),
+    QuerySpec("simhash_near_dups", simhash_near_dups, None, ("llm", "dedup")),
+    QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("llm", "ann")),
+]

@@ -1,0 +1,88 @@
+"""SparkSession factory.
+
+The reference builds its sessions ad hoc with a pinned Asia/Seoul
+timezone (reference: spark_apps/pubg_streaming.py:7-16,
+spark_apps/advanced_analytics.py:16-25). Here the timezone is an
+explicit parameter, AQE is on by default, and the parquet
+nanosecond-timestamp legacy flag is set so the synthetic ``events``
+table (timestamp[ns]) is readable.
+
+Designed for scale: every config below is also safe on a large
+cluster — AQE handles skew joins and coalesces small shuffle
+partitions at runtime; the broadcast threshold stays at Spark's
+default so Catalyst auto-broadcasts small dimension tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime SQL confs we require regardless of who built the session.
+# Applied via configure_session() so the engine also works when handed
+# a foreign SparkSession (e.g. the verification driver's).
+_RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores timestamp[ns]; Spark reads it as LongType
+    # under this flag and sources.tables converts to timestamp(us).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics matching the DuckDB oracle
+    # (naive timestamps read as-is).
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: coalesce small partitions, split skewed ones.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session.
+
+    Idempotent; call at every entry point that may receive a session
+    built elsewhere.
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-runtime conf on this build — best effort.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "pubg-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    timezone: str = "UTC",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster leave it unset and let AQE coalesce from a higher initial
+    number (set e.g. 2000 for 100 TB inputs via ``extra_conf``).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    builder = builder.config("spark.sql.session.timeZone", timezone)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return configure_session(spark)
