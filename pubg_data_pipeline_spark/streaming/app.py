@@ -1,0 +1,98 @@
+"""End-to-end streaming applications, composed from the streaming
+adapters + the batch-first analytics pipelines.
+
+Mirrors the reference's two Spark apps (reference:
+spark_apps/pubg_streaming.py — ETL; spark_apps/advanced_analytics.py
+— foreachBatch analytics) with the SURVEY.md §4.2 fixes applied:
+watermarked dedup (bounded state), a single persist() per analytics
+epoch (the reference recomputes its batch ~10×), and no driver-side
+collect() in the z-score path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from pubg_data_pipeline_spark.plans import analytics
+from pubg_data_pipeline_spark.streaming import etl, sinks
+
+
+def streaming_etl(
+    raw_stream: DataFrame,
+    players_path: str,
+    matches_path: str,
+    checkpoint_root: str,
+    trigger_seconds: int = 60,
+    watermark: str = "1 hour",
+) -> list[StreamingQuery]:
+    """Kafka/file JSON envelope stream -> parse -> flatten -> dedup ->
+    two checkpointed parquet sinks (reference:
+    spark_apps/pubg_streaming.py:236-262, dedup :247-250)."""
+    parsed = etl.parse_envelope(raw_stream)
+    players = etl.watermarked_dedup(
+        etl.extract_players(parsed), ["account_id"], "data_collected_at", watermark
+    )
+    matches = etl.watermarked_dedup(
+        etl.extract_matches(parsed), ["match_id", "account_id"], "created_at", watermark
+    )
+    return [
+        sinks.parquet_sink(
+            players,
+            players_path,
+            f"{checkpoint_root}/players",
+            trigger_seconds,
+            query_name="players_sink",
+        ),
+        sinks.parquet_sink(
+            matches,
+            matches_path,
+            f"{checkpoint_root}/matches",
+            trigger_seconds,
+            query_name="matches_sink",
+        ),
+    ]
+
+
+def analytics_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    publish: Callable[[str, DataFrame], None],
+) -> None:
+    """One foreachBatch epoch of the advanced-analytics app.
+
+    reference: spark_apps/advanced_analytics.py:91-281, fixed per
+    SURVEY.md §4.2: the batch is persisted ONCE (the reference
+    recomputes the parse/flatten prefix for each of its ~10 actions)
+    and unpersisted at epoch end; empty batches short-circuit with the
+    single cached count. ``publish(name, df)`` receives each result
+    (the reference writes to Kafka topics / console)."""
+    batch_df.persist()
+    try:
+        if batch_df.count() == 0:
+            return
+        perf = analytics.prepare_performance(batch_df)
+        publish("player_ranking", analytics.player_ranking(perf))
+        publish("moving_trends", analytics.moving_average_trends(perf))
+        publish("anomaly_alerts", analytics.anomaly_alerts(perf))
+        publish("hourly_aggregates", analytics.hourly_aggregates(perf))
+        publish("map_difficulty", analytics.map_difficulty(perf))
+    finally:
+        batch_df.unpersist()
+
+
+def streaming_analytics(
+    flat_match_stream: DataFrame,
+    publish: Callable[[str, DataFrame], None],
+    trigger_seconds: int = 60,
+) -> StreamingQuery:
+    """The analytics app: flat-match stream -> foreachBatch(epoch).
+
+    reference: spark_apps/advanced_analytics.py:284-288."""
+    return sinks.foreach_batch_sink(
+        flat_match_stream,
+        lambda df, eid: analytics_epoch(df, eid, publish),
+        trigger_seconds,
+    )

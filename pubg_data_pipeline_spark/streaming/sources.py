@@ -54,6 +54,16 @@ def parquet_file_stream(
     return reader.parquet(path)
 
 
+def text_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Text-file source: one message per line in a single ``value``
+    string column — shape-compatible with the Kafka source, so
+    etl.parse_envelope works unchanged (the broker-free test path)."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(path)
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Synthetic (timestamp, value) source for throughput tests."""
     return (

@@ -1,0 +1,112 @@
+"""Golden tests for the reference-semantics expressions.
+
+The severity goldens are lifted from the reference's own alert
+fixtures (reference: test/test_alerts.py:30-70 — 25 kills/4500 dmg →
+HIGH, 16/2800 → MEDIUM, 5/800 → LOW, thresholds at
+monitoring/alert_manager.py:387-396); KDA from
+monitoring/metrics_collector.py:122-126; the z-score σ=0 guard is the
+documented semantic difference of SURVEY.md §4.2 item 5.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.functions import metrics
+from pubg_data_pipeline_spark.operators import dedup, zscore
+
+
+def test_severity_reference_goldens(spark):
+    rows = [
+        ("high_kills", 25, 4500.0, 4.2),
+        ("medium", 16, 2800.0, 3.1),
+        ("low", 5, 800.0, 0.5),
+        ("high_by_z_only", 1, 100.0, 4.0),
+        ("medium_by_damage", 0, 2500.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "name string, kills int, damage double, z double")
+    out = {
+        r["name"]: r["sev"]
+        for r in df.select(
+            "name", metrics.severity_expr(F.col("kills"), F.col("damage"), F.col("z")).alias("sev")
+        ).collect()
+    }
+    assert out == {
+        "high_kills": "HIGH",
+        "medium": "MEDIUM",
+        "low": "LOW",
+        "high_by_z_only": "HIGH",
+        "medium_by_damage": "MEDIUM",
+    }
+
+
+def test_kda_alive_special_case(spark):
+    df = spark.createDataFrame(
+        [(10, 5, "alive"), (10, 5, "byplayer"), (0, 0, "byzone")],
+        "kills int, assists int, death_type string",
+    )
+    out = df.select(
+        metrics.kda_expr(F.col("kills"), F.col("assists"), F.col("death_type")).alias("kda")
+    ).collect()
+    # alive -> deaths=0 -> divide by max(0,1)=1; else deaths=1
+    assert [r["kda"] for r in out] == [15.0, 15.0, 0.0]
+
+
+def test_ranking_score_polynomial(spark):
+    df = spark.createDataFrame([(4.0, 0.5, 1000.0, 0.8, 1200.0)], "k double, w double, d double, t double, s double")
+    out = df.select(
+        metrics.ranking_score_expr(
+            F.col("k"), F.col("w"), F.col("d"), F.col("t"), F.col("s")
+        ).alias("score")
+    ).first()["score"]
+    # 4*0.3 + 0.5*100*0.25 + 1000*0.01*0.2 + 0.8*100*0.15 + 1200/60*0.1
+    assert out == pytest.approx(1.2 + 12.5 + 2.0 + 12.0 + 2.0)
+
+
+def test_difficulty_score(spark):
+    df = spark.createDataFrame([(1.0, 3.0)], "k double, s double")
+    out = df.select(
+        metrics.difficulty_score_expr(F.col("k"), F.col("s")).alias("d")
+    ).first()["d"]
+    assert out == pytest.approx((1 / 2.0) * (1 / 4.0) * 100)
+
+
+def test_zscore_sigma_zero_guard(spark):
+    # constant column -> stddev 0 -> z must be 0.0, not null/NaN
+    df = spark.createDataFrame([(i, 5.0) for i in range(10)], "id int, x double")
+    out = zscore.with_zscores(df, ["x"]).select("x_zscore").collect()
+    assert all(r["x_zscore"] == 0.0 for r in out)
+
+
+def test_zscore_flags_outlier(spark):
+    vals = [(i, 10.0) for i in range(30)] + [(99, 1000.0)]
+    df = spark.createDataFrame(vals, "id int, x double")
+    flagged = zscore.anomalies(df, ["x"], threshold=2.5).collect()
+    assert [r["id"] for r in flagged] == [99]
+
+
+def test_exact_dedup_keeps_min_order_key(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "a"), (7, "b")], "event_id int, key string"
+    )
+    out = dedup.exact_dedup(df, ["key"], "event_id").collect()
+    assert {(r["key"], r["event_id"]) for r in out} == {("a", 1), ("b", 7)}
+
+
+def test_derived_performance_null_filter(spark):
+    df = spark.createDataFrame(
+        [
+            ("p1", 5, 2, 1, 800.0, 600.0, 1),
+            ("p2", None, 2, 1, 800.0, 600.0, 5),
+        ],
+        "player_name string, kills int, assists int, headshot_kills int,"
+        " damage_dealt double, time_survived double, win_place int",
+    )
+    out = metrics.derived_performance_cols(df).collect()
+    assert len(out) == 1  # null-kills row filtered (reference :89)
+    r = out[0]
+    assert r["ka_score"] == 7
+    assert r["dps"] == pytest.approx(800.0 / 600.0)
+    assert r["headshot_ratio"] == pytest.approx(0.2)
+    assert r["is_winner"] == 1 and r["top10_finish"] == 1

@@ -1,0 +1,85 @@
+"""Property tests for the hash-family LLM-pipeline operators that have
+no SQL-expressible oracle (MinHash-LSH, SimHash, vector LSH): planted
+duplicates must be recovered, and approximate results must be
+consistent with the exact brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different words describing an unrelated subject matter entirely"),
+    (5, "spark engines shuffle partitions across executors while catalyst optimizes plans"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_minhash_finds_planted_duplicates(spark, docs_df):
+    pairs = dedup.minhash_candidate_pairs(docs_df, "text", "doc_id", num_hashes=16, bands=4)
+    verified = dedup.jaccard_verify(docs_df, pairs, "text", "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert got[(1, 2)] == 1.0  # exact dup: identical shingle sets
+    assert (1, 3) in got and got[(1, 3)] > 0.5  # near dup survives banding
+    assert all(4 not in p and 5 not in p for p in got)  # unrelated docs excluded
+
+
+def test_ngram_jaccard_matches_minhash_on_dups(spark, docs_df):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert exact[(1, 2)] == 1.0
+    assert (1, 3) in exact
+
+
+def test_simhash_identical_docs_hamming_zero(spark, docs_df):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(docs_df, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_lsh_topk_agrees_with_brute_force_on_same_bucket(spark):
+    # identical vectors always share a bucket; rank-1 neighbor of a
+    # duplicated vector must be its twin under both exact and LSH search
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0)
+    exact = similarity.brute_force_top_k(df, queries, k=2).collect()
+    approx = similarity.lsh_bucketed_top_k(df, queries, dim=4, k=2, n_planes=4).collect()
+    assert exact[0]["neighbor_id"] == 1 and exact[0]["cos_sim"] == pytest.approx(1.0)
+    assert approx[0]["neighbor_id"] == 1 and approx[0]["cos_sim"] == pytest.approx(1.0)
+    # LSH returns a subset of the exact candidate set, never new ids
+    assert {r["neighbor_id"] for r in approx} <= {r["neighbor_id"] for r in exact} | {1}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "HELLO\tWORLD"), (4, "other text")],
+        "doc_id int, text string",
+    )
+    groups = dedup.exact_text_dedup(df, "text", "doc_id").collect()
+    sizes = sorted(r["group_size"] for r in groups)
+    assert sizes == [1, 3]
+    keeper = next(r for r in groups if r["group_size"] == 3)
+    assert keeper["keeper_id"] == 1

@@ -1,0 +1,200 @@
+"""End-to-end streaming tests: envelope JSON lines → file (Kafka
+stand-in) source → parse/flatten/watermarked-dedup → parquet sinks,
+and the foreachBatch analytics app — no broker required, matching
+SURVEY.md §7.2 M4's test strategy.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.streaming import app, etl, sources
+
+
+def make_envelope(player_idx: int, match_ids: list[str], collected_at: str) -> dict:
+    """Deterministic envelope matching the reference producer's shape
+    (reference: producer/producer.py:215 envelope, :73-105 player,
+    :118-158 match, :167-201 performance)."""
+    name = f"player_{player_idx}"
+    return {
+        "player": {
+            "player_name": name,
+            "account_id": f"acct_{player_idx}",
+            "shard_id": "steam",
+            "title_id": "pubg",
+            "patch_version": "1.0",
+            "ban_type": "Innocent",
+            "clan_id": f"clan_{player_idx % 2}",
+            "stats": json.dumps({"tier": player_idx}),
+            "rank": "{}",
+            "total_matches_count": len(match_ids),
+            "match_ids": match_ids,
+            "data_collected_at": collected_at,
+            "account_created_at": "2020-01-01 00:00:00",
+            "account_updated_at": collected_at,
+            "api_links": "{}",
+            "all_raw_attributes": "{}",
+        },
+        "matches": [
+            {
+                "match_id": mid,
+                "type": "match",
+                "game_mode": ["solo", "duo", "squad"][i % 3],
+                "map_name": ["Erangel", "Miramar"][i % 2],
+                "duration": 1500 + 60 * i,
+                "title_id": "pubg",
+                "shard_id": "steam",
+                "season_state": "progress",
+                "is_custom_match": False,
+                "tags": "{}",
+                "created_at": f"2024-03-0{(i % 7) + 1} 12:00:00",
+                "patch_version": "1.0",
+                "match_type": "official",
+                "telemetry_url": "https://example.invalid/telemetry",
+                "rosters_count": 16,
+                "participants_count": 64,
+                "assets_count": 1,
+                "api_links": "{}",
+                "all_raw_attributes": "{}",
+                "relationships_summary": "{}",
+                "player_performance": {
+                    "kills": (player_idx * 3 + i) % 12,
+                    "assists": i % 4,
+                    "headshot_kills": i % 3,
+                    "longest_kill": 120.5 + i,
+                    "road_kills": 0,
+                    "team_kills": 0,
+                    "damage_dealt": 250.0 * (i + 1),
+                    "time_survived": 900.0 + 60 * i,
+                    "dbnos": i % 5,
+                    "death_type": "alive" if i % 4 == 0 else "byplayer",
+                    "heals": i,
+                    "boosts": i % 2,
+                    "revives": 0,
+                    "walk_distance": 2000.0 + 10 * i,
+                    "ride_distance": 500.0 * (i % 3),
+                    "swim_distance": 0.0,
+                    "win_place": (i % 20) + 1,
+                    "kill_place": (i % 30) + 1,
+                    "weapons_acquired": 3 + i % 4,
+                    "vehicle_destroys": 0,
+                    "participant_name": name,
+                    "participant_id": f"participant_{player_idx}",
+                },
+            }
+            for i, mid in enumerate(match_ids)
+        ],
+    }
+
+
+@pytest.fixture()
+def envelope_dir(tmp_path):
+    """Two message files; the second replays one envelope verbatim
+    (producer re-poll) to exercise dedup."""
+    d = tmp_path / "messages"
+    d.mkdir()
+    batch1 = [
+        make_envelope(1, ["m1", "m2", "m3"], "2024-03-01 10:00:00"),
+        make_envelope(2, ["m1", "m4"], "2024-03-01 10:00:00"),
+    ]
+    batch2 = [
+        make_envelope(1, ["m1", "m2", "m3"], "2024-03-01 10:00:00"),  # exact replay
+        make_envelope(1, ["m5"], "2024-03-01 11:00:00"),  # new poll
+    ]
+    (d / "b1.jsonl").write_text("\n".join(json.dumps(e) for e in batch1))
+    (d / "b2.jsonl").write_text("\n".join(json.dumps(e) for e in batch2))
+    return str(d)
+
+
+def test_streaming_etl_end_to_end(spark, tmp_path, envelope_dir):
+    raw = sources.text_stream(spark, envelope_dir)
+    queries = app.streaming_etl(
+        raw,
+        players_path=str(tmp_path / "players"),
+        matches_path=str(tmp_path / "matches"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+
+    players = spark.read.parquet(str(tmp_path / "players"))
+    matches = spark.read.parquet(str(tmp_path / "matches"))
+
+    # players: 4 envelopes, dedup on (account_id, data_collected_at):
+    # the replay collapses -> 3 snapshots
+    assert players.count() == 3
+    assert players.select("account_id", "data_collected_at").distinct().count() == 3
+    assert dict(players.dtypes)["data_collected_at"] == "timestamp"
+
+    # matches: dedup on (match_id, account_id, created_at); the replay
+    # of (m1..m3, acct_1) collapses
+    got = {
+        (r["match_id"], r["account_id"])
+        for r in matches.select("match_id", "account_id").collect()
+    }
+    assert got == {
+        ("m1", "acct_1"),
+        ("m2", "acct_1"),
+        ("m3", "acct_1"),
+        ("m1", "acct_2"),
+        ("m4", "acct_2"),
+        ("m5", "acct_1"),
+    }
+    # nested performance was flattened and typed
+    row = matches.filter(
+        (F.col("match_id") == "m2") & (F.col("account_id") == "acct_1")
+    ).first()
+    assert row["kills"] == 4 and row["damage_dealt"] == 500.0
+    assert row["duration_minutes"] == pytest.approx(26.0)
+
+
+def test_malformed_messages_become_null_rows(spark, tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "b.jsonl").write_text("not json at all\n{}")
+    raw = sources.text_stream(spark, str(d))
+    parsed = etl.parse_envelope(raw)
+    q = parsed.writeStream.format("memory").queryName("bad_parse").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM bad_parse").collect()
+    # PERMISSIVE parse: malformed lines yield null player/matches, no crash
+    assert len(rows) == 2
+    assert all(r["player"] is None for r in rows)
+
+
+def test_streaming_analytics_epochs(spark, tmp_path, envelope_dir):
+    """foreachBatch analytics over the flattened match stream: every
+    pipeline publishes per epoch; empty batches short-circuit."""
+    raw = sources.text_stream(spark, envelope_dir)
+    flat = etl.extract_matches(etl.parse_envelope(raw))
+    published: dict[str, int] = {}
+
+    def publish(name, df):
+        published[name] = published.get(name, 0) + df.count()
+
+    q = app.streaming_analytics(flat, publish, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert set(published) == {
+        "player_ranking",
+        "moving_trends",
+        "anomaly_alerts",
+        "hourly_aggregates",
+        "map_difficulty",
+    }
+    assert published["player_ranking"] >= 1
+    assert published["hourly_aggregates"] >= 1
