@@ -31,10 +31,14 @@ HEADLINE = [
     "moving_avg_trend",
     "zscore_anomalies",
     "order_priority_rollup",
+    "user_sessions",
+    "tumbling_10min_counts",
     "doc_text_stats",
     "doc_ngram_jaccard_pairs",
     "minhash_near_dups",
     "embedding_topk_cosine",
+    "doc_multimodal_features",
+    "user_value_median",
 ]
 
 

@@ -1,3 +1,3 @@
-from pubg_data_pipeline_spark.functions import metrics, text, vectors
+from pubg_data_pipeline_spark.functions import metrics, multimodal, text, vectors
 
-__all__ = ["metrics", "text", "vectors"]
+__all__ = ["metrics", "multimodal", "text", "vectors"]

@@ -58,10 +58,22 @@ def sql_scaled(expr: str, digits: int = 2) -> str:
 def all_specs() -> dict[str, QuerySpec]:
     """All registered query specs, keyed by name (import-light so
     __spark_entry__ can call it without side effects)."""
-    from pubg_data_pipeline_spark.plans import events_queries, llm_queries, relational_queries
+    from pubg_data_pipeline_spark.plans import (
+        events_queries,
+        llm_queries,
+        relational_queries,
+        sql_queries,
+        windowed_queries,
+    )
 
     specs: dict[str, QuerySpec] = {}
-    for module in (events_queries, relational_queries, llm_queries):
+    for module in (
+        events_queries,
+        relational_queries,
+        llm_queries,
+        windowed_queries,
+        sql_queries,
+    ):
         for spec in module.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query spec: {spec.name}")

@@ -1,0 +1,301 @@
+"""Event-time windowing, alert suppression, grouping sets, and the
+Arrow/Pandas-UDF surface (SURVEY.md §2.7 D4-D5, §2.9).
+
+The reference has NO real event-time windows — it buckets with
+``date_format`` on processing time (reference:
+spark_apps/advanced_analytics.py:82,236-238) and its alert dedup is an
+in-memory Python cache (monitoring/alert_manager.py:83-94). These
+queries supply the event-time variants (SURVEY.md §2.7 "streaming gaps
+... deliberate scope for our engine"): tumbling/sliding ``F.window``,
+session windows (gaps-and-islands form so the DuckDB oracle can
+replicate; ``F.session_window`` is the streaming-path equivalent), and
+a windowed batch form of the 15-minute alert suppression.
+
+Pandas-UDF queries keep Python out of the row loop via Arrow batches
+(mapInPandas / applyInPandas) — the multimodal-column pattern ships
+here: opaque binary payload + byte-level feature extraction, with the
+actual image/audio decode stubbed (functions.multimodal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.plans.base import QuerySpec, exact_scaled, sql_scaled
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+_V_CENTS = sql_scaled("value", 2)
+
+
+def tumbling_10min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time window aggregate (dashboard Q3's
+    ``GROUP BY time(10m)`` — monitoring/grafana/.../advanced_analytics_
+    dashboard.json:103) via ``F.window`` instead of string bucketing."""
+    ev = load_table(spark, sf_dir, "events")
+    agged = ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(exact_scaled(F.col("value"))).alias("v_cents"),
+    )
+    return agged.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round(F.col("v_cents") / 100.0, 2).alias("total_value"),
+    )
+
+
+_TUMBLING_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM({_V_CENTS}) AS BIGINT) / 100.0, 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide: every event lands in
+    exactly two windows (epoch-aligned, like ``F.window``'s grid)."""
+    ev = load_table(spark, sf_dir, "events")
+    agged = ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return agged.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "n_events",
+        "n_users",
+    )
+
+
+# Same epoch-aligned 1800s grid as F.window: for each offset in
+# {0, 1800}, the unique window start on that sub-grid containing ts.
+_SLIDING_SQL = """
+SELECT strftime(to_timestamp(CAST(FLOOR((epoch(ts) - off) / 3600) AS BIGINT) * 3600 + off),
+                '%Y-%m-%d %H:%M') AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events CROSS JOIN (VALUES (0), (1800)) o(off)
+GROUP BY 1
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap, in the
+    oracle-checkable gaps-and-islands form (lag -> new-session flag ->
+    running sum). The native streaming equivalent is
+    ``F.session_window(ts, "30 minutes")``; this batch form pins
+    identical semantics cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts").cast("double") - prev.cast("double")
+    flagged = ev.withColumn(
+        "is_new", F.when(prev.isNull() | (gap > 1800.0), 1).otherwise(0)
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agged = sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("s_min"),
+        F.max("ts").alias("s_max"),
+    )
+    return agged.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.date_format("s_min", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("s_max", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.round(F.col("s_max").cast("double") - F.col("s_min").cast("double"), 3).alias(
+            "duration_secs"
+        ),
+    )
+
+
+_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 3) AS duration_secs
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def alert_suppression_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the alert manager's temporal dedup: keep the first
+    alert per (user, type) within each 15-minute bucket, reporting how
+    many were suppressed.
+
+    reference: monitoring/alert_manager.py:83-94 (in-memory cache,
+    threshold_minutes=15 at :484) re-expressed as a window rank filter
+    — SURVEY.md §2.7 D4's batch mapping."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("ts").cast("double") / 900).alias("b15")
+    w = Window.partitionBy("user_id", "event_type", bucket).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_suppressed", F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)) - 1
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("alert_time"),
+            "n_suppressed",
+        )
+    )
+
+
+_SUPPRESSION_SQL = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS alert_time,
+       n_suppressed
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type, FLOOR(epoch(ts) / 900)) - 1 AS n_suppressed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type, FLOOR(epoch(ts) / 900) ORDER BY ts, event_id)
+) WHERE rn = 1
+"""
+
+
+def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority), ()) — the
+    grouping-sets completion of rollup/cube (SURVEY.md §2.5 note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    agged = orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(exact_scaled(F.col("o_totalprice"))).alias("cents"),
+    )
+    return agged.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "order_count",
+        F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_count,
+       ROUND(CAST(SUM({sql_scaled('o_totalprice', 2)}) AS BIGINT) / 100.0, 2) AS total_value
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# ------------------------------------------- Arrow / Pandas-UDF surface
+
+def doc_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: text re-encoded as an opaque binary
+    payload column, processed with mapInPandas (real Arrow batching,
+    real schema contract); the byte-level feature extraction stands in
+    for an image/audio decode (functions.multimodal stubs the real
+    decoders — codecs aren't available in this environment)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def extract(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_size": pdf["payload"].map(len),
+                    "content_md5": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return payloads.mapInPandas(extract, "doc_id long, byte_size long, content_md5 string")
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS byte_size,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def user_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas computing an exact per-user median —
+    exercises the Arrow grouped-map path with an oracle-checkable
+    result (numpy and DuckDB both average the two middle values).
+    A pure-JVM alternative is ``F.median``; this spec deliberately
+    takes the Pandas path to pin the extension point's semantics."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def med(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "n_events": len(pdf),
+                    "median_value": round(float(np.median(pdf["value"])), 4),
+                }
+            ]
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        med, "user_id long, n_events long, median_value double"
+    )
+
+
+_MEDIAN_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(median(value) AS DOUBLE), 4) AS median_value
+FROM events GROUP BY user_id
+"""
+
+
+def approx_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) next to the exact count — the
+    100 TB variant of A6 (SURVEY.md §2.5: "at 100 TB offer
+    approx_count_distinct"). Rows-only check: DuckDB's approx sketch
+    is a different algorithm, so values can't hash-match."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+SPECS = [
+    QuerySpec("tumbling_10min_counts", tumbling_10min_counts, _TUMBLING_SQL, ("time", "window")),
+    QuerySpec("sliding_hourly_counts", sliding_hourly_counts, _SLIDING_SQL, ("time", "window")),
+    QuerySpec("user_sessions", user_sessions, _SESSIONS_SQL, ("time", "window")),
+    QuerySpec("alert_suppression_15min", alert_suppression_15min, _SUPPRESSION_SQL, ("dedup", "time")),
+    QuerySpec("status_priority_grouping_sets", status_priority_grouping_sets, _GROUPING_SETS_SQL, ("agg",)),
+    QuerySpec("doc_multimodal_features", doc_multimodal_features, _MULTIMODAL_SQL, ("llm", "pandas")),
+    QuerySpec("user_value_median", user_value_median, _MEDIAN_SQL, ("pandas",)),
+    QuerySpec("approx_unique_users", approx_unique_users, None, ("agg", "approx")),
+]
