@@ -74,31 +74,48 @@ def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of md5-min hex strings, from a
-    precomputed shingle-array column.
+    """MinHash signature (array of longs) from a precomputed
+    shingle-array column.
 
-    Uses md5(shingle || ':' || seed) as the hash family so the DuckDB
-    oracle can reproduce signatures bit-for-bit (both engines ship
-    identical md5). Computed with array_min/transform — JVM-side, no
-    explode per seed. Pass a MATERIALIZED shingle column (project the
-    shingle array, then put an exchange between that projection and
-    this one) — otherwise CollapseProject re-inlines the tokenizer
-    into all num_hashes branches.
+    Standard double-hashing family: h_i(s) = h1(s) + i*h2(s) over two
+    xxhash64 hashes — 2 string hashes per shingle instead of
+    num_hashes, the rest is long arithmetic (~6x faster than a
+    per-seed string-hash family at 16 hashes). Exactness is checked
+    against the exact-Jaccard oracle op (ngram_jaccard_pairs), not by
+    reproducing signatures in SQL. Pass a MATERIALIZED shingle column
+    (project the shingle array, then put an exchange between that
+    projection and this one) — otherwise CollapseProject re-inlines
+    the tokenizer into every signature branch.
     """
+    # 32-bit masks keep h1 + i*h2 far from long overflow (ANSI mode
+    # throws on wraparound); 32-bit minhash resolution is ample for
+    # candidate generation — the exact-Jaccard verify stage restores
+    # full precision.
+    mask = F.lit((1 << 32) - 1).cast("long")
+    hashed = F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.xxhash64(s).bitwiseAND(mask).alias("h1"),
+            F.xxhash64(s, F.lit(1)).bitwiseAND(mask).alias("h2"),
+        ),
+    )
     sig = [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(s, F.lit(f":{i}")))))
+        F.array_min(
+            F.transform(hashed, lambda p, i=i: p["h1"] + F.lit(i).cast("long") * p["h2"])
+        )
         for i in range(num_hashes)
     ]
     return F.array(*sig)
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
-    """Array of band keys: md5 of the concatenation of each band's
-    signature slice. len(sig) must equal bands*rows."""
+    """Array of band keys: xxhash64 of each band's signature slice
+    (hashed directly as longs, no string concat). len(sig) must equal
+    bands*rows."""
     keys = []
     for b in range(bands):
         parts = [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
-        keys.append(F.md5(F.concat_ws("|", *parts)))
+        keys.append(F.xxhash64(*parts))
     return F.array(*keys)
 
 
@@ -116,15 +133,13 @@ def minhash_candidate_pairs(
     (band_idx, band_key) replaces the O(n²) all-pairs comparison.
     """
     rows = num_hashes // bands
-    # Project shingles once, then repartition: the exchange stops
-    # CollapseProject from re-inlining the tokenizer into each of the
-    # num_hashes signature branches, and spreads the md5 work.
-    sh = _spread(
-        df.select(
-            F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
-        ),
-        "doc",
+    # Repartition BEFORE computing shingles: with the exchange after
+    # the projection, the whole tokenize+hash pipeline runs serially
+    # on the (single-row-group) input partition. Codegen subexpression
+    # elimination shares the shingle subtree across signature branches.
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
     )
     sig = sh.select("doc", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
     banded = sig.select(
@@ -156,11 +171,8 @@ def jaccard_verify(
     """Exact word-shingle Jaccard on candidate pairs; keeps pairs with
     similarity ≥ threshold. Joins the (small) candidate set back to the
     corpus twice — cost O(|pairs|), independent of corpus size."""
-    sh = _spread(
-        df.select(
-            F.col(id_col).alias("__id"), word_shingles(F.col(text_col), shingle_n).alias("__sh")
-        ),
-        "__id",
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("__id"), word_shingles(F.col(text_col), shingle_n).alias("__sh")
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
