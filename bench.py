@@ -49,11 +49,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
 
-    # Warm the JVM/codegen paths once with the flagship so per-query
-    # timings aren't dominated by first-job startup.
-    specs["player_ranking_top10"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warmup pass: run every headline query once at the smallest scale
+    # factor first. This warms JIT (the regex/text paths are ~8x slower
+    # interpreted), codegen caches, and the Python Arrow-UDF workers,
+    # so the timed runs measure steady-state throughput rather than
+    # one-time JVM warmup.
+    warm_dir = sf_dir.rsplit("sf", 1)[0] + "sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        specs[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -89,6 +89,37 @@ def lang_id_expr(text: Column) -> Column:
     return best
 
 
+def text_stats_columns(text: Column) -> dict[str, Column]:
+    """All text-quality columns built from SHARED subtrees.
+
+    Calling token_count/stopword_ratio/quality_score separately builds
+    structurally-duplicated lambda subtrees that codegen's
+    subexpression elimination can't always unify (lambda-variable
+    identity), which bloats the generated code and its compile time
+    (~6s for the 5-column stats projection). Building every derived
+    column from the same Column objects keeps the tree small; runtime
+    semantics are identical to the individual helpers.
+    """
+    n_tok = token_count(text)
+    toks_lower = word_tokens(F.lower(text))
+    stops = [F.lit(w) for w in STOPWORDS]
+    stop_hits = F.size(F.filter(toks_lower, lambda t: t.isin(*stops)))
+    stop_ratio = stop_hits.cast("double") / F.greatest(n_tok, F.lit(1))
+    puncts = F.length(F.regexp_replace(text, r"[^.!?,;:'\"()\[\]-]", ""))
+    praw = puncts / F.greatest(F.length(text), F.lit(1))
+    length_term = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stop_ratio * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(praw * 10, F.lit(1.0))
+    quality = F.round((length_term + stop_term + punct_term) / 3.0, 6)
+    return {
+        "n_tokens": n_tok,
+        "stop_hits": stop_hits,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": praw,
+        "quality": quality,
+    }
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Normalization-stable exact-dup fingerprint: md5 of
     lowercased, whitespace-collapsed text."""

@@ -147,3 +147,46 @@ def prepare_performance(flat_matches: DataFrame) -> DataFrame:
     """Flat match rows -> performance frame with derived metrics
     (reference: spark_apps/advanced_analytics.py:70-89)."""
     return derived_performance_cols(flat_matches)
+
+
+def metric_points(perf: DataFrame) -> dict[str, DataFrame]:
+    """Per-message metric fan-out (SURVEY.md §2.10 X1): one flat match
+    frame -> the tag/field measurement families the reference's
+    collector emits row-at-a-time (reference:
+    monitoring/metrics_collector.py:56-152 — match_info :87-96,
+    player_performance_v2 :102-119, player_kda :128-136). Tags are the
+    low-cardinality dims; fields the numeric metrics; each family is
+    one column-pruned projection of the same scan."""
+    from pubg_data_pipeline_spark.functions.metrics import kda_expr
+
+    match_info = perf.select(
+        "match_id",
+        "game_mode",
+        "map_name",
+        "processed_at",
+        F.col("duration").alias("duration_seconds"),
+    )
+    performance = perf.select(
+        "player_name",
+        "match_id",
+        "game_mode",
+        "map_name",
+        "processed_at",
+        "kills",
+        "assists",
+        "damage_dealt",
+        "time_survived",
+        "headshot_ratio",
+        "win_place",
+    )
+    kda = perf.select(
+        "player_name",
+        "match_id",
+        "processed_at",
+        kda_expr(F.col("kills"), F.col("assists"), F.col("death_type")).alias("kda"),
+    )
+    return {
+        "match_info": match_info,
+        "player_performance": performance,
+        "player_kda": kda,
+    }

@@ -17,11 +17,7 @@ from pubg_data_pipeline_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     lang_id_expr,
-    marker_hits,
-    punct_ratio,
-    quality_score,
-    stopword_ratio,
-    token_count,
+    text_stats_columns,
 )
 from pubg_data_pipeline_spark.operators import dedup, similarity
 from pubg_data_pipeline_spark.plans.base import QuerySpec
@@ -59,14 +55,14 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token count, stopword hits, punctuation ratio, and
     composite quality score — all JVM-side Column expressions."""
     docs = _docs(spark, sf_dir)
-    text = F.col("text")
+    cols = text_stats_columns(F.col("text"))
     return docs.select(
         "doc_id",
-        token_count(text).alias("n_tokens"),
-        marker_hits(text, STOPWORDS).alias("stop_hits"),
-        F.round(stopword_ratio(text), 4).alias("stop_ratio"),
-        F.round(punct_ratio(text), 4).alias("punct_ratio"),
-        quality_score(text).alias("quality"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["stop_hits"].alias("stop_hits"),
+        F.round(cols["stop_ratio"], 4).alias("stop_ratio"),
+        F.round(cols["punct_ratio"], 4).alias("punct_ratio"),
+        cols["quality"].alias("quality"),
     )
 
 

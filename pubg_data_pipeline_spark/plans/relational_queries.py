@@ -438,8 +438,73 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
 
 
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped HAVING filter, then join the surviving
+    keys back to the dimension tables. The HAVING side reduces first
+    (partial agg + filter) so the join probes a small key set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    joined = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+    )
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round("total_qty", 2).alias("total_qty"),
+    )
+
+
+_LARGE_ORDERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def lineitem_flags_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the multiset variants (Catalyst
+    plans them as aggregated joins on per-row counts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_orderkey", "l_returnflag")
+    b = li.filter(F.col("l_discount") >= 0.05).select("l_orderkey", "l_returnflag")
+    inter = a.intersectAll(b).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_intersect")
+    )
+    exc = a.exceptAll(b).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_except"))
+    return inter.join(exc, "l_returnflag", "full")
+
+
+_INTERSECT_ALL_SQL = """
+WITH a AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity >= 25),
+     b AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_discount >= 0.05),
+     i AS (SELECT l_returnflag, COUNT(*) AS n_intersect
+           FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+     e AS (SELECT l_returnflag, COUNT(*) AS n_except
+           FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+SELECT COALESCE(i.l_returnflag, e.l_returnflag) AS l_returnflag, i.n_intersect, e.n_except
+FROM i FULL OUTER JOIN e ON i.l_returnflag = e.l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec("pricing_summary", pricing_summary, _PRICING_SQL, ("agg", "tpch")),
+    QuerySpec("large_quantity_orders", large_quantity_orders, _LARGE_ORDERS_SQL, ("join", "tpch")),
+    QuerySpec("lineitem_flags_intersect_all", lineitem_flags_intersect_all, _INTERSECT_ALL_SQL, ("setop",)),
     QuerySpec("top_revenue_nations", top_revenue_nations, _REVENUE_NATIONS_SQL, ("join",)),
     QuerySpec("shipping_priority", shipping_priority, _SHIPPING_SQL, ("join", "topk")),
     QuerySpec("customer_order_stats", customer_order_stats, _CUST_ORDERS_SQL, ("join",)),

@@ -1,3 +1,3 @@
-from pubg_data_pipeline_spark.streaming import app, etl, sinks, sources
+from pubg_data_pipeline_spark.streaming import app, etl, metrics, sinks, sources, stateful
 
-__all__ = ["app", "etl", "sinks", "sources"]
+__all__ = ["app", "etl", "metrics", "sinks", "sources", "stateful"]

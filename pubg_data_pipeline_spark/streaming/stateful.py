@@ -1,0 +1,136 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's only cross-batch state is an in-memory Python dict in
+its alert manager (reference: monitoring/alert_manager.py:83-94
+last-alert cache, :398-461 hourly counters) — state that dies with the
+process and never scales past one consumer. These operators rebuild
+that semantics on Spark's managed state store: partitioned by key,
+checkpointed, recoverable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("events_total", LongType()),
+        StructField("value_total", DoubleType()),
+        StructField("batches_seen", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("events_total", LongType()),
+        StructField("value_total", DoubleType()),
+        StructField("batches_seen", LongType()),
+    ]
+)
+
+
+def running_totals(
+    keyed: DataFrame, key_col: str = "key", value_col: str = "value"
+) -> DataFrame:
+    """Cross-batch running totals per key — the managed-state
+    replacement for the reference's process-local counters. Emits the
+    updated running row for every key seen in the micro-batch."""
+
+    def update(key, pdfs, state: GroupState):
+        events, total, batches = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            events += len(pdf)
+            total += float(pdf[value_col].sum())
+        batches += 1
+        state.update((events, total, batches))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "events_total": events,
+                    "value_total": total,
+                    "batches_seen": batches,
+                }
+            ]
+        )
+
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SUPPRESS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("emitted_ms", LongType()),
+        StructField("suppressed_since_last", LongType()),
+    ]
+)
+
+_SUPPRESS_STATE = StructType(
+    [StructField("last_emit_ms", LongType()), StructField("suppressed", LongType())]
+)
+
+
+def temporal_suppression(
+    keyed: DataFrame,
+    key_col: str = "key",
+    ts_ms_col: str = "ts_ms",
+    threshold_ms: int = 15 * 60 * 1000,
+) -> DataFrame:
+    """True cross-batch alert suppression: emit the first alert per
+    key, swallow repeats until ``threshold_ms`` has elapsed since the
+    last emission, counting what was suppressed.
+
+    This is the exact semantics of the reference's alert-dedup cache
+    (reference: monitoring/alert_manager.py:83-94, 15-min threshold at
+    :484) — stateful across micro-batches, unlike the bucket-windowed
+    batch approximation in plans/windowed_queries.py."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last_emit, suppressed = state.get if state.exists else (None, 0)
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values(ts_ms_col)
+        for ts in rows[ts_ms_col]:
+            ts = int(ts)
+            if last_emit is None or ts - last_emit >= threshold_ms:
+                out.append(
+                    {
+                        "key": key[0],
+                        "emitted_ms": ts,
+                        "suppressed_since_last": suppressed,
+                    }
+                )
+                last_emit, suppressed = ts, 0
+            else:
+                suppressed += 1
+        state.update((last_emit, suppressed))
+        if out:
+            yield pd.DataFrame(out)
+
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_SUPPRESS_SCHEMA,
+        stateStructType=_SUPPRESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,71 @@
+"""Storage-layout tests that assert PLAN SHAPE, not just results:
+partition pruning reaches the scan, bucketed joins drop the shuffle —
+the two storage levers that dominate 100 TB query cost."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.sources import io
+from pubg_data_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_date_partitioned_write_prunes(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").limit(2000)
+    path = str(tmp_path / "events_by_date")
+    io.write_partitioned_by_date(ev, path, "ts")
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("p_date") == "2024-01-03")
+    plan = _plan(one_day)
+    assert "PartitionFilters" in plan and "p_date" in plan
+    # pruned scan reads fewer files than a full scan would
+    assert one_day.count() > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        io.write_bucketed_table(
+            orders, "orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"]
+        )
+        io.write_bucketed_table(
+            li, "lineitem_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"]
+        )
+        a = spark.table("orders_b")
+        b = spark.table("lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = _plan(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # same join on the raw (unbucketed) tables DOES shuffle
+        raw = load_table(spark, SF_DIR, "orders").join(
+            load_table(spark, SF_DIR, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert "Exchange" in _plan(raw)
+        # and results agree
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucket_key_aggregation_skips_exchange(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        io.write_bucketed_table(li, "lineitem_b2", ["l_orderkey"], 8)
+        agg = spark.table("lineitem_b2").groupBy("l_orderkey").agg(F.sum("l_quantity"))
+        assert "Exchange" not in _plan(agg)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b2")

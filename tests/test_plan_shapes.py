@@ -1,0 +1,56 @@
+"""Physical-plan regression tests: the scale properties claimed in
+README/SURVEY must be visible in the executed plan, not just asserted
+in prose — broadcasts on dimension joins, two-phase top-k instead of
+single-partition sorts, partial aggregation, filter pushdown."""
+
+from __future__ import annotations
+
+import pytest
+
+from pubg_data_pipeline_spark.plans import all_specs
+from tests.conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(spark, "top_revenue_nations")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_ranking_avoids_global_sort(spark):
+    # rank<=10 over the aggregated frame compiles to a two-phase top-k
+    # (TakeOrderedAndProject / WindowGroupLimit), not a 1-partition sort
+    plan = _plan(spark, "player_ranking_top10")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+
+def test_recent_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "recent_events_top10")
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "pricing_summary")
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+    # partial (map-side) + final aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_zscore_broadcasts_stats_no_collect(spark):
+    plan = _plan(spark, "zscore_anomalies")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # high_k_events projects 2 columns; the events scan must not read value/ts
+    plan = _plan(spark, "high_k_events")
+    scan = plan.split("ReadSchema", 1)[1][:200]
+    assert "props" in scan and "event_id" in scan
+    assert "value" not in scan and "user_id" not in scan
