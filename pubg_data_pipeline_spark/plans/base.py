@@ -60,6 +60,7 @@ def all_specs() -> dict[str, QuerySpec]:
     __spark_entry__ can call it without side effects)."""
     from pubg_data_pipeline_spark.plans import (
         events_queries,
+        function_queries,
         llm_queries,
         relational_queries,
         sql_queries,
@@ -73,6 +74,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_queries,
         windowed_queries,
         sql_queries,
+        function_queries,
     ):
         for spec in module.SPECS:
             if spec.name in specs:

@@ -1,0 +1,179 @@
+"""Scalar-function + reshaping coverage: pivot, positional explode,
+top-N per group, string/date function kits, ordered collect_set.
+
+None of these appear in the reference (its expression surface is the
+arithmetic/CASE family of SURVEY.md §2.2) — they complete the
+standard relational toolkit a reference user would expect when moving
+real workloads onto the engine, each with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.plans.base import QuerySpec, exact_scaled, sql_scaled
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts, one column per event type
+    (explicit value list so the output schema is static — required for
+    both the oracle and any production sink)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token stream with positions for the first documents
+    (J2's positional variant — SURVEY.md §2.3 notes ours covers
+    explode_outer/posexplode for null-safety/position)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    )
+
+
+_TOKEN_POS_SQL = r"""
+SELECT doc_id, u['pos'] AS pos, u['tok'] AS token
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(arr)),
+                               i -> {'pos': i - 1, 'tok': arr[i]})) AS u
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+    FROM documents WHERE doc_id < 10
+  )
+)
+"""
+
+
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group: rank within partition, filter — compiles to
+    WindowGroupLimit (per-partition top-k, no global sort)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice", "c_name")
+    )
+
+
+_TOP3_SQL = """
+SELECT c_mktsegment, rn, o_orderkey, o_totalprice, c_name FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice, c_name,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+"""
+
+
+def customer_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function kit: upper/substring/length/LIKE/concat/replace."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.col("c_name").like("%1%").cast("int").alias("has_one"),
+        F.concat_ws("/", "c_mktsegment", "c_name").alias("seg_name"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+    )
+
+
+_STRINGS_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substring(c_name, 1, 8) AS name_prefix,
+       length(c_name) AS name_len,
+       CAST(c_name LIKE '%1%' AS INT) AS has_one,
+       concat_ws('/', c_mktsegment, c_name) AS seg_name,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked
+FROM customer WHERE c_custkey <= 500
+"""
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction kit: year/month/quarter/day aggregation.
+    (dayofweek is deliberately excluded: Spark counts 1=Sunday, DuckDB
+    0=Sunday — an engine-semantics difference the docs call out.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    agged = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(exact_scaled(F.col("o_totalprice"))).alias("cents"),
+        F.min(F.dayofmonth("o_orderdate")).alias("first_dom"),
+    )
+    return agged.select(
+        "yr", "qtr", "mo", "order_count", "first_dom",
+        F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+    )
+
+
+_MONTHS_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       COUNT(*) AS order_count,
+       CAST(MIN(day(o_orderdate)) AS INT) AS first_dom,
+       ROUND(CAST(SUM({sql_scaled('o_totalprice', 2)}) AS BIGINT) / 100.0, 2) AS total_value
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set with deterministic ordering, emitted as a joined
+    string (list-typed outputs hash differently across engines'
+    client layers, so the canonical form is a string)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_COLLECT_SQL = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+SPECS = [
+    QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_SQL, ("reshape",)),
+    QuerySpec("token_positions", token_positions, _TOKEN_POS_SQL, ("reshape", "llm")),
+    QuerySpec("top3_orders_per_segment", top3_orders_per_segment, _TOP3_SQL, ("window",)),
+    QuerySpec("customer_name_features", customer_name_features, _STRINGS_SQL, ("expr",)),
+    QuerySpec("orders_by_month", orders_by_month, _MONTHS_SQL, ("expr", "time")),
+    QuerySpec("user_event_type_sets", user_event_type_sets, _COLLECT_SQL, ("agg",)),
+]
