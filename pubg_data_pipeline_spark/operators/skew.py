@@ -1,0 +1,78 @@
+"""Skew-mitigation operators: salting for hot keys.
+
+AQE's skew-join handling (on in the session factory) covers sort-merge
+joins automatically; these explicit forms cover the cases AQE can't:
+skewed AGGREGATION keys (a hot grouping key funnels into one reducer)
+and broadcast-infeasible skewed joins. At 100 TB a handful of hot keys
+(a viral player, an empty-string device id) routinely dominates a
+stage — salting trades one extra partial aggregation / a small-side
+replication for even partition sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with a synthetic salt key.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max}. Phase 1 aggregates on (keys + salt) —
+    spreading each hot key over ``salt_buckets`` reducers — phase 2
+    merges the partials on the real keys. Semantically identical to a
+    direct groupBy for these decomposable aggregates (asserted in
+    tests/test_skew.py).
+    """
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    phase1_aggs, phase2_aggs = [], []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+            phase2_aggs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"__p_{out}"))
+            phase2_aggs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "min":
+            phase1_aggs.append(F.min(col).alias(f"__p_{out}"))
+            phase2_aggs.append(F.min(f"__p_{out}").alias(out))
+        elif fn == "max":
+            phase1_aggs.append(F.max(col).alias(f"__p_{out}"))
+            phase2_aggs.append(F.max(f"__p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    partial = salted.groupBy(*keys, "__salt").agg(*phase1_aggs)
+    return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join: salt the (big, skewed) left side with a random
+    bucket per row, replicate the (smaller) right side across all
+    buckets, join on (key, salt). Each hot key's rows spread over
+    ``salt_buckets`` tasks instead of one.
+
+    Right-side cost is ×salt_buckets — use only when the right side is
+    too big to broadcast but small enough to replicate; otherwise let
+    AQE skew-join handle it."""
+    left_salted = left.withColumn(
+        "__salt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)),
+    )
+    buckets = F.array(*[F.lit(i) for i in range(salt_buckets)])
+    right_replicated = right.withColumn("__salt", F.explode(buckets))
+    joined = left_salted.join(right_replicated, [key, "__salt"], how)
+    return joined.drop("__salt")

@@ -501,8 +501,139 @@ FROM i FULL OUTER JOIN e ON i.l_returnflag = e.l_returnflag
 """
 
 
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate filter + single global
+    aggregate — the canonical pushdown showcase (every predicate
+    reaches the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = exact_scaled(F.col("l_extendedprice") * F.col("l_discount"), 4)
+    agged = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(rev).alias("rev_e4"), F.count(F.lit(1)).alias("n_lines"))
+    return agged.select(
+        F.round(F.col("rev_e4") / 10000.0, 2).alias("revenue"), "n_lines"
+    )
+
+
+_FORECAST_SQL = f"""
+SELECT ROUND(CAST(SUM({sql_scaled('l_extendedprice * l_discount', 4)}) AS BIGINT) / 10000.0, 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE-inside-SUM)
+    aggregation — counts urgent vs non-urgent orders per returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    joined = li.filter(F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")).join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(urgent).alias("high_priority"),
+        F.sum(F.lit(1) - urgent).alias("low_priority"),
+    )
+
+
+_PRIORITY_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_priority,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_priority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio over a join — the
+    numerator is a filtered subset of the same aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = exact_scaled(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agged = joined.agg(
+        F.sum(promo).alias("promo_e4"), F.sum(rev).alias("total_e4")
+    )
+    return agged.select(
+        F.round(F.col("promo_e4") / 10000.0, 2).alias("promo_revenue"),
+        F.round(F.col("total_e4") / 10000.0, 2).alias("total_revenue"),
+        F.round(F.col("promo_e4") * 100.0 / F.col("total_e4"), 6).alias("promo_pct"),
+    )
+
+
+_PROMO_SQL = f"""
+SELECT ROUND(promo_e4 / 10000.0, 2) AS promo_revenue,
+       ROUND(total_e4 / 10000.0, 2) AS total_revenue,
+       ROUND(promo_e4 * 100.0 / total_e4, 6) AS promo_pct
+FROM (
+  SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN {_DISC_PRICE_E4} ELSE 0 END) AS BIGINT) AS promo_e4,
+         CAST(SUM({_DISC_PRICE_E4}) AS BIGINT) AS total_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+"""
+
+
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top-20
+    by rounded revenue (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = exact_scaled(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+    joined = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    agged = (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("rev_e4"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("rev_e4") / 10000.0, 2).alias("lost_revenue"),
+        )
+    )
+    return relational.top_k(
+        agged, [F.col("lost_revenue").desc(), F.col("c_custkey").asc()], 20
+    )
+
+
+_RETURNED_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       ROUND(CAST(SUM({_DISC_PRICE_E4}) AS BIGINT) / 10000.0, 2) AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+"""
+
+
 SPECS = [
     QuerySpec("pricing_summary", pricing_summary, _PRICING_SQL, ("agg", "tpch")),
+    QuerySpec("forecast_revenue", forecast_revenue, _FORECAST_SQL, ("agg", "tpch")),
+    QuerySpec("priority_shipping", priority_shipping, _PRIORITY_SQL, ("join", "tpch")),
+    QuerySpec("promo_revenue_share", promo_revenue_share, _PROMO_SQL, ("join", "tpch")),
+    QuerySpec("returned_items_report", returned_items_report, _RETURNED_SQL, ("join", "tpch", "topk")),
     QuerySpec("large_quantity_orders", large_quantity_orders, _LARGE_ORDERS_SQL, ("join", "tpch")),
     QuerySpec("lineitem_flags_intersect_all", lineitem_flags_intersect_all, _INTERSECT_ALL_SQL, ("setop",)),
     QuerySpec("top_revenue_nations", top_revenue_nations, _REVENUE_NATIONS_SQL, ("join",)),
