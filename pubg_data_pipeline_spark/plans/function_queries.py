@@ -54,7 +54,7 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKEN_POS_SQL = r"""
-SELECT doc_id, u['pos'] AS pos, u['tok'] AS token
+SELECT doc_id, CAST(u['pos'] AS INT) AS pos, u['tok'] AS token
 FROM (
   SELECT doc_id,
          unnest(list_transform(generate_series(1, len(arr)),

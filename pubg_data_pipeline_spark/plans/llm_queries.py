@@ -10,7 +10,7 @@ property tests in tests/test_llm_ops.py instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubg_data_pipeline_spark.functions.text import (
@@ -192,6 +192,70 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation flow in ONE Catalyst plan:
+    quality/language filter -> exact dedup (keep min doc_id per
+    fingerprint) -> per-language corpus stats. This is the end-to-end
+    shape a 100 TB curation run takes; each stage is the
+    oracle-checked operator used standalone elsewhere."""
+    docs = _docs(spark, sf_dir)
+    cols = text_stats_columns(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["quality"].alias("quality"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+    from pubg_data_pipeline_spark.functions.text import doc_fingerprint
+
+    w_fp = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy(F.col("doc_id").asc())
+    deduped = kept.withColumn("__rn", F.row_number().over(w_fp)).filter(F.col("__rn") == 1)
+    agged = deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+    )
+    return agged.select(
+        "lang",
+        "docs_kept",
+        "total_tokens",
+        F.round("min_quality", 6).alias("min_quality"),
+    )
+
+
+_CURATION_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         ROUND((LEAST((CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 100.0, 1.0)
+              + LEAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                      x -> x IN ({_STOPS}))) * 1.0
+                      / GREATEST(CASE WHEN trim(text) = '' THEN 0
+                                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) * 4, 1.0)
+              + (1.0 - LEAST(length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) * 1.0
+                             / GREATEST(length(text), 1) * 10, 1.0))) / 3.0, 6) AS quality
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 20
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT lang, COUNT(*) AS docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(MIN(quality), 6) AS min_quality
+FROM deduped GROUP BY lang
+"""
+
+
 # ----------------------- rows-only specs (no SQL-expressible oracle) ----
 
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,6 +285,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPECS = [
     QuerySpec("doc_exact_dedup", doc_exact_dedup, _EXACT_DEDUP_SQL, ("llm", "dedup")),
+    QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, _CURATION_SQL, ("llm", "pipeline")),
     QuerySpec("doc_text_stats", doc_text_stats, _TEXT_STATS_SQL, ("llm", "text")),
     QuerySpec("doc_lang_id", doc_lang_id, _LANG_SQL, ("llm", "text")),
     QuerySpec("doc_ngram_jaccard_pairs", doc_ngram_jaccard_pairs, _JACCARD_SQL, ("llm", "dedup")),

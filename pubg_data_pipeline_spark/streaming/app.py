@@ -96,3 +96,46 @@ def streaming_analytics(
         lambda df, eid: analytics_epoch(df, eid, publish),
         trigger_seconds,
     )
+
+
+def streaming_hourly_aggregates(
+    flat_match_stream: DataFrame,
+    event_time_col: str = "created_at",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native event-time replacement for the reference's per-batch
+    hourly aggregate (reference: spark_apps/advanced_analytics.py:
+    236-248, which buckets processing time with date_format inside
+    foreachBatch — windows there only ever see one micro-batch).
+
+    This is a true incremental windowed aggregation: tumbling 1-hour
+    event-time windows with a watermark bounding state; counts are
+    cross-batch correct and late rows beyond the watermark are dropped
+    (SURVEY.md §2.7 streaming-gaps scope). approx_count_distinct
+    stands in for countDistinct, which streaming aggregation cannot
+    maintain incrementally."""
+    from pyspark.sql import functions as F
+
+    return (
+        flat_match_stream.withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.window(event_time_col, "1 hour").alias("w"),
+            "game_mode",
+            "map_name",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_matches"),
+            F.approx_count_distinct("player_name").alias("unique_players"),
+            F.avg("kills").alias("avg_kills"),
+            F.avg("damage_dealt").alias("avg_damage"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "game_mode",
+            "map_name",
+            "total_matches",
+            "unique_players",
+            "avg_kills",
+            "avg_damage",
+        )
+    )

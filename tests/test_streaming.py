@@ -198,3 +198,36 @@ def test_streaming_analytics_epochs(spark, tmp_path, envelope_dir):
     }
     assert published["player_ranking"] >= 1
     assert published["hourly_aggregates"] >= 1
+
+
+def test_streaming_hourly_aggregates_event_time(spark, tmp_path, envelope_dir):
+    """Native windowed aggregation accumulates per event-time hour
+    ACROSS micro-batches (update mode shows the running state)."""
+    raw = sources.text_stream(spark, envelope_dir, max_files_per_trigger=1)
+    flat = etl.extract_matches(etl.parse_envelope(raw))
+    agged = app.streaming_hourly_aggregates(flat, "created_at")
+    q = (
+        agged.writeStream.format("memory")
+        .queryName("hourly_ev")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM hourly_ev ORDER BY hour_start, game_mode, map_name"
+    ).collect()
+    assert rows, "no windows emitted"
+    # all envelope matches carry created_at 2024-03-0X 12:00:00 -> noon windows
+    assert all(r["hour_start"].hour == 12 for r in rows)
+    # update mode re-emits a window each batch it changes; the final
+    # state per window is its max emission. The replayed envelope
+    # counts again (windowed agg does not dedup; watermarked_dedup
+    # upstream would remove it): 3 + 2 + 3 (replay) + 1 = 9 match rows.
+    finals: dict = {}
+    for r in rows:
+        key = (r["hour_start"], r["game_mode"], r["map_name"])
+        finals[key] = max(finals.get(key, 0), r["total_matches"])
+    assert sum(finals.values()) == 9
