@@ -39,6 +39,7 @@ HEADLINE = [
     "embedding_topk_cosine",
     "doc_multimodal_features",
     "user_value_median",
+    "corpus_curation_pipeline",
 ]
 
 

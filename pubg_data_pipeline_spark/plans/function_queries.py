@@ -169,8 +169,73 @@ FROM events GROUP BY user_id
 """
 
 
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    and DuckDB ``quantile_cont`` both use linear interpolation).
+
+    Scale note: exact percentile needs a per-group sort/collect of the
+    column; at 100 TB switch to ``approx_percentile`` (t-digest) — the
+    same trade as countDistinct vs approx_count_distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr(
+        "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))"
+    ).alias("pcts")
+    agged = orders.groupBy("o_orderstatus").agg(pct, F.count(F.lit(1)).alias("n_orders"))
+    return agged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round(F.element_at("pcts", 1), 4).alias("p25"),
+        F.round(F.element_at("pcts", 2), 4).alias("p50"),
+        F.round(F.element_at("pcts", 3), 4).alias("p75"),
+        F.round(F.element_at("pcts", 4), 4).alias("p90"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def value_k_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics kit: Pearson correlation + sample
+    covariance between the value metric and the props.k field, per
+    event type."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    agged = ev.groupBy("event_type").agg(
+        F.corr("value", "k").alias("c"),
+        F.covar_samp("value", "k").alias("cv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agged.select(
+        "event_type",
+        "n",
+        F.round("c", 4).alias("corr_value_k"),
+        F.round("cv", 2).alias("covar_value_k"),
+    )
+
+
+_CORR_SQL = r"""
+SELECT event_type, COUNT(*) AS n,
+       ROUND(corr(value, k), 4) AS corr_value_k,
+       ROUND(covar_samp(value, k), 2) AS covar_value_k
+FROM (SELECT event_type, value,
+             CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_SQL, ("reshape",)),
+    QuerySpec("order_price_percentiles", order_price_percentiles, _PERCENTILES_SQL, ("agg", "stats")),
+    QuerySpec("value_k_correlation", value_k_correlation, _CORR_SQL, ("agg", "stats")),
     QuerySpec("token_positions", token_positions, _TOKEN_POS_SQL, ("reshape", "llm")),
     QuerySpec("top3_orders_per_segment", top3_orders_per_segment, _TOP3_SQL, ("window",)),
     QuerySpec("customer_name_features", customer_name_features, _STRINGS_SQL, ("expr",)),
