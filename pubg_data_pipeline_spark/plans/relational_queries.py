@@ -501,6 +501,54 @@ FROM i FULL OUTER JOIN e ON i.l_returnflag = e.l_returnflag
 """
 
 
+def lineitem_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table windowing at full scale: per-order line sequence with
+    lag and a running revenue total over the 600k-row lineitem (the
+    window partitions on the natural key, so partitions stay small and
+    the sort is per-order, never global)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # the synthetic generator does NOT keep (orderkey, linenumber)
+    # unique — order on enough columns that any remaining ties are
+    # full duplicates of every output value
+    order = [
+        F.col("l_linenumber").asc(),
+        F.col("l_partkey").asc(),
+        F.col("l_suppkey").asc(),
+        F.col("l_quantity").asc(),
+        F.col("l_extendedprice").asc(),
+    ]
+    w = Window.partitionBy("l_orderkey").orderBy(*order)
+    cents = exact_scaled(F.col("l_extendedprice"))
+    running = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_cents"),
+        F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("line_seq"),
+    )
+    return running.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "prev_qty",
+        "line_seq",
+        F.round(F.col("run_cents") / 100.0, 2).alias("running_price"),
+    )
+
+
+_RUNNING_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       LAG(l_quantity) OVER w AS prev_qty,
+       CAST(COUNT(*) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS line_seq,
+       ROUND(CAST(SUM({sql_scaled('l_extendedprice', 2)})
+                  OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0, 2) AS running_price
+FROM lineitem WINDOW w AS (PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                    l_quantity, l_extendedprice)
+"""
+
+
 def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight multi-predicate filter + single global
     aggregate — the canonical pushdown showcase (every predicate
@@ -630,6 +678,7 @@ ORDER BY lost_revenue DESC, c_custkey LIMIT 20
 
 SPECS = [
     QuerySpec("pricing_summary", pricing_summary, _PRICING_SQL, ("agg", "tpch")),
+    QuerySpec("lineitem_running_totals", lineitem_running_totals, _RUNNING_SQL, ("window", "tpch")),
     QuerySpec("forecast_revenue", forecast_revenue, _FORECAST_SQL, ("agg", "tpch")),
     QuerySpec("priority_shipping", priority_shipping, _PRIORITY_SQL, ("join", "tpch")),
     QuerySpec("promo_revenue_share", promo_revenue_share, _PROMO_SQL, ("join", "tpch")),

@@ -277,6 +277,21 @@ FROM events GROUP BY user_id
 """
 
 
+def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch) next to the exact
+    interpolated percentiles of order_price_percentiles — the 100 TB
+    variant (exact percentile collects each group's column; the sketch
+    is mergeable map-side). Rows-only check: sketch algorithms differ
+    across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))").alias(
+            "approx_pcts"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def approx_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) next to the exact count — the
     100 TB variant of A6 (SURVEY.md §2.5: "at 100 TB offer
@@ -298,4 +313,5 @@ SPECS = [
     QuerySpec("doc_multimodal_features", doc_multimodal_features, _MULTIMODAL_SQL, ("llm", "pandas")),
     QuerySpec("user_value_median", user_value_median, _MEDIAN_SQL, ("pandas",)),
     QuerySpec("approx_unique_users", approx_unique_users, None, ("agg", "approx")),
+    QuerySpec("approx_order_percentiles", approx_order_percentiles, None, ("agg", "approx")),
 ]

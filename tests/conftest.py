@@ -30,10 +30,13 @@ TABLE_NAMES = (
 def spark():
     from pubg_data_pipeline_spark.session import get_spark
 
+    # Overridable so the oracle-parity suite can be swept under
+    # different parallelism (results must be partition-count-invariant
+    # by construction — see plans/base.py).
     s = get_spark(
         app_name="pubg-pipeline-tests",
-        master="local[8]",
-        shuffle_partitions=8,
+        master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")),
     )
     yield s
     s.stop()
