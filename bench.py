@@ -33,6 +33,7 @@ HEADLINE = [
     "order_priority_rollup",
     "user_sessions",
     "tumbling_10min_counts",
+    "lineitem_running_totals",
     "doc_text_stats",
     "doc_ngram_jaccard_pairs",
     "minhash_near_dups",

@@ -127,6 +127,38 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum symbols — the regex subset shared by Java regex and RE2 so
+# the DuckDB oracle counts identically.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (vs whitespace
+    token_count, which merges punctuation into words)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+ROLLING_HASH_BASE = 131
+ROLLING_HASH_MOD = 9_007_199_254_740_881  # largest prime < 2^53
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    ``acc = (acc*B + code(tok)) mod P`` with a per-token code from its
+    length and first character. Unlike the md5 set fingerprint this is
+    sequence-sensitive (token swaps change it), and the fold stays in
+    exact long arithmetic (acc < P < 2^53, acc*B < 2^63 — no ANSI
+    overflow), so DuckDB's list_reduce reproduces it bit-for-bit."""
+    toks = word_tokens(F.lower(text))
+    code = lambda t: F.length(t) * 256 + F.ascii(F.substring(t, 1, 1))  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * ROLLING_HASH_BASE + code(t), F.lit(ROLLING_HASH_MOD)),
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram shingles (distinct), for MinHash/Jaccard.
 

@@ -75,6 +75,59 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def ml_euclidean_lsh_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_hash_tables: int = 3,
+    bucket_length: float = 2.0,
+    max_distance: float = 8.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate nearest neighbors via Spark ML's
+    BucketedRandomProjectionLSH (Euclidean-distance LSH) — the
+    pyspark.ml path SURVEY.md §4.3 names for similarity at scale,
+    complementing the cosine sign-bit LSH above. Returns
+    (query_id, neighbor_id, dist, rank), nearest first.
+
+    Note the metric difference: this family buckets by Euclidean
+    distance; for unit-normalized embeddings the top-k agree with
+    cosine ranking (dist² = 2 - 2·cos)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df, name):
+        return df.select(
+            F.col(id_col).alias(name),
+            array_to_vector(as_double_vec(F.col(vec_col))).alias("features"),
+        )
+
+    c = prep(corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism), "neighbor_id")
+    q = prep(queries, "query_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    joined = model.approxSimilarityJoin(q, c, max_distance, distCol="dist")
+    scored = joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        "dist",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
 def lsh_bucketed_top_k(
     corpus: DataFrame,
     queries: DataFrame,

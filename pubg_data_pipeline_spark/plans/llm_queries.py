@@ -283,9 +283,106 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counts per document — the two
+    standard pre-tokenization counters for corpus budgeting."""
+    from pubg_data_pipeline_spark.functions.text import (
+        BPE_ISH_PATTERN,
+        regex_token_count,
+        text_stats_columns,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ws = text_stats_columns(F.col("text"))["n_tokens"]
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        regex_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+         AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-sensitive polynomial rolling-hash fingerprint per
+    document (functions.text.rolling_fingerprint), grouped to keeper +
+    group size like the md5 exact dedup."""
+    from pubg_data_pipeline_spark.functions.text import rolling_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy(rolling_fingerprint(F.col("text")).alias("fingerprint")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("group_size")
+    )
+
+
+_ROLLING_FP_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> CAST(length(t) * 256 + ascii(substr(t, 1, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 9007199254740881) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+FROM f GROUP BY fingerprint
+"""
+
+
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS (the dedup use of similarity,
+    vs the top-k search): all pairs with cosine >= threshold. Exact
+    all-pairs baseline — the LSH bucket join (embedding_lsh_topk /
+    minhash pattern) is the 100 TB path; this oracle-checked form pins
+    the semantics."""
+    from pubg_data_pipeline_spark.functions.vectors import as_double_vec, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "cos_sim", F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.45).select("id_a", "id_b", "cos_sim")
+
+
+_COSINE_DUPS_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45
+"""
+
+
+def embedding_ml_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-ML BucketedRandomProjectionLSH ANN variant (Euclidean);
+    rows-only check — random projections aren't SQL-reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ml_euclidean_lsh_top_k(emb, queries, k=5)
+
+
 SPECS = [
     QuerySpec("doc_exact_dedup", doc_exact_dedup, _EXACT_DEDUP_SQL, ("llm", "dedup")),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, _CURATION_SQL, ("llm", "pipeline")),
+    QuerySpec("doc_token_counts", doc_token_counts, _TOKEN_COUNTS_SQL, ("llm", "text")),
+    QuerySpec("doc_rolling_fingerprints", doc_rolling_fingerprints, _ROLLING_FP_SQL, ("llm", "text")),
+    QuerySpec("embedding_cosine_near_dups", embedding_cosine_near_dups, _COSINE_DUPS_SQL, ("llm", "dedup")),
     QuerySpec("doc_text_stats", doc_text_stats, _TEXT_STATS_SQL, ("llm", "text")),
     QuerySpec("doc_lang_id", doc_lang_id, _LANG_SQL, ("llm", "text")),
     QuerySpec("doc_ngram_jaccard_pairs", doc_ngram_jaccard_pairs, _JACCARD_SQL, ("llm", "dedup")),
@@ -293,4 +390,5 @@ SPECS = [
     QuerySpec("minhash_near_dups", minhash_near_dups, None, ("llm", "dedup")),
     QuerySpec("simhash_near_dups", simhash_near_dups, None, ("llm", "dedup")),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("llm", "ann")),
+    QuerySpec("embedding_ml_lsh_topk", embedding_ml_lsh_topk, None, ("llm", "ann")),
 ]

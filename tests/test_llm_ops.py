@@ -73,6 +73,21 @@ def test_lsh_topk_agrees_with_brute_force_on_same_bucket(spark):
     assert {r["neighbor_id"] for r in approx} <= {r["neighbor_id"] for r in exact} | {1}
 
 
+def test_ml_lsh_finds_duplicate_vector(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact twin of 0 -> distance 0
+        (2, [0.5, 0.5, 0.0, 0.0]),
+        (3, [0.0, 0.0, 5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0)
+    out = similarity.ml_euclidean_lsh_top_k(
+        df, queries, k=2, max_distance=10.0, bucket_length=1.0
+    ).collect()
+    assert out[0]["neighbor_id"] == 1 and out[0]["dist"] == pytest.approx(0.0)
+
+
 def test_fingerprint_normalizes_whitespace_and_case(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "HELLO\tWORLD"), (4, "other text")],
