@@ -60,10 +60,35 @@ def biggest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ("orders",), _CORR_SQL)
 
 
+# CTE + window + join in one statement, same text in both dialects.
+_CTE_SQL = """
+WITH seg_totals AS (
+  SELECT c_mktsegment, c_custkey, SUM(o_totalprice) AS spend
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_mktsegment, c_custkey
+), ranked AS (
+  SELECT c_mktsegment, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY ROUND(spend, 2) DESC, c_custkey) AS rn
+  FROM seg_totals
+)
+SELECT c_mktsegment, c_custkey, rn FROM ranked WHERE rn <= 5
+"""
+
+
+def top_spenders_per_segment_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + join + windowed rank in one SQL statement — identical
+    text runs on both engines (ordering on the rounded spend with a
+    key tie-break keeps rank selection deterministic; spend itself is
+    not projected, so float noise can't reach the hash)."""
+    return _sql(spark, sf_dir, ("customer", "orders"), _CTE_SQL)
+
+
 # The above SQL strings are valid in both dialects, so the oracle is
 # the identical text (plus a deterministic guard where needed).
 SPECS = [
     QuerySpec("above_avg_balance_customers", above_avg_balance_customers, _ABOVE_AVG_SQL, ("sql", "subquery")),
     QuerySpec("machinery_big_orders", machinery_big_orders, _IN_SUBQ_SQL, ("sql", "subquery")),
     QuerySpec("biggest_order_per_customer", biggest_order_per_customer, _CORR_SQL, ("sql", "subquery")),
+    QuerySpec("top_spenders_per_segment_cte", top_spenders_per_segment_cte, _CTE_SQL, ("sql", "window")),
 ]
