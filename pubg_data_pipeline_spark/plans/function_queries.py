@@ -169,6 +169,51 @@ FROM events GROUP BY user_id
 """
 
 
+def user_recent_value_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function kit over per-user event histories: ordered
+    collect -> slice of the 3 most recent -> element extraction and an
+    exact sum over the slice (the ArrayType handling the reference
+    only touches via match_ids/size — SURVEY.md §2.3 J3)."""
+    ev = load_table(spark, sf_dir, "events")
+    # structs sort lexicographically: (ts, event_id) gives event order
+    collected = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), exact_scaled(F.col("value")).alias("cents")))
+        ).alias("hist")
+    )
+    last3 = F.slice(F.reverse(F.col("hist")), 1, 3)
+    return collected.select(
+        "user_id",
+        F.size("hist").alias("n_events"),
+        F.element_at(last3, 1)["event_id"].alias("latest_event_id"),
+        F.round(
+            F.aggregate(
+                F.transform(last3, lambda s: s["cents"]),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / 100.0,
+            2,
+        ).alias("last3_value"),
+    )
+
+
+_ARRAYS_SQL = f"""
+WITH h AS (
+  SELECT user_id,
+         list_sort(list({{'ts': ts, 'event_id': event_id, 'cents': {sql_scaled('value', 2)}}})) AS hist
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT user_id, hist, list_reverse(hist)[1:3] AS last3 FROM h
+)
+SELECT user_id,
+       CAST(len(hist) AS INT) AS n_events,
+       last3[1]['event_id'] AS latest_event_id,
+       ROUND(list_sum(list_transform(last3, x -> x['cents'])) / 100.0, 2) AS last3_value
+FROM s
+"""
+
+
 def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile``
     and DuckDB ``quantile_cont`` both use linear interpolation).
@@ -234,6 +279,7 @@ GROUP BY event_type
 
 SPECS = [
     QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_SQL, ("reshape",)),
+    QuerySpec("user_recent_value_arrays", user_recent_value_arrays, _ARRAYS_SQL, ("agg", "array")),
     QuerySpec("order_price_percentiles", order_price_percentiles, _PERCENTILES_SQL, ("agg", "stats")),
     QuerySpec("value_k_correlation", value_k_correlation, _CORR_SQL, ("agg", "stats")),
     QuerySpec("token_positions", token_positions, _TOKEN_POS_SQL, ("reshape", "llm")),

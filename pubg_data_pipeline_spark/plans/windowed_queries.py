@@ -134,6 +134,49 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def user_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween window: per-event trailing-1-hour value sum per
+    user — a VALUE-range frame over epoch seconds (peers at the same
+    second are all included, so the result is order-independent),
+    completing the rangeBetween surface SURVEY.md §2.6 commits to.
+
+    Exact integer cents inside the frame keep the sum order-free."""
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.col("ts").cast("long")  # truncates to epoch seconds
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, 0)
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        F.sum(exact_scaled(F.col("value"))).over(w).alias("hr_cents"),
+        F.count(F.lit(1)).over(w).alias("events_in_hour"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "events_in_hour",
+        F.round(F.col("hr_cents") / 100.0, 2).alias("trailing_hour_value"),
+    )
+
+
+_RANGE_WINDOW_SQL = f"""
+SELECT event_id, user_id,
+       CAST(events_in_hour AS BIGINT) AS events_in_hour,
+       ROUND(hr_cents / 100.0, 2) AS trailing_hour_value
+FROM (
+  SELECT event_id, user_id,
+         SUM({_V_CENTS}) OVER w AS hr_cents,
+         COUNT(*) OVER w AS events_in_hour
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+)
+"""
+
+
 def alert_suppression_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the alert manager's temporal dedup: keep the first
     alert per (user, type) within each 15-minute bucket, reporting how
@@ -308,6 +351,7 @@ SPECS = [
     QuerySpec("tumbling_10min_counts", tumbling_10min_counts, _TUMBLING_SQL, ("time", "window")),
     QuerySpec("sliding_hourly_counts", sliding_hourly_counts, _SLIDING_SQL, ("time", "window")),
     QuerySpec("user_sessions", user_sessions, _SESSIONS_SQL, ("time", "window")),
+    QuerySpec("user_trailing_hour_sum", user_trailing_hour_sum, _RANGE_WINDOW_SQL, ("window", "time")),
     QuerySpec("alert_suppression_15min", alert_suppression_15min, _SUPPRESSION_SQL, ("dedup", "time")),
     QuerySpec("status_priority_grouping_sets", status_priority_grouping_sets, _GROUPING_SETS_SQL, ("agg",)),
     QuerySpec("doc_multimodal_features", doc_multimodal_features, _MULTIMODAL_SQL, ("llm", "pandas")),
