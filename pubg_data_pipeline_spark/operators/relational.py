@@ -83,6 +83,38 @@ def cube_agg(df: DataFrame, group_cols: Sequence[str], aggs: Sequence[Column]) -
     return df.cube(*group_cols).agg(*aggs)
 
 
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_key: str | None = None,
+) -> DataFrame:
+    """MERGE/upsert semantics as a pure DataFrame op: rows from
+    ``updates`` replace same-key rows in ``base``; unmatched rows from
+    both sides survive. With ``order_key``, duplicate keys inside
+    ``updates`` resolve to the row with the max order value first
+    (deterministic last-writer-wins).
+
+    This is the snapshot-refresh shape of the reference's player table
+    (each poll re-emits the player's current stats — reference:
+    producer/producer.py:73-105) expressed set-wise; on Delta/Iceberg
+    storage this becomes a storage-level MERGE, but the row semantics
+    are exactly this plan. Implementation is anti-join + union — both
+    sides shuffle once on the key; at 100 TB bucket the base table on
+    the key so only ``updates`` shuffles."""
+    if order_key is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(order_key).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    survivors = base.join(updates.select(*keys), list(keys), "left_anti")
+    return survivors.unionByName(updates)
+
+
 def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     """Global top-k via orderBy().limit(k).
 
