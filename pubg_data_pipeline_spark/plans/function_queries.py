@@ -214,6 +214,70 @@ FROM s
 """
 
 
+def decimal_revenue_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType money aggregation (SURVEY.md §1.2: the engine adds
+    DecimalType for money-like columns): prices cast to DECIMAL(18,2)
+    at the scan, summed exactly in decimal, emitted as exact doubles.
+    The alternative to the scaled-integer encoding used elsewhere —
+    same order-independence, expressed through the type system."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    agged = orders.groupBy("o_orderstatus").agg(
+        F.sum(dec).alias("total_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(dec).alias("max_dec"),
+    )
+    return agged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_dec").cast("double").alias("total_price"),
+        F.col("max_dec").cast("double").alias("max_price"),
+    )
+
+
+_DECIMAL_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType where natural (SURVEY.md §1.2): per-user map of
+    event_type -> exact value cents, built with map_from_entries and
+    consumed with element_at lookups (nulls for absent types)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.sum(exact_scaled(F.col("value"))).alias("cents")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cents")))
+        ).alias("by_type")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("by_type").alias("n_types"),
+        F.round(F.element_at("by_type", F.lit("purchase")) / 100.0, 2).alias("purchase_value"),
+        F.round(F.element_at("by_type", F.lit("error")) / 100.0, 2).alias("error_value"),
+    )
+
+
+_MAP_SQL = f"""
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_types,
+       ROUND(CAST(MAX(CASE WHEN event_type = 'purchase' THEN cents END) AS BIGINT) / 100.0, 2)
+         AS purchase_value,
+       ROUND(CAST(MAX(CASE WHEN event_type = 'error' THEN cents END) AS BIGINT) / 100.0, 2)
+         AS error_value
+FROM (
+  SELECT user_id, event_type, SUM({sql_scaled('value', 2)}) AS cents
+  FROM events GROUP BY user_id, event_type
+) GROUP BY user_id
+"""
+
+
 def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile``
     and DuckDB ``quantile_cont`` both use linear interpolation).
@@ -280,6 +344,8 @@ GROUP BY event_type
 SPECS = [
     QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_SQL, ("reshape",)),
     QuerySpec("user_recent_value_arrays", user_recent_value_arrays, _ARRAYS_SQL, ("agg", "array")),
+    QuerySpec("decimal_revenue_summary", decimal_revenue_summary, _DECIMAL_SQL, ("agg", "types")),
+    QuerySpec("user_type_value_map", user_type_value_map, _MAP_SQL, ("agg", "types")),
     QuerySpec("order_price_percentiles", order_price_percentiles, _PERCENTILES_SQL, ("agg", "stats")),
     QuerySpec("value_k_correlation", value_k_correlation, _CORR_SQL, ("agg", "stats")),
     QuerySpec("token_positions", token_positions, _TOKEN_POS_SQL, ("reshape", "llm")),

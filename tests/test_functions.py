@@ -94,6 +94,24 @@ def test_exact_dedup_keeps_min_order_key(spark):
     assert {(r["key"], r["event_id"]) for r in out} == {("a", 1), ("b", 7)}
 
 
+def test_explode_outer_preserves_empty_shingle_docs(spark):
+    """explode_outer keeps rows whose shingle array is empty (docs
+    shorter than the shingle width) — the null-safety variant
+    SURVEY.md §2.3 J2 commits to."""
+    from pubg_data_pipeline_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "three word doc here")], "doc_id int, text string"
+    )
+    sh = df.select("doc_id", F.explode_outer(word_shingles(F.col("text"))).alias("s"))
+    rows = [(r["doc_id"], r["s"]) for r in sh.collect()]
+    assert (1, None) in rows  # short doc survives with null shingle
+    assert sum(1 for d, _ in rows if d == 2) == 2  # 4 tokens -> 2 shingles
+    # plain explode would drop doc 1 entirely
+    plain = df.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+    assert {r["doc_id"] for r in plain.collect()} == {2}
+
+
 def test_derived_performance_null_filter(spark):
     df = spark.createDataFrame(
         [
