@@ -369,6 +369,65 @@ WHERE ROUND(list_dot_product(a.e, b.e)
 """
 
 
+def doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: documents ⋈ embeddings on id — per-language
+    corpus profile combining text quality with embedding geometry
+    (vector norms via the sequential-fold dot product, exact doubles)."""
+    from pubg_data_pipeline_spark.functions.vectors import as_double_vec, dot
+
+    docs = _docs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = text_stats_columns(F.col("text"))
+    scored = docs.select("doc_id", "lang", cols["quality"].alias("quality"))
+    vecs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(F.sqrt(dot(as_double_vec(F.col("embedding")), as_double_vec(F.col("embedding")))), 6).alias("vnorm"),
+        "label",
+    )
+    joined = scored.join(vecs, "doc_id")
+    agged = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("quality").alias("min_q"),
+        F.min("vnorm").alias("min_norm"),
+        F.max("vnorm").alias("max_norm"),
+    )
+    return agged.select(
+        "lang",
+        "n_docs",
+        "n_labels",
+        F.round("min_q", 6).alias("min_quality"),
+        "min_norm",
+        "max_norm",
+    )
+
+
+_DOC_EMB_SQL = rf"""
+WITH q AS (
+  SELECT doc_id, lang,
+         ROUND((LEAST((CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 100.0, 1.0)
+              + LEAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                      x -> x IN ({_STOPS}))) * 1.0
+                      / GREATEST(CASE WHEN trim(text) = '' THEN 0
+                                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) * 4, 1.0)
+              + (1.0 - LEAST(length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) * 1.0
+                             / GREATEST(length(text), 1) * 10, 1.0))) / 3.0, 6) AS quality
+  FROM documents
+), v AS (
+  SELECT vec_id AS doc_id,
+         ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS vnorm,
+         label
+  FROM embeddings
+)
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT label) AS n_labels,
+       ROUND(MIN(quality), 6) AS min_quality,
+       MIN(vnorm) AS min_norm, MAX(vnorm) AS max_norm
+FROM q JOIN v USING (doc_id)
+GROUP BY lang
+"""
+
+
 def embedding_ml_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-ML BucketedRandomProjectionLSH ANN variant (Euclidean);
     rows-only check — random projections aren't SQL-reproducible."""
@@ -383,6 +442,7 @@ SPECS = [
     QuerySpec("doc_token_counts", doc_token_counts, _TOKEN_COUNTS_SQL, ("llm", "text")),
     QuerySpec("doc_rolling_fingerprints", doc_rolling_fingerprints, _ROLLING_FP_SQL, ("llm", "text")),
     QuerySpec("embedding_cosine_near_dups", embedding_cosine_near_dups, _COSINE_DUPS_SQL, ("llm", "dedup")),
+    QuerySpec("doc_embedding_profile", doc_embedding_profile, _DOC_EMB_SQL, ("llm", "join")),
     QuerySpec("doc_text_stats", doc_text_stats, _TEXT_STATS_SQL, ("llm", "text")),
     QuerySpec("doc_lang_id", doc_lang_id, _LANG_SQL, ("llm", "text")),
     QuerySpec("doc_ngram_jaccard_pairs", doc_ngram_jaccard_pairs, _JACCARD_SQL, ("llm", "dedup")),

@@ -549,6 +549,42 @@ FROM lineitem WINDOW w AS (PARTITION BY l_orderkey
 """
 
 
+def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side star join (lineitem ⋈ supplier ⋈ nation): the
+    procurement mirror of the customer-side revenue rollup — exercises
+    the supplier dimension end of the schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = exact_scaled(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+    joined = li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey).join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    )
+    agged = joined.groupBy("n_name").agg(
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("line_count"),
+        F.sum(rev).alias("rev_e4"),
+    )
+    return agged.select(
+        "n_name",
+        "n_suppliers",
+        "line_count",
+        F.round(F.col("rev_e4") / 10000.0, 2).alias("supply_revenue"),
+    )
+
+
+_SUPPLIER_SQL = f"""
+SELECT n_name,
+       COUNT(DISTINCT s_suppkey) AS n_suppliers,
+       COUNT(*) AS line_count,
+       ROUND(CAST(SUM({_DISC_PRICE_E4}) AS BIGINT) / 10000.0, 2) AS supply_revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight multi-predicate filter + single global
     aggregate — the canonical pushdown showcase (every predicate
@@ -680,6 +716,7 @@ SPECS = [
     QuerySpec("pricing_summary", pricing_summary, _PRICING_SQL, ("agg", "tpch")),
     QuerySpec("lineitem_running_totals", lineitem_running_totals, _RUNNING_SQL, ("window", "tpch")),
     QuerySpec("forecast_revenue", forecast_revenue, _FORECAST_SQL, ("agg", "tpch")),
+    QuerySpec("supplier_nation_revenue", supplier_nation_revenue, _SUPPLIER_SQL, ("join",)),
     QuerySpec("priority_shipping", priority_shipping, _PRIORITY_SQL, ("join", "tpch")),
     QuerySpec("promo_revenue_share", promo_revenue_share, _PROMO_SQL, ("join", "tpch")),
     QuerySpec("returned_items_report", returned_items_report, _RETURNED_SQL, ("join", "tpch", "topk")),
