@@ -57,3 +57,32 @@ def write_bucketed_table(
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV batch source. Schema-on-read like every other source in the
+    engine: pass an explicit DDL schema in production (inference scans
+    the data twice and locks in whatever the sample implied); PERMISSIVE
+    mode degrades malformed rows to nulls, matching the JSON path."""
+    reader = spark.read.option("header", str(header).lower()).option("mode", mode)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None, multiline: bool = False
+) -> DataFrame:
+    """JSON-lines batch source (set multiline for one-document files)."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

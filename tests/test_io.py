@@ -59,6 +59,20 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_csv_json_roundtrip(spark, tmp_path):
+    csv = tmp_path / "t.csv"
+    csv.write_text("k,v\na,1\nb,2\nnot-a-number-row,xyz")
+    df = io.read_csv(spark, str(csv), schema="k string, v int")
+    rows = {(r["k"], r["v"]) for r in df.collect()}
+    assert ("a", 1) in rows and ("b", 2) in rows
+    assert ("not-a-number-row", None) in rows  # PERMISSIVE null, no crash
+
+    jl = tmp_path / "t.jsonl"
+    jl.write_text('{"k": "a", "v": 1}\n{"k": "b", "v": 2}')
+    jdf = io.read_json(spark, str(jl), schema="k string, v long")
+    assert jdf.count() == 2
+
+
 def test_bucket_key_aggregation_skips_exchange(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
