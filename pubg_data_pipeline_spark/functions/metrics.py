@@ -50,33 +50,40 @@ def severity_expr(kills: Column, damage: Column, max_zscore: Column) -> Column:
 
 def ranking_score_expr(
     avg_kills: Column,
-    win_rate: Column,
+    avg_assists: Column,
     avg_damage: Column,
-    top10_rate: Column,
     avg_survival: Column,
+    win_rate: Column,
+    top10_rate: Column,
+    avg_headshot_ratio: Column,
 ) -> Column:
-    """Weighted player-ranking polynomial.
+    """Weighted player-ranking polynomial, exactly the reference's
+    weights (verified against source).
 
-    reference: spark_apps/advanced_analytics.py:121-129 —
-    ``kills*0.3 + win_rate*100*0.25 + damage*0.01*0.2 +
-    top10_rate*100*0.15 + survival/60*0.1``.
+    reference: spark_apps/advanced_analytics.py:122-130 —
+    ``avg_kills*10 + avg_assists*5 + avg_damage*0.01 +
+    avg_survival*0.005 + win_rate*100 + top10_rate*50 +
+    avg_headshot_ratio*30``.
     """
     return (
-        avg_kills * 0.3
-        + win_rate * 100 * 0.25
-        + avg_damage * 0.01 * 0.2
-        + top10_rate * 100 * 0.15
-        + avg_survival / 60.0 * 0.1
+        avg_kills * 10
+        + avg_assists * 5
+        + avg_damage * 0.01
+        + avg_survival * 0.005
+        + win_rate * 100
+        + top10_rate * 50
+        + avg_headshot_ratio * 30
     )
 
 
-def difficulty_score_expr(avg_kills: Column, avg_survival_minutes: Column) -> Column:
-    """Map-difficulty formula.
+def difficulty_score_expr(avg_kills: Column, avg_survival: Column) -> Column:
+    """Map-difficulty formula over RAW average survival seconds
+    (the reference does not convert to minutes here).
 
-    reference: spark_apps/advanced_analytics.py:260-262 —
+    reference: spark_apps/advanced_analytics.py:262-264 —
     ``(1/(avg_kills+1)) * (1/(avg_survival+1)) * 100``.
     """
-    return (1.0 / (avg_kills + 1)) * (1.0 / (avg_survival_minutes + 1)) * 100
+    return (1.0 / (avg_kills + 1)) * (1.0 / (avg_survival + 1)) * 100
 
 
 def derived_performance_cols(df: DataFrame) -> DataFrame:

@@ -38,6 +38,8 @@ def player_ranking(perf: DataFrame, top_k: int = 10) -> DataFrame:
         F.avg("headshot_ratio").alias("avg_headshot_ratio"),
         F.sum("is_winner").alias("wins"),
         F.sum("top10_finish").alias("top10_finishes"),
+        F.avg("ka_score").alias("avg_ka_score"),
+        F.avg("dps").alias("avg_dps"),
     )
     stats = stats.withColumn(
         "win_rate", F.col("wins") / F.col("matches_played")
@@ -46,10 +48,12 @@ def player_ranking(perf: DataFrame, top_k: int = 10) -> DataFrame:
         "ranking_score",
         ranking_score_expr(
             F.col("avg_kills"),
-            F.col("win_rate"),
+            F.col("avg_assists"),
             F.col("avg_damage"),
-            F.col("top10_rate"),
             F.col("avg_survival"),
+            F.col("win_rate"),
+            F.col("top10_rate"),
+            F.col("avg_headshot_ratio"),
         ),
     )
     ranked = windows.ranked(
@@ -113,13 +117,13 @@ def map_difficulty(perf: DataFrame) -> DataFrame:
     :260-262, sort :263)."""
     agged = perf.groupBy("map_name").agg(
         F.avg("kills").alias("avg_kills"),
-        F.avg(F.col("time_survived") / 60.0).alias("avg_survival_minutes"),
+        F.avg("time_survived").alias("avg_survival"),
         F.avg("damage_dealt").alias("avg_damage"),
         F.count(F.lit(1)).alias("total_matches"),
     )
     return agged.withColumn(
         "difficulty_score",
-        difficulty_score_expr(F.col("avg_kills"), F.col("avg_survival_minutes")),
+        difficulty_score_expr(F.col("avg_kills"), F.col("avg_survival")),
     ).orderBy(F.col("difficulty_score").desc())
 
 

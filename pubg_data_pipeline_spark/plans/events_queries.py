@@ -46,19 +46,25 @@ def player_ranking_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     stats = (
         _perf(spark, sf_dir)
+        .withColumn("a", F.expr("k div 2"))  # assists analog
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("games_played"),
             F.sum("k").alias("k_sum"),
+            F.sum("a").alias("a_sum"),
             F.sum(exact_scaled(F.col("value"))).alias("v_cents"),
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("wins"),
             F.sum(F.when(F.col("value") >= 150.0, 1).otherwise(0)).alias("top10"),
         )
     )
+    # events-analog metric mapping (FIXTURES.md §B): kills=k,
+    # assists=k div 2, damage=value, survival=value, headshot=k/100
     avg_kills = F.col("k_sum") * 1.0 / F.col("games_played")
+    avg_assists = F.col("a_sum") * 1.0 / F.col("games_played")
     avg_damage = F.col("v_cents") / 100.0 / F.col("games_played")
     win_rate = F.col("wins") * 1.0 / F.col("games_played")
     top10_rate = F.col("top10") * 1.0 / F.col("games_played")
+    avg_headshot = F.col("k_sum") * 1.0 / F.col("games_played") / 100.0
     scored = stats.select(
         "user_id",
         "games_played",
@@ -67,7 +73,9 @@ def player_ranking_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_damage, 4).alias("avg_damage"),
         F.round(win_rate, 4).alias("win_rate"),
         F.round(
-            ranking_score_expr(avg_kills, win_rate, avg_damage, top10_rate, avg_damage),
+            ranking_score_expr(
+                avg_kills, avg_assists, avg_damage, avg_damage, win_rate, top10_rate, avg_headshot
+            ),
             4,
         ).alias("ranking_score"),
     )
@@ -79,12 +87,15 @@ def player_ranking_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANKING_SQL = f"""
 WITH perf AS (
-  SELECT user_id, CAST(regexp_extract(props, '{_K}', 1) AS INT) AS k, value, event_type
+  SELECT user_id, CAST(regexp_extract(props, '{_K}', 1) AS INT) AS k,
+         CAST(regexp_extract(props, '{_K}', 1) AS INT) // 2 AS a,
+         value, event_type
   FROM events
 ), stats AS (
   SELECT user_id,
          COUNT(*) AS games_played,
          CAST(SUM(k) AS BIGINT) AS k_sum,
+         CAST(SUM(a) AS BIGINT) AS a_sum,
          CAST(SUM({_V_CENTS}) AS BIGINT) AS v_cents,
          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
          CAST(SUM(CASE WHEN value >= 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS top10
@@ -94,11 +105,13 @@ WITH perf AS (
          ROUND(k_sum * 1.0 / games_played, 4) AS avg_kills,
          ROUND(v_cents / 100.0 / games_played, 4) AS avg_damage,
          ROUND(wins * 1.0 / games_played, 4) AS win_rate,
-         ROUND((k_sum * 1.0 / games_played) * 0.3
-             + (wins * 1.0 / games_played) * 100 * 0.25
-             + (v_cents / 100.0 / games_played) * 0.01 * 0.2
-             + (top10 * 1.0 / games_played) * 100 * 0.15
-             + (v_cents / 100.0 / games_played) / 60.0 * 0.1, 4) AS ranking_score
+         ROUND((k_sum * 1.0 / games_played) * 10
+             + (a_sum * 1.0 / games_played) * 5
+             + (v_cents / 100.0 / games_played) * 0.01
+             + (v_cents / 100.0 / games_played) * 0.005
+             + (wins * 1.0 / games_played) * 100
+             + (top10 * 1.0 / games_played) * 50
+             + (k_sum * 1.0 / games_played / 100.0) * 30, 4) AS ranking_score
   FROM stats
 )
 SELECT * FROM (

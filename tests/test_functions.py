@@ -54,14 +54,19 @@ def test_kda_alive_special_case(spark):
 
 
 def test_ranking_score_polynomial(spark):
-    df = spark.createDataFrame([(4.0, 0.5, 1000.0, 0.8, 1200.0)], "k double, w double, d double, t double, s double")
+    # reference weights (spark_apps/advanced_analytics.py:122-130):
+    # kills*10 + assists*5 + damage*0.01 + survival*0.005
+    # + win_rate*100 + top10_rate*50 + headshot_ratio*30
+    df = spark.createDataFrame(
+        [(4.0, 2.0, 1000.0, 1200.0, 0.5, 0.8, 0.25)],
+        "k double, a double, d double, s double, w double, t double, h double",
+    )
     out = df.select(
         metrics.ranking_score_expr(
-            F.col("k"), F.col("w"), F.col("d"), F.col("t"), F.col("s")
+            F.col("k"), F.col("a"), F.col("d"), F.col("s"), F.col("w"), F.col("t"), F.col("h")
         ).alias("score")
     ).first()["score"]
-    # 4*0.3 + 0.5*100*0.25 + 1000*0.01*0.2 + 0.8*100*0.15 + 1200/60*0.1
-    assert out == pytest.approx(1.2 + 12.5 + 2.0 + 12.0 + 2.0)
+    assert out == pytest.approx(40.0 + 10.0 + 10.0 + 6.0 + 50.0 + 40.0 + 7.5)
 
 
 def test_difficulty_score(spark):
