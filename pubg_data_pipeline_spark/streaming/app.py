@@ -36,7 +36,10 @@ def streaming_etl(
         etl.extract_players(parsed), ["account_id"], "data_collected_at", watermark
     )
     matches = etl.watermarked_dedup(
-        etl.extract_matches(parsed), ["match_id", "account_id"], "created_at", watermark
+        etl.extract_matches_table(parsed),
+        ["match_id", "account_id"],
+        "match_created_at",
+        watermark,
     )
     return [
         sinks.parquet_sink(

@@ -32,24 +32,30 @@ def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
 
 def extract_players(parsed: DataFrame) -> DataFrame:
-    """Player-snapshot projection (16 cols + processing timestamp).
+    """Player-snapshot projection with the reference sink table's exact
+    column names (stats_json/rank_json aliases at :163-164).
 
     reference: spark_apps/pubg_streaming.py:148-177; engine upgrade:
-    string timestamps parsed to TimestampType (SURVEY.md §1.2)."""
+    ``data_collected_at`` parsed to TimestampType (SURVEY.md §1.2 —
+    the reference stores it as a string)."""
     p = F.col("player")
     return parsed.filter(p.isNotNull()).select(
         p["player_name"].alias("player_name"),
         p["account_id"].alias("account_id"),
         p["shard_id"].alias("shard_id"),
+        p["title_id"].alias("title_id"),
+        p["patch_version"].alias("patch_version"),
         p["ban_type"].alias("ban_type"),
         p["clan_id"].alias("clan_id"),
-        p["stats"].alias("stats"),
-        p["rank"].alias("rank"),
+        p["stats"].alias("stats_json"),
+        p["rank"].alias("rank_json"),
         p["total_matches_count"].alias("total_matches_count"),
         F.size(p["match_ids"]).alias("recent_matches_count"),
         F.to_timestamp(p["data_collected_at"], "yyyy-MM-dd HH:mm:ss").alias(
             "data_collected_at"
         ),
+        p["account_created_at"].alias("account_created_at"),
+        p["account_updated_at"].alias("account_updated_at"),
         F.current_timestamp().alias("processed_at"),
     )
 
@@ -90,6 +96,58 @@ def extract_matches(parsed: DataFrame) -> DataFrame:
         perf["ride_distance"].alias("ride_distance"),
         perf["win_place"].alias("win_place"),
         perf["weapons_acquired"].alias("weapons_acquired"),
+        F.current_timestamp().alias("processed_at"),
+    )
+
+
+def extract_matches_table(parsed: DataFrame) -> DataFrame:
+    """The ETL SINK shape of the flat match table, with the reference's
+    exact column aliases (``player_``-prefixed performance columns,
+    duration_seconds/minutes, teams/players_count, match_created_at).
+
+    reference: spark_apps/pubg_streaming.py:180-233. Distinct from
+    extract_matches, which produces the unprefixed ANALYTICS shape the
+    foreachBatch app consumes (the reference's two apps genuinely use
+    two different flat schemas — advanced_analytics.py:67-81
+    star-expands player_performance unprefixed)."""
+    exploded = parsed.filter(F.col("matches").isNotNull()).select(
+        F.col("player.player_name").alias("player_name"),
+        F.col("player.account_id").alias("account_id"),
+        F.explode("matches").alias("match"),
+    )
+    m = F.col("match")
+    perf = m["player_performance"]
+    return exploded.select(
+        "player_name",
+        "account_id",
+        m["match_id"].alias("match_id"),
+        m["type"].alias("match_type"),
+        m["game_mode"].alias("game_mode"),
+        m["map_name"].alias("map_name"),
+        m["duration"].alias("duration_seconds"),
+        (m["duration"] / 60.0).alias("duration_minutes"),
+        m["season_state"].alias("season_state"),
+        m["is_custom_match"].alias("is_custom_match"),
+        m["rosters_count"].alias("teams_count"),
+        m["participants_count"].alias("players_count"),
+        m["assets_count"].alias("assets_count"),
+        F.to_timestamp(m["created_at"]).alias("match_created_at"),
+        m["patch_version"].alias("patch_version"),
+        m["telemetry_url"].alias("telemetry_url"),
+        perf["kills"].alias("player_kills"),
+        perf["assists"].alias("player_assists"),
+        perf["headshot_kills"].alias("player_headshot_kills"),
+        perf["damage_dealt"].alias("player_damage_dealt"),
+        perf["time_survived"].alias("player_time_survived"),
+        perf["heals"].alias("player_heals"),
+        perf["boosts"].alias("player_boosts"),
+        perf["walk_distance"].alias("player_walk_distance"),
+        perf["ride_distance"].alias("player_ride_distance"),
+        perf["win_place"].alias("player_win_place"),
+        perf["kill_place"].alias("player_kill_place"),
+        perf["longest_kill"].alias("player_longest_kill"),
+        perf["weapons_acquired"].alias("player_weapons_acquired"),
+        perf["death_type"].alias("player_death_type"),
         F.current_timestamp().alias("processed_at"),
     )
 

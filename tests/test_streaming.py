@@ -148,12 +148,14 @@ def test_streaming_etl_end_to_end(spark, tmp_path, envelope_dir):
         ("m4", "acct_2"),
         ("m5", "acct_1"),
     }
-    # nested performance was flattened and typed
+    # nested performance was flattened and typed, with the reference
+    # sink table's exact column names (player_-prefixed)
     row = matches.filter(
         (F.col("match_id") == "m2") & (F.col("account_id") == "acct_1")
     ).first()
-    assert row["kills"] == 4 and row["damage_dealt"] == 500.0
+    assert row["player_kills"] == 4 and row["player_damage_dealt"] == 500.0
     assert row["duration_minutes"] == pytest.approx(26.0)
+    assert row["match_type"] == "match" and row["teams_count"] == 16
 
 
 def test_malformed_messages_become_null_rows(spark, tmp_path):
