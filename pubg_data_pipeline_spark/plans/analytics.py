@@ -153,44 +153,62 @@ def prepare_performance(flat_matches: DataFrame) -> DataFrame:
     return derived_performance_cols(flat_matches)
 
 
-def metric_points(perf: DataFrame) -> dict[str, DataFrame]:
-    """Per-message metric fan-out (SURVEY.md §2.10 X1): one flat match
-    frame -> the tag/field measurement families the reference's
-    collector emits row-at-a-time (reference:
-    monitoring/metrics_collector.py:56-152 — match_info :87-96,
-    player_performance_v2 :102-119, player_kda :128-136). Tags are the
-    low-cardinality dims; fields the numeric metrics; each family is
-    one column-pruned projection of the same scan."""
+def metric_points(
+    flat_matches: DataFrame, players: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """Per-message metric fan-out (SURVEY.md §2.10 X1): the SINK-shape
+    flat match table (streaming.etl.extract_matches_table) -> the four
+    tag/field measurement families the reference's collector builds
+    row-at-a-time (reference: monitoring/metrics_collector.py:56-152 —
+    player_stats :68-73, match_info :87-96, player_performance_v2
+    :101-120, player_kda :128-137), with the exact tag and field names.
+    Each family is one column-pruned projection of the same scan; any
+    TSDB/JDBC sink can consume them via foreachBatch."""
     from pubg_data_pipeline_spark.functions.metrics import kda_expr
 
-    match_info = perf.select(
-        "match_id",
-        "game_mode",
-        "map_name",
-        "processed_at",
-        F.col("duration").alias("duration_seconds"),
-    )
-    performance = perf.select(
-        "player_name",
-        "match_id",
-        "game_mode",
-        "map_name",
-        "processed_at",
-        "kills",
-        "assists",
-        "damage_dealt",
-        "time_survived",
-        "headshot_ratio",
-        "win_place",
-    )
-    kda = perf.select(
-        "player_name",
-        "match_id",
-        "processed_at",
-        kda_expr(F.col("kills"), F.col("assists"), F.col("death_type")).alias("kda"),
-    )
-    return {
-        "match_info": match_info,
-        "player_performance": performance,
-        "player_kda": kda,
+    m = flat_matches
+    families = {
+        "match_info": m.select(
+            # tags
+            "player_name", "match_id", "game_mode", "map_name",
+            # fields
+            "duration_seconds",
+            "duration_minutes",
+            F.col("players_count").alias("participants_count"),
+            "teams_count",
+            F.col("processed_at").alias("time"),
+        ),
+        "player_performance_v2": m.select(
+            "player_name", "match_id", "game_mode", "map_name",
+            F.col("player_kills").alias("kills"),
+            F.col("player_assists").alias("assists"),
+            F.col("player_headshot_kills").alias("headshot_kills"),
+            F.col("player_damage_dealt").alias("damage_dealt"),
+            F.col("player_time_survived").alias("time_survived"),
+            F.col("player_heals").alias("heals"),
+            F.col("player_boosts").alias("boosts"),
+            F.col("player_walk_distance").alias("walk_distance"),
+            F.col("player_ride_distance").alias("ride_distance"),
+            F.col("player_win_place").alias("win_place"),
+            F.col("player_longest_kill").alias("longest_kill"),
+            F.col("player_weapons_acquired").alias("weapons_acquired"),
+            F.col("processed_at").alias("time"),
+        ),
+        "player_kda": m.select(
+            "player_name", "match_id", "game_mode",
+            kda_expr(
+                F.col("player_kills"), F.col("player_assists"), F.col("player_death_type")
+            ).alias("kda_ratio"),
+            F.col("player_kills").alias("kills"),
+            F.when(F.col("player_death_type") == "alive", 0).otherwise(1).alias("deaths"),
+            F.col("player_assists").alias("assists"),
+            F.col("processed_at").alias("time"),
+        ),
     }
+    if players is not None:
+        families["player_stats"] = players.select(
+            "player_name", "account_id",
+            "total_matches_count",
+            F.col("processed_at").alias("time"),
+        )
+    return families

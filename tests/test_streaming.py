@@ -158,6 +158,30 @@ def test_streaming_etl_end_to_end(spark, tmp_path, envelope_dir):
     assert row["match_type"] == "match" and row["teams_count"] == 16
 
 
+def test_metric_points_families(spark, envelope_dir):
+    """X1 fan-out: the four measurement families with the collector's
+    exact tag/field names (reference: monitoring/metrics_collector.py:
+    56-152)."""
+    from pubg_data_pipeline_spark.plans.analytics import metric_points
+
+    raw = sources.text_stream(spark, envelope_dir)
+    # batch-read the same envelope files (operators are batch-first)
+    batch_raw = spark.read.text(envelope_dir)
+    parsed = etl.parse_envelope(batch_raw)
+    flat = etl.extract_matches_table(parsed)
+    players = etl.extract_players(parsed)
+    fams = metric_points(flat, players)
+    assert set(fams) == {"player_stats", "match_info", "player_performance_v2", "player_kda"}
+    kda = fams["player_kda"]
+    assert {"player_name", "match_id", "game_mode", "kda_ratio", "kills", "deaths", "assists", "time"} <= set(kda.columns)
+    row = kda.filter((F.col("match_id") == "m1") & (F.col("player_name") == "player_1")).first()
+    # i=0 match: kills=3, assists=0, death_type='alive' -> deaths=0, kda=(3+0)/1
+    assert row["deaths"] == 0 and row["kda_ratio"] == 3.0
+    perf = fams["player_performance_v2"]
+    assert "weapons_acquired" in perf.columns and "longest_kill" in perf.columns
+    assert fams["player_stats"].count() == 4  # one row per envelope
+
+
 def test_malformed_messages_become_null_rows(spark, tmp_path):
     d = tmp_path / "bad"
     d.mkdir()
