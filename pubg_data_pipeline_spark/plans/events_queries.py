@@ -398,6 +398,43 @@ FROM scored GROUP BY user_id
 """
 
 
+def severity_hourly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly alert-summary counters (D5): total / high / medium alert
+    counts per hour — the reference accumulates these in process-local
+    dicts and resets each hour (reference:
+    monitoring/alert_manager.py:398-461, 1 h check :520-524); here one
+    windowed conditional aggregation produces every hour's summary."""
+    perf = _perf(spark, sf_dir).withColumn("damage", F.col("value") * 20)
+    classified = perf.withColumn(
+        "severity", severity_expr(F.col("k"), F.col("damage"), F.col("value") / 60.0)
+    )
+    return classified.groupBy(
+        timeseries.time_bucket(F.col("ts"), "hour").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("total_alerts"),
+        F.sum(F.when(F.col("severity") == "HIGH", 1).otherwise(0)).alias("high_severity"),
+        F.sum(F.when(F.col("severity") == "MEDIUM", 1).otherwise(0)).alias("medium_severity"),
+    )
+
+
+_SEVERITY_HOURLY_SQL = f"""
+WITH classified AS (
+  SELECT ts,
+         CASE WHEN k >= 20 OR damage >= 4000 OR value / 60.0 >= 4 THEN 'HIGH'
+              WHEN k >= 15 OR damage >= 2500 OR value / 60.0 >= 3 THEN 'MEDIUM'
+              ELSE 'LOW' END AS severity
+  FROM (SELECT ts, value, value * 20 AS damage,
+               CAST(regexp_extract(props, '{_K}', 1) AS INT) AS k
+        FROM events)
+)
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+       COUNT(*) AS total_alerts,
+       CAST(SUM(CASE WHEN severity = 'HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_severity,
+       CAST(SUM(CASE WHEN severity = 'MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium_severity
+FROM classified GROUP BY 1
+"""
+
+
 # ------------------------------------------- time series (Q2-Q13 surface)
 
 def hourly_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +563,7 @@ SPECS = [
     QuerySpec("first_event_per_user_type", first_event_per_user_type, _DEDUP_SQL, ("dedup",)),
     QuerySpec("zscore_anomalies", zscore_anomalies, _ZSCORE_SQL, ("anomaly",)),
     QuerySpec("alert_severity_breakdown", alert_severity_breakdown, _SEVERITY_SQL, ("expr",)),
+    QuerySpec("severity_hourly_summary", severity_hourly_summary, _SEVERITY_HOURLY_SQL, ("expr", "time")),
     QuerySpec("kda_by_user", kda_by_user, _KDA_SQL, ("expr",)),
     QuerySpec("hourly_spine_fill", hourly_spine_fill, _SPINE_SQL, ("time",)),
     QuerySpec("last_event_per_user", last_event_per_user, _LAST_SQL, ("time",)),
