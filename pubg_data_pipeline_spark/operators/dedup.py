@@ -73,6 +73,33 @@ def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(n, *key_cols)
 
 
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Materialized (``__id``, ``__sh`` shingle-array) table with an
+    exchange placed AFTER the shingle projection.
+
+    The first repartition (before the projection) buys parallelism on
+    single-row-group inputs; the second (after) puts an exchange
+    boundary directly above the expensive tokenize/shingle subtree, so
+    every downstream consumer (MinHash signatures + both sides of the
+    verify join) reads the shuffled shingle arrays via AQE exchange
+    reuse instead of recomputing the regex pipeline per branch.
+    Shuffling the arrays once costs O(corpus tokens) bytes — cheaper
+    than 2 extra tokenization passes, and at 100 TB you'd persist this
+    table anyway (it's the unit of reuse across dedup runs).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+        )
+        .repartition(n, "__id")
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature (array of longs) from a precomputed
     shingle-array column.
@@ -126,21 +153,18 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): docs sharing ≥1 band key.
 
     shingle → minhash → band → bucket-join; the join on
     (band_idx, band_key) replaces the O(n²) all-pairs comparison.
+    Pass ``shingles`` (a shingle_table result) to share one shingle
+    computation with other consumers (e.g. jaccard_verify).
     """
     rows = num_hashes // bands
-    # Repartition BEFORE computing shingles: with the exchange after
-    # the projection, the whole tokenize+hash pipeline runs serially
-    # on the (single-row-group) input partition. Codegen subexpression
-    # elimination shares the shingle subtree across signature branches.
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
-    )
+    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, shingle_n)
+    sh = sh.select(F.col("__id").alias("doc"), "__sh")
     sig = sh.select("doc", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
     banded = sig.select(
         "doc",
@@ -167,13 +191,12 @@ def jaccard_verify(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs; keeps pairs with
     similarity ≥ threshold. Joins the (small) candidate set back to the
     corpus twice — cost O(|pairs|), independent of corpus size."""
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("__id"), word_shingles(F.col(text_col), shingle_n).alias("__sh")
-    )
+    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, shingle_n)
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -201,18 +224,26 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # Pair generation via group-then-generate (sorted posting list per
     # shingle, ordered pairs from each list) — one shuffle of the
     # exploded shingles instead of a self-join's two, ~1.5x faster at
     # sf0.1. Hot "stop shingles" still cost O(k^2) pairs either way;
     # at 100 TB cap or drop shingles above a document-frequency bound
     # (documented approximation) before this stage.
-    grouped = (
-        exploded.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .filter(F.size("docs") > 1)
+    posting = exploded.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs")
     )
+    # Per-doc shingle counts derived from the posting lists rather than
+    # a second groupBy over `exploded`: both consumers now share the
+    # groupBy("shingle") exchange (ReusedExchange), so the expensive
+    # tokenize/shingle projection runs ONCE per corpus scan instead of
+    # twice. The re-explode here is cheap (no regex, just the lists).
+    sizes = (
+        posting.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    grouped = posting.filter(F.size("docs") > 1)
     pair_array = F.flatten(
         F.transform(
             F.col("docs"),

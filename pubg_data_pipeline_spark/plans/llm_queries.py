@@ -262,8 +262,14 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs + exact Jaccard verification
     (shingle → minhash → band → bucket-join; SURVEY.md §7.2 M5)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=16, bands=4)
-    return dedup.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.05)
+    # One shared shingle table: the signature pipeline and both verify
+    # join branches reuse a single tokenize/shingle pass (AQE exchange
+    # reuse) instead of re-shingling the corpus three times.
+    sh = dedup.shingle_table(docs, "text", "doc_id", shingle_n=3)
+    pairs = dedup.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, shingles=sh
+    )
+    return dedup.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.05, shingles=sh)
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
