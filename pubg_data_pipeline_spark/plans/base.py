@@ -64,6 +64,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_queries,
         relational_queries,
         sql_queries,
+        tpch_queries,
         windowed_queries,
     )
 
@@ -71,6 +72,7 @@ def all_specs() -> dict[str, QuerySpec]:
     for module in (
         events_queries,
         relational_queries,
+        tpch_queries,
         llm_queries,
         windowed_queries,
         sql_queries,
