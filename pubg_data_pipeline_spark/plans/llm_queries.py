@@ -262,10 +262,12 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs + exact Jaccard verification
     (shingle → minhash → band → bucket-join; SURVEY.md §7.2 M5)."""
     docs = load_table(spark, sf_dir, "documents")
-    # One shared shingle table: the signature pipeline and both verify
-    # join branches reuse a single tokenize/shingle pass (AQE exchange
-    # reuse) instead of re-shingling the corpus three times.
-    sh = dedup.shingle_table(docs, "text", "doc_id", shingle_n=3)
+    # One shared, persisted shingle table: the signature pipeline and
+    # both verify join branches read a single tokenize/shingle pass
+    # from the block cache instead of re-shingling the corpus three
+    # times (persist is stable where AQE exchange-reuse replays were
+    # not; ~50 MB at sf0.1, evicted LRU under memory pressure).
+    sh = dedup.shingle_table(docs, "text", "doc_id", shingle_n=3).persist()
     pairs = dedup.minhash_candidate_pairs(
         docs, "text", "doc_id", num_hashes=16, bands=4, shingles=sh
     )

@@ -76,7 +76,11 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs all N executor threads inside the driver JVM —
+        # size the heap for N concurrent tasks' shuffle/broadcast state
+        # (8g showed multi-second GC churn at local[32]; -Xmx reserves
+        # address space only, so a generous cap is free on this box).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for key, value in _RUNTIME_CONFS.items():
