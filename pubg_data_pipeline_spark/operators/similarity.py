@@ -128,6 +128,77 @@ def ml_euclidean_lsh_top_k(
     )
 
 
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index:
+    k-means coarse quantizer → corpus partitioned into ``nlist``
+    cells → each query probes its ``nprobe`` nearest cells → exact
+    cosine re-rank inside the probed cells.
+
+    The centroid table is index METADATA (nlist × dim floats —
+    kilobytes), so carrying it into the probe expressions as literals
+    is the distributed-friendly move: the corpus side is touched once
+    to assign cells, and the probe join is an equi-join on cell id
+    that at 100 TB hits storage partitioned by cell. Recall is tuned
+    by nprobe/nlist; exactness is checked against brute_force_top_k
+    in property tests (no SQL oracle — k-means is not expressible)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sc_parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(sc_parallelism).select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    )
+    cf = c.withColumn("features", array_to_vector(F.col("cv")))
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(cf)
+    assigned = model.transform(cf).select("neighbor_id", "cv", "cell")
+
+    def d2_to(center, v):
+        lit_center = F.array(*[F.lit(float(x)) for x in center])
+        diffs = F.zip_with(v, lit_center, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    # struct(d2, cell): array_sort's natural struct ordering sorts by
+    # distance first, cell id as tie-break — deterministic probe set.
+    cells = F.array(
+        *[
+            F.struct(d2_to(ctr, F.col("qv")).alias("d2"), F.lit(i).alias("cell"))
+            for i, ctr in enumerate(model.clusterCenters())
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+    )
+    probes = (
+        q.withColumn("probe", F.explode(F.slice(F.array_sort(cells), 1, nprobe)))
+        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_bucketed_top_k(
     corpus: DataFrame,
     queries: DataFrame,

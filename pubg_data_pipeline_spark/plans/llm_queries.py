@@ -291,6 +291,18 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via an IVF index (k-means cells + nprobe probing
+    + exact in-cell re-rank) — the inverted-file counterpart to the LSH
+    scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_top_k(
+        emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
+        k=5, nlist=8, nprobe=3,
+    )
+
+
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish-regex token counts per document — the two
     standard pre-tokenization counters for corpus budgeting."""
@@ -459,4 +471,5 @@ SPECS = [
     QuerySpec("simhash_near_dups", simhash_near_dups, None, ("llm", "dedup")),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ml_lsh_topk", embedding_ml_lsh_topk, None, ("llm", "ann")),
+    QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("llm", "ann")),
 ]

@@ -73,6 +73,28 @@ def test_lsh_topk_agrees_with_brute_force_on_same_bucket(spark):
     assert {r["neighbor_id"] for r in approx} <= {r["neighbor_id"] for r in exact} | {1}
 
 
+def test_ivf_finds_duplicate_vector_and_recall(spark):
+    # planted twin: the duplicated vector must be its query's rank-1
+    # neighbor (they always land in the same k-means cell); and with
+    # nprobe == nlist the IVF search degenerates to exact search, so
+    # its result set must equal brute force
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact twin of 0
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.9, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_top_k(df, queries, dim=4, k=2, nlist=2, nprobe=1).collect()
+    assert out[0]["neighbor_id"] == 1 and out[0]["cos_sim"] == pytest.approx(1.0)
+    exact = similarity.brute_force_top_k(df, queries, k=3).collect()
+    full = similarity.ivf_top_k(df, queries, dim=4, k=3, nlist=2, nprobe=2).collect()
+    assert [r["neighbor_id"] for r in full] == [r["neighbor_id"] for r in exact]
+
+
 def test_ml_lsh_finds_duplicate_vector(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
