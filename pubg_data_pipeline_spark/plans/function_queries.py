@@ -341,8 +341,87 @@ GROUP BY event_type
 """
 
 
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType semi-structured path (Spark 4): parse the props JSON
+    blob into a variant once, then typed-extract fields from it —
+    the open-schema alternative to from_json's fixed StructType (the
+    reference carries such blobs as opaque strings; SURVEY.md §2.3 J5).
+    Aggregated per event_type so the variant extraction feeds a normal
+    relational pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("k_total"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS k_total,
+       MIN(k) AS k_min,
+       MAX(k) AS k_max
+FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def top2_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL front-end on both engines):
+    each customer's two largest orders. Catalyst rewrites the lateral
+    limit into a per-key window — same physical shape as the
+    DataFrame top-N-per-group, proven here through the SQL surface."""
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c_custkey, c_mktsegment, l.o_orderkey, l.o_totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+"""
+
+
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-flag measure columns into long
+    (measure, value) form — the inverse of the pivot query, closing
+    the reshape pair. Aggregates first so the unpivot is over a small
+    wide table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum(exact_scaled(F.col("l_extendedprice"))) / 100.0, 2).alias("price"),
+        F.round(F.sum(exact_scaled(F.col("l_discount"))) / 100.0, 2).alias("discount"),
+    )
+    return wide.unpivot("l_returnflag", ["qty", "price", "discount"], "measure", "total")
+
+
+_UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_quantity), 2) AS qty,
+         ROUND(CAST(SUM({sql_scaled('l_extendedprice', 2)}) AS BIGINT) / 100.0, 2) AS price,
+         ROUND(CAST(SUM({sql_scaled('l_discount', 2)}) AS BIGINT) / 100.0, 2) AS discount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, total
+FROM wide UNPIVOT (total FOR measure IN (qty, price, discount))
+"""
+
+
 SPECS = [
     QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_SQL, ("reshape",)),
+    QuerySpec("props_variant_extract", props_variant_extract, _VARIANT_SQL, ("semi", "types")),
+    QuerySpec("top2_orders_lateral", top2_orders_lateral, _LATERAL_SQL, ("sql", "window")),
+    QuerySpec("lineitem_measures_unpivot", lineitem_measures_unpivot, _UNPIVOT_SQL, ("reshape",)),
     QuerySpec("user_recent_value_arrays", user_recent_value_arrays, _ARRAYS_SQL, ("agg", "array")),
     QuerySpec("decimal_revenue_summary", decimal_revenue_summary, _DECIMAL_SQL, ("agg", "types")),
     QuerySpec("user_type_value_map", user_type_value_map, _MAP_SQL, ("agg", "types")),

@@ -169,3 +169,22 @@ def watermarked_dedup(
     return df.withWatermark(event_time_col, watermark).dropDuplicates(
         keys + [event_time_col]
     )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    event_time_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup on the business keys ALONE with bounded state
+    (``dropDuplicatesWithinWatermark``).
+
+    Unlike watermarked_dedup, the event-time column is NOT part of the
+    key, so re-sends of the same record with a different timestamp
+    (the common at-least-once producer pattern — the reference's
+    producer re-fetches the same matches every 60 s poll,
+    reference: producer/producer.py:255-259) still collapse, as long
+    as duplicates arrive within the watermark delay of each other.
+    Streaming-only: batch DataFrames should use exact_dedup."""
+    return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -257,3 +257,42 @@ def test_streaming_hourly_aggregates_event_time(spark, tmp_path, envelope_dir):
         key = (r["hour_start"], r["game_mode"], r["map_name"])
         finals[key] = max(finals.get(key, 0), r["total_matches"])
     assert sum(finals.values()) == 9
+
+
+def test_dedup_within_watermark_collapses_resends(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedups on the business key ALONE:
+    a re-send of the same key with a DIFFERENT event time (the
+    reference producer's 60 s re-poll pattern) still collapses, which
+    key+timestamp dedup (watermarked_dedup) cannot do."""
+    import json as _json
+
+    src = tmp_path / "dwm_src"
+    src.mkdir()
+    rows = [
+        {"id": "a", "ts": "2024-03-01 10:00:00"},
+        {"id": "a", "ts": "2024-03-01 10:00:30"},  # re-send, new timestamp
+        {"id": "b", "ts": "2024-03-01 10:01:00"},
+    ]
+    (src / "batch0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    raw = (
+        spark.readStream.schema("id string, ts string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = etl.dedup_within_watermark(raw, ["id"], "ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dwm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dwm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT id, ts FROM dwm").collect()
+    assert sorted(r["id"] for r in out) == ["a", "b"]
+    # the FIRST arrival of each key is the one kept
+    kept_a = next(r for r in out if r["id"] == "a")
+    assert kept_a["ts"].second == 0
