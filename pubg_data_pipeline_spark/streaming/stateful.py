@@ -76,6 +76,58 @@ def running_totals(
     )
 
 
+def running_totals_tws(
+    keyed: DataFrame, key_col: str = "key", value_col: str = "value"
+) -> DataFrame:
+    """running_totals on the transformWithStateInPandas API (Spark 4's
+    successor to applyInPandasWithState): state lives in named, typed
+    handles (ValueState) managed per key by the state store, rather
+    than one opaque tuple — the forward-looking form of the same
+    cross-batch counter semantics.
+
+    Runtime requirement: Spark's transformWithState Python worker
+    imports protobuf; environments without ``google.protobuf`` (like
+    this build container) must use running_totals instead — the test
+    suite skips accordingly."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            events, total, batches = (
+                self._totals.get() if self._totals.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                events += len(pdf)
+                total += float(pdf[value_col].sum())
+            batches += 1
+            self._totals.update((events, total, batches))
+            yield pd.DataFrame(
+                [
+                    {
+                        "key": key[0],
+                        "events_total": events,
+                        "value_total": total,
+                        "batches_seen": batches,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return keyed.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 _SUPPRESS_SCHEMA = StructType(
     [
         StructField("key", StringType()),

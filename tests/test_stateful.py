@@ -87,3 +87,38 @@ def test_temporal_suppression_across_batches(spark, tmp_path):
         (0, 0),
         (20 * minute, 2),
     ]
+
+
+def test_running_totals_tws_accumulate_across_batches(spark, tmp_path):
+    """Same cross-batch semantics on the transformWithStateInPandas
+    API (typed ValueState handle instead of one opaque state tuple).
+
+    Spark's transformWithState Python worker needs protobuf; skip
+    where the runtime lacks it (this container does — the operator is
+    exercised on clusters that ship the standard Spark 4 runtime)."""
+    pytest.importorskip("google.protobuf")
+    batches = [
+        '{"key": "a", "value": 1.0, "ts_ms": 0}\n{"key": "a", "value": 2.0, "ts_ms": 1}',
+        '{"key": "a", "value": 4.0, "ts_ms": 2}\n{"key": "b", "value": 10.0, "ts_ms": 3}',
+    ]
+
+    def build(stream):
+        out = stateful.running_totals_tws(stream, "key", "value")
+        return (
+            out.writeStream.format("memory")
+            .queryName("totals_tws_probe")
+            .outputMode("update")
+            .start()
+        )
+
+    _run_batches(spark, tmp_path, batches, build)
+    rows = spark.sql("SELECT * FROM totals_tws_probe").collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["key"])
+        if cur is None or r["batches_seen"] > cur["batches_seen"]:
+            latest[r["key"]] = r
+    assert latest["a"]["events_total"] == 3
+    assert latest["a"]["value_total"] == pytest.approx(7.0)
+    assert latest["a"]["batches_seen"] == 2
+    assert latest["b"]["events_total"] == 1
