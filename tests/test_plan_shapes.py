@@ -54,3 +54,41 @@ def test_column_pruning_reaches_scan(spark):
     scan = plan.split("ReadSchema", 1)[1][:200]
     assert "props" in scan and "event_id" in scan
     assert "value" not in scan and "user_id" not in scan
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    # the EXISTS correlation must become a semi join (order rows never
+    # duplicated by multi-line matches), with the quarter filter
+    # pushed into the orders scan
+    plan = _plan(spark, "order_priority_checking")
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters", 1)[1][:600]
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    # Catalyst must extract the common p_partkey equi-key from the
+    # OR-of-ANDs predicate — a nested-loop join here would be O(n*m)
+    plan = _plan(spark, "disjunctive_brand_revenue")
+    assert "HashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_nation_pair_broadcasts_dims(spark):
+    plan = _plan(spark, "volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_scalar_max_is_broadcast_not_collect(spark):
+    # the MAX(rev) scalar joins back via a broadcast of the 1-row
+    # aggregate; no driver-side collect exists in the plan path
+    plan = _plan(spark, "top_supplier_revenue")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q17_windowed_avg_single_lineitem_scan(spark):
+    # the correlated per-part average is a window over the joined rows:
+    # lineitem must be scanned once, not once for the avg and once for
+    # the probe side
+    plan = _plan(spark, "small_quantity_revenue")
+    assert plan.count("Scan parquet") - plan.count("ReusedExchange") <= 2  # lineitem + part
