@@ -83,10 +83,128 @@ def decode_image_features(
     return out.withColumnRenamed("id", id_col)
 
 
+def resize_image(
+    df: DataFrame, id_col: str, payload_col: str, target_bytes: int = 64, real_resizer=None
+) -> DataFrame:
+    """Image resize: payload in -> smaller payload out, via mapInPandas
+    (binary-to-binary transforms stay columnar end to end).
+
+    The pixel resample is STUBBED with a deterministic byte-level
+    downsample (every k-th byte so the fake output is ``target_bytes``
+    long) — the schema/partitioning/batch plumbing is real. Plug
+    ``real_resizer(payload: bytes) -> bytes`` in where PIL exists."""
+    import pandas as pd
+
+    def _fake_resize(payload: bytes) -> bytes:
+        b = bytes(payload)
+        if len(b) <= target_bytes:
+            return b
+        step = len(b) / target_bytes
+        return bytes(b[int(i * step)] for i in range(target_bytes))
+
+    resizer = real_resizer or _fake_resize
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+
+    def run(batches):
+        for pdf in batches:
+            resized = pdf[payload_col].map(lambda b: resizer(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "orig_bytes": pdf[payload_col].map(len),
+                    "payload_resized": resized,
+                    "resized_bytes": resized.map(len),
+                }
+            )
+
+    out = spread.select(id_col, payload_col).mapInPandas(
+        run, "id long, orig_bytes long, payload_resized binary, resized_bytes long"
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def audio_features(
+    df: DataFrame, id_col: str, payload_col: str, n_coeffs: int = 4, real_decoder=None
+) -> DataFrame:
+    """Audio payload -> fixed-dim coefficient vector (MFCC-shaped
+    contract) via mapInPandas. The waveform decode is STUBBED with a
+    deterministic digest-derived fake (librosa/soundfile absent here);
+    plug ``real_decoder(payload: bytes) -> list[float]`` in where the
+    codecs exist."""
+    import pandas as pd
+
+    def _fake_audio(payload: bytes) -> list[float]:
+        digest = hashlib.md5(b"audio:" + bytes(payload)).digest()
+        return [b / 255.0 for b in digest[:n_coeffs]]
+
+    decoder = real_decoder or _fake_audio
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "byte_size": pdf[payload_col].map(len),
+                    "coeffs": pdf[payload_col].map(lambda b: decoder(bytes(b))),
+                }
+            )
+
+    out = spread.select(id_col, payload_col).mapInPandas(
+        run, "id long, byte_size long, coeffs array<double>"
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    every_n: int = 30,
+    frame_bytes: int = 256,
+    real_extractor=None,
+) -> DataFrame:
+    """Video frame sampling: one OUTPUT ROW PER SAMPLED FRAME — the
+    row-expanding mapInPandas shape (a generator UDF over binary
+    payloads). The frame decode is STUBBED: the fake treats the payload
+    as fixed-size ``frame_bytes`` chunks and emits every ``every_n``-th
+    chunk's digest features; plug ``real_extractor(payload: bytes) ->
+    list[(frame_idx, list[float])]`` in where a video codec exists."""
+    import pandas as pd
+
+    def _fake_frames(payload: bytes) -> list[tuple[int, list[float]]]:
+        b = bytes(payload)
+        n_frames = max(len(b) // frame_bytes, 1)
+        out = []
+        for idx in range(0, n_frames, every_n):
+            chunk = b[idx * frame_bytes : (idx + 1) * frame_bytes]
+            digest = hashlib.md5(chunk).digest()
+            out.append((idx, [x / 255.0 for x in digest[:IMAGE_FEATURE_DIM]]))
+        return out
+
+    extractor = real_extractor or _fake_frames
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for frame_idx, fv in extractor(bytes(payload)):
+                    ids.append(mid)
+                    idxs.append(frame_idx)
+                    feats.append(fv)
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "features": feats})
+
+    out = spread.select(id_col, payload_col).mapInPandas(
+        run, "id long, frame_idx int, features array<double>"
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
 def frame_sample_stub(df: DataFrame, id_col: str, payload_col: str, every_n: int = 30):
-    """Video frame sampling — plumbing contract only; no video codec in
-    this environment."""
+    """Legacy contract-only stub; frame_sample above carries the real
+    plumbing with a fake extractor."""
     raise NotImplementedError(
-        "video decode unavailable here; the contract is: binary payload -> "
-        "mapInPandas -> one row per sampled frame (id, frame_idx, features)"
+        "video decode unavailable here; use frame_sample (real mapInPandas "
+        "plumbing, deterministic fake extractor) or plug a codec in"
     )

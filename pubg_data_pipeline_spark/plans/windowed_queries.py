@@ -134,6 +134,46 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the streaming-capable
+    session operator), pinned cross-engine against a first-principles
+    gaps-and-islands oracle. Semantics note: session_window merges an
+    event into the session when it starts strictly inside
+    [prev_ts, prev_ts + gap), so a gap of exactly 30 min starts a NEW
+    session — the oracle's break condition is therefore >= 1800, and
+    window.end is last_event + gap, not last_event."""
+    ev = load_table(spark, sf_dir, "events")
+    agged = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agged.select(
+        "user_id",
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+_SESSIONS_NATIVE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def user_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rangeBetween window: per-event trailing-1-hour value sum per
     user — a VALUE-range frame over epoch seconds (peers at the same
@@ -351,6 +391,7 @@ SPECS = [
     QuerySpec("tumbling_10min_counts", tumbling_10min_counts, _TUMBLING_SQL, ("time", "window")),
     QuerySpec("sliding_hourly_counts", sliding_hourly_counts, _SLIDING_SQL, ("time", "window")),
     QuerySpec("user_sessions", user_sessions, _SESSIONS_SQL, ("time", "window")),
+    QuerySpec("user_sessions_native", user_sessions_native, _SESSIONS_NATIVE_SQL, ("time", "window")),
     QuerySpec("user_trailing_hour_sum", user_trailing_hour_sum, _RANGE_WINDOW_SQL, ("window", "time")),
     QuerySpec("alert_suppression_15min", alert_suppression_15min, _SUPPRESSION_SQL, ("dedup", "time")),
     QuerySpec("status_priority_grouping_sets", status_priority_grouping_sets, _GROUPING_SETS_SQL, ("agg",)),

@@ -41,3 +41,42 @@ def test_real_decoder_stub_raises(media_df):
         multimodal.decode_image_features(media_df, "media_id", "payload", real_decoder="real")
     with pytest.raises(NotImplementedError):
         multimodal.frame_sample_stub(media_df, "media_id", "payload")
+
+
+def test_resize_image_fake_path(media_df):
+    out = multimodal.resize_image(media_df, "media_id", "payload", target_bytes=8).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[2]["orig_bytes"] == len(b"payload-two-longer")
+    assert by_id[2]["resized_bytes"] == 8
+    assert by_id[1]["resized_bytes"] == 8
+    # payloads already under the target pass through untouched
+    big = multimodal.resize_image(media_df, "media_id", "payload", target_bytes=32).collect()
+    assert {bytes(r["payload_resized"]) for r in big} == {b"payload-one", b"payload-two-longer"}
+    # deterministic
+    again = multimodal.resize_image(media_df, "media_id", "payload", target_bytes=8).collect()
+    assert {r["media_id"]: bytes(r["payload_resized"]) for r in again} == {
+        r["media_id"]: bytes(r["payload_resized"]) for r in out
+    }
+
+
+def test_audio_features_fake_path(media_df):
+    out = multimodal.audio_features(media_df, "media_id", "payload", n_coeffs=4).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(by_id[1]["coeffs"]) == 4
+    assert all(0.0 <= c <= 1.0 for c in by_id[1]["coeffs"])
+    # audio features differ from image features for the same payload
+    img = multimodal.decode_image_features(media_df, "media_id", "payload").collect()
+    img_feats = {r["media_id"]: r["features"] for r in img}
+    assert by_id[1]["coeffs"] != img_feats[1][:4]
+
+
+def test_frame_sample_rows_per_frame(spark):
+    # 4 "frames" of 4 bytes; every_n=2 -> frames 0 and 2
+    rows = [(7, bytearray(bytes(range(16))))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.frame_sample(
+        df, "media_id", "payload", every_n=2, frame_bytes=4
+    ).collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 2]
+    assert all(r["media_id"] == 7 for r in out)
+    assert all(len(r["features"]) == multimodal.IMAGE_FEATURE_DIM for r in out)
