@@ -41,6 +41,13 @@ HEADLINE = [
     "doc_multimodal_features",
     "user_value_median",
     "corpus_curation_pipeline",
+    "volume_shipping",
+    "small_quantity_revenue",
+    "customer_orders_histogram",
+    "disjunctive_brand_revenue",
+    "top2_orders_lateral",
+    "user_sessions_native",
+    "embedding_ivf_topk",
 ]
 
 

@@ -159,8 +159,11 @@ def ivf_top_k(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     )
     cf = c.withColumn("features", array_to_vector(F.col("cv")))
+    # a coarse quantizer does not need tight convergence — cells only
+    # gate which corpus fraction gets exactly re-ranked, so cap the
+    # iterative fit (each extra iteration is a full corpus pass)
     model = KMeans(
-        k=nlist, seed=seed, featuresCol="features", predictionCol="cell"
+        k=nlist, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell"
     ).fit(cf)
     assigned = model.transform(cf).select("neighbor_id", "cv", "cell")
 
