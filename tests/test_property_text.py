@@ -1,0 +1,120 @@
+"""Hypothesis property tests for the text-function kit: the Column
+expressions must agree with straightforward pure-Python references on
+arbitrary generated corpora — catching edge cases (empty/blank text,
+repeated separators, single tokens) that the fixed oracle corpus
+misses.
+
+Alphabet is printable ASCII on purpose: Java regex ``\\s`` (used by
+the JVM-side expressions) is ASCII-only while Python's ``\\s`` is
+unicode-aware, so unicode whitespace would make reference and engine
+legitimately differ. Unicode CONTENT is covered by the fixed corpus in
+test_text_semantics.py; the property here is tokenizer algebra, not
+charset handling.
+
+Each example set runs as ONE Spark job (hypothesis generates a batch
+of documents, the assertions compare per-row) — max_examples stays
+small because a Spark round-trip is ~100 ms, not ~1 us.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.functions import text as T
+
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80
+)
+CORPUS = st.lists(ASCII_TEXT, min_size=1, max_size=30)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _py_tokens(s: str) -> list[str]:
+    trimmed = s.strip()
+    # Java split(\s+) semantics on trimmed ASCII input
+    return re.split(r"[ \t\n\x0b\f\r]+", trimmed) if trimmed else []
+
+
+def _py_shingles(s: str, n: int = 3) -> list[str]:
+    toks = [t.lower() for t in _py_tokens(s)]
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        sh = " ".join(toks[i : i + n])
+        if sh not in seen:
+            seen.add(sh)
+            out.append(sh)
+    return out
+
+
+def _py_rolling(s: str) -> int:
+    acc = 0
+    for tok in (t.lower() for t in _py_tokens(s)):
+        code = len(tok) * 256 + ord(tok[0])
+        acc = (acc * T.ROLLING_HASH_BASE + code) % T.ROLLING_HASH_MOD
+    return acc
+
+
+@given(CORPUS)
+@_SETTINGS
+def test_token_count_matches_python_reference(spark, corpus):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)], "id int, t string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", T.token_count(F.col("t")).alias("n")).collect()
+    }
+    for i, s in enumerate(corpus):
+        assert got[i] == len(_py_tokens(s)), repr(s)
+
+
+@given(CORPUS)
+@_SETTINGS
+def test_shingles_match_python_reference(spark, corpus):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)], "id int, t string")
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", T.word_shingles(F.col("t"), 3).alias("sh")).collect()
+    }
+    for i, s in enumerate(corpus):
+        assert got[i] == _py_shingles(s, 3), repr(s)
+
+
+@given(CORPUS)
+@_SETTINGS
+def test_rolling_fingerprint_matches_python_fold(spark, corpus):
+    # non-empty-token inputs only: the reference fold needs tok[0]
+    corpus = [s for s in corpus if s.strip()] or ["x"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)], "id int, t string")
+    got = {
+        r["id"]: r["fp"]
+        for r in df.select("id", T.rolling_fingerprint(F.col("t")).alias("fp")).collect()
+    }
+    for i, s in enumerate(corpus):
+        assert got[i] == _py_rolling(s), repr(s)
+
+
+@given(ASCII_TEXT, ASCII_TEXT)
+@_SETTINGS
+def test_fingerprint_whitespace_case_invariance(spark, a, b):
+    """doc_fingerprint must identify texts equal up to case and
+    whitespace runs, and separate texts that differ otherwise."""
+    variants = [(0, a), (1, "  " + a.upper() + "  "), (2, re.sub(r"(\S)", r"\1", a)), (3, b)]
+    df = spark.createDataFrame(variants, "id int, t string")
+    fp = {
+        r["id"]: r["fp"]
+        for r in df.select("id", T.doc_fingerprint(F.col("t")).alias("fp")).collect()
+    }
+    assert fp[0] == fp[1] == fp[2]
+    norm = lambda s: re.sub(r"[ \t\n\x0b\f\r]+", " ", s.strip().lower())  # noqa: E731
+    if norm(a) == norm(b):
+        assert fp[0] == fp[3]
+    else:
+        assert fp[0] != fp[3]
