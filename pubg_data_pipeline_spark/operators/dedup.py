@@ -300,10 +300,16 @@ def simhash_near_dups(
     sigs = simhash(df, text_col, id_col, bits)
     chunks = max_hamming + 1
     width = bits // chunks
+    # When bits % chunks != 0, the last chunk takes the remainder bits so
+    # every signature bit is covered — otherwise docs differing only in
+    # the uncovered top bits would never become candidates (pigeonhole
+    # guarantee needs a full partition of the bit range).
+    widths = [width] * (chunks - 1) + [bits - width * (chunks - 1)]
+    offsets = [width * i for i in range(chunks)]
     chunk_cols = F.array(
         *[
-            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
-            for i in range(chunks)
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in zip(offsets, widths)
         ]
     )
     banded = sigs.select(

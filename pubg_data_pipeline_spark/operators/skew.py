@@ -67,7 +67,18 @@ def salted_join(
 
     Right-side cost is ×salt_buckets — use only when the right side is
     too big to broadcast but small enough to replicate; otherwise let
-    AQE skew-join handle it."""
+    AQE skew-join handle it.
+
+    Only ``inner`` and ``left`` joins are valid: the right side is
+    replicated across all salt buckets, so right/full outer joins would
+    emit ``salt_buckets`` null-padded copies of each unmatched right row.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi",
+                   "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     left_salted = left.withColumn(
         "__salt",
         F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)),

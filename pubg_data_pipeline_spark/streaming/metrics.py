@@ -51,9 +51,9 @@ class ProgressMetricsListener(StreamingQueryListener):
                 num_input_rows=p.numInputRows,
                 input_rows_per_second=p.inputRowsPerSecond or 0.0,
                 process_rows_per_second=p.processedRowsPerSecond or 0.0,
-                batch_duration_ms=sum(
-                    v for v in (p.durationMs or {}).values() if isinstance(v, int)
-                ),
+                # triggerExecution already spans addBatch/getBatch/
+                # queryPlanning/walCommit — summing the map double-counts.
+                batch_duration_ms=(p.durationMs or {}).get("triggerExecution", 0),
                 sources=[
                     {
                         "description": s.description,

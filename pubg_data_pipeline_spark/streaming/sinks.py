@@ -110,4 +110,6 @@ def await_any(spark, timeout_seconds: int | None = None) -> None:
     if timeout_seconds is None:
         spark.streams.awaitAnyTermination()
     else:
-        spark.streams.awaitAnyTermination(timeout_seconds * 1000)
+        # StreamingQueryManager.awaitAnyTermination takes SECONDS
+        # (PySpark converts to ms internally).
+        spark.streams.awaitAnyTermination(timeout_seconds)

@@ -53,6 +53,19 @@ def test_simhash_identical_docs_hamming_zero(spark, docs_df):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_uneven_chunks_cover_all_bits(spark, docs_df):
+    # bits=30, max_hamming=3 → 4 chunks of 7/7/7/9 bits; the widened
+    # last chunk must still cover the top bits so exact dups (hamming 0,
+    # which agree on EVERY chunk) are always candidates.
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(
+            docs_df, "text", "doc_id", bits=30, max_hamming=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
 def test_lsh_topk_agrees_with_brute_force_on_same_bucket(spark):
     # identical vectors always share a bucket; rank-1 neighbor of a
     # duplicated vector must be its twin under both exact and LSH search

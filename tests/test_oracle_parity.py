@@ -38,14 +38,41 @@ def _canonical(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+# Spark simpleString dtype / DuckDB type name → one normalized family.
+# Integer widths are grouped: the driver's round-1 schema check accepted
+# Spark INT rank() vs DuckDB BIGINT rank() (player_ranking_top10 passed
+# schema_match), so width drift is driver-safe; int-vs-float/string/
+# timestamp drift is NOT and still fails here.
+_DTYPE_NORM = {
+    "tinyint": "int", "smallint": "int", "int": "int",
+    "integer": "int", "bigint": "int", "hugeint": "int",
+    "float": "float", "real": "float", "double": "float",
+    "string": "string", "varchar": "string", "boolean": "bool",
+    "date": "date", "timestamp": "timestamp",
+    "timestamp with time zone": "timestamp", "timestamp_ntz": "timestamp",
+}
+
+
+def _norm_dtype(t: str) -> str:
+    t = t.strip().lower()
+    return _DTYPE_NORM.get(t, t)  # decimal(p,s), array<...> pass through
+
+
 @pytest.mark.parametrize("name", ORACLE_SPECS)
 def test_oracle_parity(spark, duck, name):
     spec = SPECS[name]
-    got = spec.fn(spark, SF_DIR).toPandas()
-    want = duck.sql(spec.oracle).df()
+    sdf = spec.fn(spark, SF_DIR)
+    got = sdf.toPandas()
+    rel = duck.sql(spec.oracle)
+    want = rel.df()
 
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: column mismatch {sorted(got.columns)} vs {sorted(want.columns)}"
+    )
+    spark_types = {c: _norm_dtype(t) for c, t in sdf.dtypes}
+    duck_types = {c: _norm_dtype(str(t)) for c, t in zip(rel.columns, rel.types)}
+    assert spark_types == duck_types, (
+        f"{name}: dtype mismatch spark={spark_types} duck={duck_types}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     got_rows, want_rows = _canonical(got), _canonical(want)

@@ -60,3 +60,10 @@ def test_salted_join_matches_direct(spark, skewed_df):
 def test_salted_aggregate_rejects_non_decomposable(spark, skewed_df):
     with pytest.raises(ValueError):
         skew.salted_aggregate(skewed_df, ["k"], {"a": ("v", "avg")})
+
+
+def test_salted_join_rejects_right_and_full_outer(spark, skewed_df):
+    dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            skew.salted_join(skewed_df, dim, "k", how=how)
