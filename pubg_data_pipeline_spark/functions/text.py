@@ -159,6 +159,50 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Array of word n-grams WITH multiplicity (unlike word_shingles,
+    which distincts) — the input to repetition metrics, where duplicate
+    n-grams are the signal."""
+    toks = word_tokens(F.lower(text))
+    k = F.size(toks) - (n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.transform(idx, gram_at)
+
+
+# RE2-compatible redaction patterns (no backrefs/lookaround) so the
+# DuckDB oracle applies the identical substitutions.
+URL_PATTERN = r"https?://\S+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+def clean_text(text: Column) -> Column:
+    """Curation-grade normalization: lowercase, redact URLs and emails
+    to fixed placeholder tokens, collapse whitespace runs, trim. Pure
+    regexp_replace chain — JVM-side, no Python in the hot path."""
+    out = F.lower(F.trim(text))
+    out = F.regexp_replace(out, URL_PATTERN, "<url>")
+    out = F.regexp_replace(out, EMAIL_PATTERN, "<email>")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def split_bucket(fingerprint: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
+    """Deterministic train/val/test assignment from a content hash:
+    bucket = fingerprint mod 100. Hash-based (not random) so the split
+    is reproducible across runs, engines, and re-partitioning — the
+    property a 100 TB pipeline needs for resumable dataset builds."""
+    b = F.pmod(fingerprint, F.lit(100))
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram shingles (distinct), for MinHash/Jaccard.
 

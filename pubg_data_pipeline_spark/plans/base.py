@@ -59,6 +59,7 @@ def all_specs() -> dict[str, QuerySpec]:
     """All registered query specs, keyed by name (import-light so
     __spark_entry__ can call it without side effects)."""
     from pubg_data_pipeline_spark.plans import (
+        curation_queries,
         events_queries,
         function_queries,
         llm_queries,
@@ -77,6 +78,7 @@ def all_specs() -> dict[str, QuerySpec]:
         windowed_queries,
         sql_queries,
         function_queries,
+        curation_queries,
     ):
         for spec in module.SPECS:
             if spec.name in specs:

@@ -1,0 +1,348 @@
+"""Dataset-curation queries for the LLM-training-data surface
+(BASELINE.json north-star extension; complements plans/llm_queries.py).
+
+These are the corpus-management operations a 100 TB training-data
+build needs BEYOND per-document scoring/dedup: deterministic
+train/val/test splits, stratified sampling, token-budget shard
+packing, benchmark-contamination checks, Gopher-style repetition
+metrics, and normalization/redaction. Everything is hash-derived and
+content-deterministic (never RNG-based), so results are reproducible
+across runs, engines, and repartitioning — each query has an exact
+DuckDB oracle twin.
+
+Scale notes per query are inline; the common pattern is: all
+expressions are JVM-side Column trees (codegen), per-document work
+carries no shuffle, and the only shuffles are the final keyed
+aggregations (or, for contamination, one broadcast join against the
+benchmark shingle set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.functions.text import (
+    clean_text,
+    rolling_fingerprint,
+    split_bucket,
+    token_count,
+    word_ngrams,
+    word_shingles,
+    word_tokens,
+)
+from pubg_data_pipeline_spark.plans.base import QuerySpec
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across the session parallelism (the synthetic
+    parquet is one row-group -> one scan partition; see
+    llm_queries._docs)."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+# DuckDB twin of functions.text.rolling_fingerprint (list_reduce
+# polynomial fold — bit-identical, see _ROLLING_FP_SQL in llm_queries).
+_FP_SQL = r"""
+list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+    list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   t -> CAST(length(t) * 256 + ascii(substr(t, 1, 1)) AS BIGINT))),
+  (acc, x) -> (acc * 131 + x) % 9007199254740881)
+"""
+
+# DuckDB twin of functions.text.word_shingles (distinct word 3-grams).
+_SHINGLES_SQL = r"""
+list_distinct(list_transform(
+  generate_series(1, GREATEST(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2, 0)),
+  i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' '
+    || regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' '
+    || regexp_split_to_array(trim(lower(text)), '\s+')[i+2]))
+"""
+
+
+def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split from the rolling
+    content fingerprint, aggregated to per-split doc and token counts.
+
+    Hash-based assignment (never rand()) is the reproducibility
+    contract of a dataset build: the same document lands in the same
+    split on every run, on any cluster, at any partitioning. At 100 TB
+    this is a single map-side projection plus a 3-group aggregate."""
+    docs = _docs(spark, sf_dir)
+    split = split_bucket(rolling_fingerprint(F.col("text")))
+    return (
+        docs.select(split.alias("split"), token_count(F.col("text")).alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_SPLIT_SQL = rf"""
+WITH f AS (
+  SELECT CASE WHEN ({_FP_SQL}) % 100 < 80 THEN 'train'
+              WHEN ({_FP_SQL}) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM f GROUP BY split
+"""
+
+
+def stratified_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic downsampling (dataset mixing): source
+    srcK keeps max(10, 100 - 5K) percent of its documents, selected by
+    fingerprint bucket — the hash-based analog of sampleBy() that stays
+    reproducible across engines. Output: per-source kept/total counts.
+
+    At scale this is the mixture-weighting step of corpus assembly:
+    one map-side keep-decision per row, one aggregate; no RNG state."""
+    docs = _docs(spark, sf_dir)
+    idx = F.substring(F.col("source"), 4, 10).cast("int")
+    rate = F.greatest(F.lit(10), F.lit(100) - F.lit(5) * idx)
+    keep = (F.pmod(rolling_fingerprint(F.col("text")), F.lit(100)) < rate).cast("int")
+    return (
+        docs.select("source", rate.alias("rate_pct"), keep.alias("keep"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum("keep").cast("long").alias("kept_docs"),
+        )
+    )
+
+
+_STRATIFIED_SQL = rf"""
+SELECT source,
+       GREATEST(10, 100 - 5 * CAST(substr(source, 4) AS INT)) AS rate_pct,
+       COUNT(*) AS total_docs,
+       CAST(SUM(CASE WHEN ({_FP_SQL}) % 100
+                     < GREATEST(10, 100 - 5 * CAST(substr(source, 4) AS INT))
+                THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing: within each source, documents
+    (in doc_id order) are packed into shards of <=500 tokens by an
+    exclusive running token sum — the sequence-packing layout step of a
+    training-data build. Output: per (source, shard) doc/token counts.
+
+    Partitioning by source keeps the window distributed (one partition
+    per source, never a global sort); at 100 TB the unit would be a
+    finer path-like key, same plan shape."""
+    docs = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = token_count(F.col("text"))
+    with_tok = docs.select("source", "doc_id", n_tok.alias("n_tok"))
+    cum_excl = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    sharded = with_tok.withColumn(
+        "shard_id", F.floor(cum_excl / F.lit(500)).cast("int")
+    )
+    return sharded.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+    )
+
+
+_SHARD_SQL = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents
+), s AS (
+  SELECT source, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS INT)
+           AS shard_id
+  FROM t
+)
+SELECT source, shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+FROM s GROUP BY source, shard_id
+"""
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: treating source 'src0' as the
+    held-out benchmark, report every other document that shares >=1
+    word-3-gram shingle with ANY benchmark document, with its overlap
+    rate. The benchmark shingle set is distinct-ed and broadcast; the
+    candidate side streams through one hash join — at 100 TB the
+    benchmark set (exam suites, eval corpora) stays dimension-sized, so
+    this never shuffles the corpus."""
+    docs = _docs(spark, sf_dir)
+    with_sh = docs.select(
+        "doc_id", "source", word_shingles(F.col("text")).alias("shingles")
+    )
+    bench = (
+        with_sh.filter(F.col("source") == "src0")
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    cand = with_sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.size("shingles").alias("n_shingles"), "shingles"
+    )
+    shared = (
+        cand.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        cand.select("doc_id", "n_shingles")
+        .join(shared, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.greatest(F.col("n_shingles"), F.lit(1)), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+_CONTAMINATION_SQL = rf"""
+WITH sh AS (
+  SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE source = 'src0'
+), cand AS (
+  SELECT doc_id, CAST(len(shingles) AS INT) AS n_shingles, shingles
+  FROM sh WHERE source != 'src0'
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM cand
+), shared AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM ex JOIN bench USING (shingle) GROUP BY doc_id
+)
+SELECT cand.doc_id, n_shingles, n_shared,
+       ROUND(n_shared * 1.0 / GREATEST(n_shingles, 1), 6) AS contamination
+FROM cand JOIN shared ON cand.doc_id = shared.doc_id
+"""
+
+
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality metrics per document: distinct
+    word ratio, mean word length, and the most-frequent-2-gram count
+    and fraction (high top-2-gram fraction = boilerplate/spam signal).
+
+    Entirely array-expression work fused into the scan projection — no
+    shuffle at all; the nested filter-count is O(m^2) in document
+    length, the right trade below ~1k tokens (above that, explode +
+    two-level count; same results, one shuffle)."""
+    docs = _docs(spark, sf_dir)
+    toks = word_tokens(F.lower(F.col("text")))
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    grams = word_ngrams(F.col("text"), 2)
+    top_count = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.size(F.filter(grams, lambda x: x == g)),
+            )
+        ),
+        F.lit(0),
+    )
+    non_ws_len = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        F.round(n_distinct / F.greatest(n_words, F.lit(1)), 6).alias("distinct_ratio"),
+        F.round(non_ws_len / F.greatest(n_words, F.lit(1)), 6).alias("mean_word_len"),
+        top_count.alias("top_2gram_count"),
+        F.round(
+            top_count / F.greatest(F.size(grams), F.lit(1)), 6
+        ).alias("top_2gram_frac"),
+    )
+
+
+_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS non_ws_len
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, non_ws_len,
+         list_transform(generate_series(1, GREATEST(len(toks) - 1, 0)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_words,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       ROUND(len(list_distinct(toks)) * 1.0 / GREATEST(len(toks), 1), 6) AS distinct_ratio,
+       ROUND(non_ws_len * 1.0 / GREATEST(len(toks), 1), 6) AS mean_word_len,
+       CAST(COALESCE(list_max(list_transform(list_distinct(grams),
+              x -> len(list_filter(grams, y -> y = x)))), 0) AS INT) AS top_2gram_count,
+       ROUND(CAST(COALESCE(list_max(list_transform(list_distinct(grams),
+              x -> len(list_filter(grams, y -> y = x)))), 0) AS INT) * 1.0
+             / GREATEST(len(grams), 1), 6) AS top_2gram_frac
+FROM g
+"""
+
+
+def doc_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization/redaction pass: lowercase, URL/email placeholder
+    redaction, whitespace collapse — emitted as a content digest plus
+    changed flag (the full cleaned text stays in the pipeline; the
+    digest keeps the oracle row narrow). Pure regexp_replace chain,
+    fused into the scan at any scale."""
+    docs = _docs(spark, sf_dir)
+    cleaned = clean_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        F.length(cleaned).alias("clean_len"),
+        (cleaned != F.col("text")).cast("int").alias("changed"),
+    )
+
+
+_CLEAN_SQL = r"""
+SELECT doc_id,
+       md5(cleaned) AS clean_md5,
+       CAST(length(cleaned) AS INT) AS clean_len,
+       CAST(cleaned != text AS INT) AS changed
+FROM (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(trim(text)), 'https?://\S+', '<url>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<email>', 'g'),
+           '\s+', ' ', 'g')) AS cleaned
+  FROM documents
+)
+"""
+
+
+SPECS = [
+    QuerySpec("corpus_split_stats", corpus_split_stats, _SPLIT_SQL, ("curation",)),
+    QuerySpec(
+        "stratified_source_sample", stratified_source_sample, _STRATIFIED_SQL, ("curation",)
+    ),
+    QuerySpec("token_shard_packing", token_shard_packing, _SHARD_SQL, ("curation", "window")),
+    QuerySpec(
+        "benchmark_contamination", benchmark_contamination, _CONTAMINATION_SQL, ("curation",)
+    ),
+    QuerySpec(
+        "doc_repetition_metrics", doc_repetition_metrics, _REPETITION_SQL, ("curation", "text")
+    ),
+    QuerySpec("doc_clean_redact", doc_clean_redact, _CLEAN_SQL, ("curation", "text")),
+]

@@ -5,7 +5,8 @@ reference: producer/producer.py:162-204), but the driver's oracle
 harness runs on a TPC-H-style star schema, so the engine ships the
 full relational pattern suite. This module adds the TPC-H shapes not
 yet covered by relational_queries.py: Q4 (EXISTS with non-equi
-correlation), Q7 (two-dimension nation pairs), Q8 (market share),
+correlation), Q5 (local-supplier six-table join), Q7 (two-dimension
+nation pairs), Q8 (market share),
 Q13 (distribution histogram), Q15 (argmax via scalar subquery), Q17
 (correlated per-group average filter), Q19 (disjunctive join
 predicates), Q22 (anti-join + global threshold subquery).
@@ -186,6 +187,53 @@ FROM (
 """
 
 
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the customer
+    and the line's supplier sit in the SAME nation of one region, for
+    one order year. The local-supplier predicate
+    (c_nationkey = s_nationkey) is applied post-join; nation⋈region is
+    pre-filtered and broadcast so only in-region rows survive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    region_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    agged = joined.groupBy("n_name").agg(
+        F.sum(_disc_price_e4()).alias("rev_e4"), F.count(F.lit(1)).alias("n_lines")
+    )
+    return agged.select(
+        "n_name", "n_lines", F.round(F.col("rev_e4") / 10000.0, 2).alias("revenue")
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name, COUNT(*) AS n_lines,
+       ROUND(CAST(SUM({_DISC_PRICE_E4}) AS BIGINT) / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 def customer_orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of customers by order count —
     two-level aggregation over a LEFT join so zero-order customers land
@@ -361,6 +409,7 @@ SPECS = [
     QuerySpec("order_priority_checking", order_priority_checking, _Q4_SQL, ("join", "tpch")),
     QuerySpec("volume_shipping", volume_shipping, _Q7_SQL, ("join", "tpch")),
     QuerySpec("nation_market_share", nation_market_share, _Q8_SQL, ("join", "tpch")),
+    QuerySpec("local_supplier_volume", local_supplier_volume, _Q5_SQL, ("join", "tpch")),
     QuerySpec("customer_orders_histogram", customer_orders_histogram, _Q13_SQL, ("join", "tpch")),
     QuerySpec("top_supplier_revenue", top_supplier_revenue, _Q15_SQL, ("join", "tpch")),
     QuerySpec("small_quantity_revenue", small_quantity_revenue, _Q17_SQL, ("join", "tpch", "window")),
