@@ -159,12 +159,23 @@ def ivf_top_k(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     )
     cf = c.withColumn("features", array_to_vector(F.col("cv")))
-    # a coarse quantizer does not need tight convergence — cells only
-    # gate which corpus fraction gets exactly re-ranked, so cap the
-    # iterative fit (each extra iteration is a full corpus pass)
+    # A coarse quantizer does not need tight convergence or the full
+    # corpus — cells only gate which fraction gets exactly re-ranked.
+    # Train on a deterministic hash-sample (~1/8, capped by modulus)
+    # with random init and few iterations: at 100 TB you NEVER run
+    # k-means|| over the whole corpus (each init round + iteration is a
+    # full corpus pass); Faiss-style practice is a small training
+    # sample. Cell assignment still touches every corpus row exactly
+    # once via model.transform.
+    train = cf.filter(F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(8)) == 0)
     model = KMeans(
-        k=nlist, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell"
-    ).fit(cf)
+        k=nlist,
+        seed=seed,
+        maxIter=5,
+        initMode="random",
+        featuresCol="features",
+        predictionCol="cell",
+    ).fit(train)
     assigned = model.transform(cf).select("neighbor_id", "cv", "cell")
 
     def d2_to(center, v):
