@@ -192,27 +192,31 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_sh.filter(F.col("source") == "src0")
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    cand = with_sh.filter(F.col("source") != "src0").select(
-        "doc_id", F.size("shingles").alias("n_shingles"), "shingles"
+    # One pass over the candidate side: explode, LEFT join the broadcast
+    # benchmark set, and derive both the total shingle count (count(*))
+    # and the shared count (non-null hits) from the same stream — the
+    # shingle projection runs once per candidate doc instead of twice
+    # (no join-back, no second documents scan).
+    cand_ex = with_sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
-    shared = (
-        cand.select("doc_id", F.explode("shingles").alias("shingle"))
-        .join(F.broadcast(bench), "shingle")
+    stats = (
+        cand_ex.join(F.broadcast(bench), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    return (
-        cand.select("doc_id", "n_shingles")
-        .join(shared, "doc_id")
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_shared",
-            F.round(F.col("n_shared") / F.greatest(F.col("n_shingles"), F.lit(1)), 6).alias(
-                "contamination"
-            ),
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.count("__hit").alias("n_shared"),
         )
+    )
+    return stats.filter(F.col("n_shared") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.round(F.col("n_shared") / F.greatest(F.col("n_shingles"), F.lit(1)), 6).alias(
+            "contamination"
+        ),
     )
 
 
