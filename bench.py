@@ -52,6 +52,7 @@ HEADLINE = [
     "doc_repetition_metrics",
     "token_shard_packing",
     "benchmark_contamination",
+    "purchase_last_signup_asof",
 ]
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _FMT = {"hour": "yyyy-MM-dd HH", "day": "yyyy-MM-dd", "minute": "yyyy-MM-dd HH:mm"}
@@ -91,3 +91,66 @@ def recent_top_k(df: DataFrame, ts_col: str, tiebreak: str, k: int = 10) -> Data
     """``ORDER BY time DESC LIMIT k`` (dashboard Q7) — plans as
     TakeOrderedAndProject (distributed two-phase top-k)."""
     return df.orderBy(F.col(ts_col).desc(), F.col(tiebreak).desc()).limit(k)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row picks the LATEST right row of
+    the same key with ``right_ts <= left_ts`` (inclusive), null-padded
+    when no prior right row exists — the point-in-time lookup of
+    time-series stores (kdb aj, DuckDB ASOF JOIN), which Spark has no
+    native operator for.
+
+    Implemented as union-tag-window rather than a range join: tag both
+    sides, sort each key's rows once by (ts, right-before-left), and
+    carry the last non-null right values forward with
+    ``last(..., ignorenulls=True)`` over a running frame. One shuffle on
+    the key, O(n log n) in partition size — never the O(n*m) blow-up of
+    a range-predicate join, and partition-parallel at 100 TB because
+    state never crosses key boundaries. ``tiebreak`` (a right column)
+    makes the pick deterministic if a key has duplicate right_ts values.
+    """
+    keys = list(keys)
+    carried = [f"__r_{c}" for c in right_cols]
+    lhs = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("__tie"),
+        F.struct(*left.columns).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(rc) for c, rc in zip(right_cols, carried)],
+    )
+    tie = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        tie.alias("__tie"),
+        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
+    )
+    # Right rows sort BEFORE left rows at equal ts (side desc) so the
+    # match is inclusive; among equal-ts right rows the largest tiebreak
+    # sorts last and wins the carry.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tie").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = lhs.unionByName(rhs)
+    filled = unioned.select(
+        "__side",
+        "__lrow",
+        *[F.last(rc, ignorenulls=True).over(w).alias(rc) for rc in carried],
+    )
+    out = filled.filter(F.col("__side") == 0).select(
+        "__lrow.*", *[F.col(rc).alias(f"right_{c}") for c, rc in zip(right_cols, carried)]
+    )
+    return out

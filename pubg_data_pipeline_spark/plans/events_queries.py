@@ -554,8 +554,47 @@ FROM u GROUP BY kind
 """
 
 
+def purchase_last_signup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators.timeseries.as_of_join): each
+    purchase event picks the user's latest signup event at-or-before
+    it — the point-in-time attribution lookup. Oracle is DuckDB's
+    native ASOF LEFT JOIN; (user_id, ts) is unique in the synthetic
+    data so the match is unambiguous."""
+    from pubg_data_pipeline_spark.operators.timeseries import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event_id")
+    )
+    joined = as_of_join(
+        purchases,
+        signups,
+        keys=["user_id"],
+        right_cols=["signup_event_id", "ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("right_signup_event_id").alias("signup_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("right_ts"))).alias("gap_us"),
+    )
+
+
+_ASOF_SQL = """
+SELECT a.event_id, a.user_id, b.event_id AS signup_event_id,
+       CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
 SPECS = [
     QuerySpec("player_ranking_top10", player_ranking_top10, _RANKING_SQL, ("flagship", "agg", "window")),
+    QuerySpec("purchase_last_signup_asof", purchase_last_signup_asof, _ASOF_SQL, ("join", "time")),
     QuerySpec("hourly_event_aggregates", hourly_event_aggregates, _HOURLY_SQL, ("agg", "time")),
     QuerySpec("event_type_difficulty", event_type_difficulty, _DIFFICULTY_SQL, ("agg",)),
     QuerySpec("global_event_stats", global_event_stats, _GLOBAL_STATS_SQL, ("agg",)),

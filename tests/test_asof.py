@@ -1,0 +1,75 @@
+"""Edge-case tests for operators.timeseries.as_of_join: inclusive
+match at equal timestamps, null-padding before any right row, key
+isolation, and the tiebreak rule for duplicate right timestamps."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.operators.timeseries import as_of_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_inclusive_null_and_key_isolation(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:05:00")),  # after r1 -> matches r1
+            (2, 10, _ts("2024-01-01T00:10:00")),  # equal ts -> inclusive match r2
+            (3, 10, _ts("2024-01-01T00:00:30")),  # before any right -> null
+            (4, 20, _ts("2024-01-01T09:00:00")),  # other key: only its own rights
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, _ts("2024-01-01T00:01:00")),
+            (102, 10, _ts("2024-01-01T00:10:00")),
+            (201, 20, _ts("2024-01-01T08:00:00")),
+        ],
+        "rid int, user_id int, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["right_rid"]
+        for r in as_of_join(left, right, keys=["user_id"], right_cols=["rid"]).collect()
+    }
+    assert out == {1: 101, 2: 102, 3: None, 4: 201}
+
+
+def test_asof_tiebreak_picks_largest(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T01:00:00"))], "event_id int, user_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (5, 1, _ts("2024-01-01T00:30:00")),
+            (9, 1, _ts("2024-01-01T00:30:00")),  # duplicate ts: larger rid wins
+        ],
+        "rid int, user_id int, ts timestamp",
+    )
+    out = as_of_join(
+        left, right, keys=["user_id"], right_cols=["rid"], tiebreak="rid"
+    ).collect()
+    assert out[0]["right_rid"] == 9
+
+
+def test_asof_single_shuffle_plan(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T01:00:00"))], "event_id int, user_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, 1, _ts("2024-01-01T00:30:00"))], "rid int, user_id int, ts timestamp"
+    )
+    plan = (
+        as_of_join(left, right, keys=["user_id"], right_cols=["rid"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union-tag-window: no join operator at all, exactly one exchange
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
