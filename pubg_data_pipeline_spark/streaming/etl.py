@@ -188,3 +188,43 @@ def dedup_within_watermark(
     as duplicates arrive within the watermark delay of each other.
     Streaming-only: batch DataFrames should use exact_dedup."""
     return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream_static(
+    stream_df: DataFrame, dim_df: DataFrame, on: list[str] | str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch is joined
+    against the (batch) dimension table — Structured Streaming's
+    dimension-lookup pattern. The static side is broadcast: at scale
+    the dimension re-broadcasts per batch, which is the intended trade
+    for a slowly-changing lookup table (no shuffle of the stream)."""
+    return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    tolerance: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join with a time-interval bound:
+    rows pair when keys match and the right event time is within
+    ``tolerance`` AFTER the left event time (left-then-right causality,
+    e.g. impression -> click attribution).
+
+    Both sides carry watermarks and the join condition bounds
+    right_ts relative to left_ts from BOTH directions, so Spark can
+    evict join state — the requirement for a non-growing state store
+    in a 24/7 job. Column names other than ``key`` must be disjoint."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"interval {tolerance}"))
+    )
+    joined = lw.join(rw, cond, "inner")
+    return joined.drop(F.col(f"r.{key}"))

@@ -296,3 +296,84 @@ def test_dedup_within_watermark_collapses_resends(spark, tmp_path):
     # the FIRST arrival of each key is the one kept
     kept_a = next(r for r in out if r["id"] == "a")
     assert kept_a["ts"].second == 0
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"user_id": 1, "v": 10.0},
+                {"user_id": 2, "v": 20.0},
+                {"user_id": 9, "v": 90.0},  # no dimension row -> null label
+            ]
+        )
+    )
+    stream = sources.text_stream(spark, str(d))
+    parsed = stream.select(
+        F.get_json_object("value", "$.user_id").cast("int").alias("user_id"),
+        F.get_json_object("value", "$.v").cast("double").alias("v"),
+    )
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "user_id int, label string")
+    enriched = etl.enrich_stream_static(parsed, dim, "user_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["user_id"]: r["label"] for r in spark.sql("SELECT * FROM enriched_t").collect()}
+    assert got == {1: "gold", 2: "silver", 9: None}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    (imp_dir / "i.jsonl").write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"ad": 1, "its": "2024-03-01 10:00:00"},
+                {"ad": 2, "its": "2024-03-01 10:00:00"},
+            ]
+        )
+    )
+    (clk_dir / "c.jsonl").write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"ad": 1, "cts": "2024-03-01 10:02:00"},  # within 5 min -> joins
+                {"ad": 2, "cts": "2024-03-01 10:30:00"},  # outside tolerance -> dropped
+            ]
+        )
+    )
+    imps = sources.text_stream(spark, str(imp_dir)).select(
+        F.get_json_object("value", "$.ad").cast("int").alias("ad"),
+        F.get_json_object("value", "$.its").cast("timestamp").alias("its"),
+    )
+    clicks = sources.text_stream(spark, str(clk_dir)).select(
+        F.get_json_object("value", "$.ad").cast("int").alias("ad"),
+        F.get_json_object("value", "$.cts").cast("timestamp").alias("cts"),
+    )
+    joined = etl.stream_stream_interval_join(
+        imps, clicks, key="ad", left_ts="its", right_ts="cts", tolerance="5 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT ad FROM attrib_t").collect()
+    assert [r["ad"] for r in rows] == [1]
