@@ -101,10 +101,13 @@ def as_of_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the LATEST right row of
-    the same key with ``right_ts <= left_ts`` (inclusive), null-padded
-    when no prior right row exists — the point-in-time lookup of
+    """As-of join: each left row picks the LATEST right row of the
+    same key with ``right_ts <= left_ts`` (``direction="backward"``,
+    inclusive; the default) or the EARLIEST right row with
+    ``right_ts >= left_ts`` (``direction="forward"``), null-padded
+    when no matching right row exists — the point-in-time lookup of
     time-series stores (kdb aj, DuckDB ASOF JOIN), which Spark has no
     native operator for.
 
@@ -136,19 +139,34 @@ def as_of_join(
         F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
     )
-    # Right rows sort BEFORE left rows at equal ts (side desc) so the
-    # match is inclusive; among equal-ts right rows the largest tiebreak
-    # sorts last and wins the carry.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tie").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     unioned = lhs.unionByName(rhs)
+    if direction == "backward":
+        # Right rows sort BEFORE left rows at equal ts (side desc) so
+        # the match is inclusive; among equal-ts right rows the largest
+        # tiebreak sorts last and wins the carry.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tie").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = [F.last(rc, ignorenulls=True).over(w).alias(rc) for rc in carried]
+    else:
+        # Forward: look DOWN the timeline — right rows sort AFTER left
+        # rows at equal ts (side asc, still inclusive) and the first
+        # non-null right value in the following frame wins; among
+        # equal-ts right rows the smallest tiebreak is first.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc_nulls_first())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        picked = [F.first(rc, ignorenulls=True).over(w).alias(rc) for rc in carried]
     filled = unioned.select(
         "__side",
         "__lrow",
-        *[F.last(rc, ignorenulls=True).over(w).alias(rc) for rc in carried],
+        *picked,
     )
     out = filled.filter(F.col("__side") == 0).select(
         "__lrow.*", *[F.col(rc).alias(f"right_{c}") for c, rc in zip(right_cols, carried)]

@@ -387,8 +387,36 @@ def approx_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per order-status partition — the
+    distribution-position analytics pair. The ORDER BY includes
+    o_orderkey so every row is a unique peer group and both functions
+    are tie-free deterministic cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+_DISTRIBUTION_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       ROUND(percent_rank() OVER (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+       ROUND(cume_dist() OVER (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey), 6) AS cum_dist
+FROM orders
+"""
+
+
 SPECS = [
     QuerySpec("tumbling_10min_counts", tumbling_10min_counts, _TUMBLING_SQL, ("time", "window")),
+    QuerySpec("order_price_distribution", order_price_distribution, _DISTRIBUTION_SQL, ("window",)),
     QuerySpec("sliding_hourly_counts", sliding_hourly_counts, _SLIDING_SQL, ("time", "window")),
     QuerySpec("user_sessions", user_sessions, _SESSIONS_SQL, ("time", "window")),
     QuerySpec("user_sessions_native", user_sessions_native, _SESSIONS_NATIVE_SQL, ("time", "window")),

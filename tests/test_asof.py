@@ -73,3 +73,24 @@ def test_asof_single_shuffle_plan(spark):
     # union-tag-window: no join operator at all, exactly one exchange
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T00:05:00")),  # next right at 00:30 -> 101
+            (2, 1, _ts("2024-01-01T00:30:00")),  # equal ts -> inclusive 101
+            (3, 1, _ts("2024-01-01T09:00:00")),  # nothing after -> null
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(101, 1, _ts("2024-01-01T00:30:00"))], "rid int, user_id int, ts timestamp"
+    )
+    out = {
+        r["event_id"]: r["right_rid"]
+        for r in as_of_join(
+            left, right, keys=["user_id"], right_cols=["rid"], direction="forward"
+        ).collect()
+    }
+    assert out == {1: 101, 2: 101, 3: None}
