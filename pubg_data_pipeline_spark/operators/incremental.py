@@ -1,0 +1,66 @@
+"""Incremental (mergeable) aggregate maintenance.
+
+The reference recomputes every hourly aggregate from the full
+micro-batch each epoch (reference: spark_apps/advanced_analytics.py:
+236-248) and its alert counters are reset-and-recount Python state
+(monitoring/alert_manager.py:398-461). At 100 TB a rollup refresh must
+instead be O(new data): keep *partial aggregate states* (count + exact
+scaled sum — both associative and commutative) per bucket, reduce each
+new partition to states, and merge states with a tiny groupBy over
+bucket keys. Averages and other ratios are derived only at finalize
+time, never stored (a stored avg is not mergeable).
+
+This is the same partial/final split Catalyst applies inside a single
+hash aggregation, lifted to *cross-run* granularity so it can span
+days of stored state — the table-maintenance pattern behind
+"hypertable rollup" features. Any sketch with a merge operation (HLL
+via ``approx_count_distinct``'s binary form, t-digest) slots into the
+same state schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HOUR_FMT = "yyyy-MM-dd HH"
+
+
+def partial_hourly_state(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value", digits: int = 2
+) -> DataFrame:
+    """Reduce raw rows to mergeable per-hour state: (hour_key, n,
+    scaled-integer sum). Integer sums are order-independent, so states
+    are deterministic regardless of partitioning."""
+    scaled = F.round(F.col(value_col) * (10**digits), 0).cast("long")
+    return df.groupBy(
+        F.date_format(F.date_trunc("hour", F.col(ts_col)), HOUR_FMT).alias("hour_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(scaled).alias("scaled_sum"),
+    )
+
+
+def merge_hourly_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of partial states: union + re-aggregate. The
+    shuffle is over (hour_key) on pre-aggregated rows — cardinality =
+    number of distinct hours, not number of events."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("hour_key").agg(
+        F.sum("n").alias("n"),
+        F.sum("scaled_sum").alias("scaled_sum"),
+    )
+
+
+def finalize_hourly(state: DataFrame, digits: int = 2) -> DataFrame:
+    """Derive presentation metrics from state (one double division at
+    the end, per the determinism rules in plans/base.py)."""
+    denom = float(10**digits)
+    return state.select(
+        "hour_key",
+        F.col("n").alias("n_events"),
+        F.round(F.col("scaled_sum") / denom, 2).alias("total_value"),
+        F.round(F.col("scaled_sum") / denom / F.col("n"), 4).alias("avg_value"),
+    )

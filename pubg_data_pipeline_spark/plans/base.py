@@ -65,6 +65,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_queries,
         relational_queries,
         sql_queries,
+        stat_queries,
         tpch_queries,
         windowed_queries,
     )
@@ -79,6 +80,7 @@ def all_specs() -> dict[str, QuerySpec]:
         sql_queries,
         function_queries,
         curation_queries,
+        stat_queries,
     ):
         for spec in module.SPECS:
             if spec.name in specs:

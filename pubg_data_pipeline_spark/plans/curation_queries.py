@@ -246,22 +246,31 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fraction (high top-2-gram fraction = boilerplate/spam signal).
 
     Entirely array-expression work fused into the scan projection — no
-    shuffle at all; the nested filter-count is O(m^2) in document
-    length, the right trade below ~1k tokens (above that, explode +
-    two-level count; same results, one shuffle)."""
+    shuffle at all. The most-frequent-2-gram count is computed as the
+    longest run of equal adjacent elements in the SORTED gram array —
+    one O(m log m) sort + one O(m) fold per document. (The naive form,
+    `transform(distinct(grams), g -> size(filter(grams, = g)))`, is not
+    just O(m²): Catalyst inlines the `grams` expression tree into the
+    inner lambda, so the regexp tokenization itself re-ran per distinct
+    gram — measured 19.6s vs <1s for the whole query at sf0.1.)"""
     docs = _docs(spark, sf_dir)
     toks = word_tokens(F.lower(F.col("text")))
     n_words = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     grams = word_ngrams(F.col("text"), 2)
-    top_count = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(grams),
-                lambda g: F.size(F.filter(grams, lambda x: x == g)),
-            )
-        ),
-        F.lit(0),
+    run_step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    top_count = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        run_step,
+        lambda acc: acc["best"],
     )
     non_ws_len = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
     return docs.select(

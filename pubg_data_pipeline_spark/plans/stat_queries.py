@@ -1,0 +1,495 @@
+"""Statistical / distribution / vector-analysis query batch.
+
+Extends the engine's aggregate surface (SURVEY.md §2.5) past what the
+reference computes: the reference's only statistics are avg+stddev for
+the Z-score detector (`spark_apps/advanced_analytics.py:174-196`).
+Production users of such a pipeline immediately need the neighboring
+tools — regression, higher moments, robust (median/MAD) anomaly
+detection, histograms, conditional aggregates — and the LLM-pipeline
+extension needs vector diagnostics (quantization error, per-class
+centroid spread). All are pure JVM-side DataFrame plans (no UDFs), so
+Catalyst gets partial aggregation / AQE for free at 100 TB.
+
+Cross-engine determinism follows plans/base.py rules: Spark's
+skewness/kurtosis are *population* moments (g1, excess g2) while
+DuckDB's built-ins are sample-corrected, so the oracles compute the
+population definitions from raw central moments explicitly; medians
+interpolate identically (Spark ``percentile``/``median`` vs DuckDB
+``quantile_cont``); boundary comparisons happen on ROUNDED values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.operators import incremental
+from pubg_data_pipeline_spark.plans.base import QuerySpec
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+
+def lineitem_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates: slope/intercept/R² of extended
+    price on quantity per return flag — the one-pass OLS kit
+    (`regr_*`), the natural next step after the reference's avg/stddev
+    surface (advanced_analytics.py:174-181)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    agged = li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        F.regr_slope("l_extendedprice", "l_quantity").alias("slope"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("icept"),
+        F.regr_r2("l_extendedprice", "l_quantity").alias("r2"),
+    )
+    return agged.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_items"),
+        F.round("slope", 4).alias("slope"),
+        F.round("icept", 4).alias("intercept"),
+        F.round("r2", 6).alias("r_squared"),
+    )
+
+
+_REGR_SQL = """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_items,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r_squared
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher distribution moments per event type. Spark's skewness /
+    kurtosis are population g1 and excess g2; DuckDB's built-ins are
+    sample-corrected, so the oracle computes the population forms from
+    raw central moments (verified bit-matching through 6dp)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    agged = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.skewness("value").alias("sk"),
+        F.kurtosis("value").alias("ku"),
+    )
+    return agged.select(
+        "event_type",
+        "n",
+        F.round("sk", 4).alias("skewness"),
+        F.round("ku", 4).alias("kurtosis"),
+    )
+
+
+_MOMENTS_SQL = """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n, AVG(value) AS mu
+  FROM events GROUP BY event_type
+), c AS (
+  SELECT e.event_type, MIN(m.n) AS n,
+         AVG(POW(value - mu, 2)) AS m2,
+         AVG(POW(value - mu, 3)) AS m3,
+         AVG(POW(value - mu, 4)) AS m4
+  FROM events e JOIN m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT event_type, n,
+       ROUND(m3 / POW(m2, 1.5), 4) AS skewness,
+       ROUND(m4 / POW(m2, 2) - 3, 4) AS kurtosis
+FROM c
+"""
+
+
+def user_value_median_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-native twin of ``user_value_median``: ``F.median``
+    (exact interpolated percentile) instead of the Arrow grouped-map
+    path — at 100 TB this stays inside Tungsten hash aggregation with
+    no Python workers."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.median("value"), 4).alias("median_value"),
+    )
+
+
+_MEDIAN_NATIVE_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(median(value) AS DOUBLE), 4) AS median_value
+FROM events GROUP BY user_id
+"""
+
+
+def lineitem_conditional_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate kit: count_if / bool_and / bool_or — the
+    declarative form of the reference's per-row threshold counters
+    (alert_manager.py:398-461 keeps such counters imperatively)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 45.0).alias("n_bulk"),
+        F.bool_and(F.col("l_extendedprice") > 0.0).alias("all_priced"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
+_CONDITIONAL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+       CAST(COUNT(*) FILTER (WHERE l_quantity >= 45.0) AS BIGINT) AS n_bulk,
+       bool_and(l_extendedprice > 0.0) AS all_priced,
+       bool_or(l_tax > 0.07) AS any_high_tax
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def order_price_width_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via ``width_bucket`` (10 buckets over
+    [0, 500000)) — the engine-side form of a dashboard histogram
+    panel. DuckDB lacks width_bucket, so the oracle states the same
+    floor arithmetic explicitly (bucket 0 / n+1 are the underflow /
+    overflow bins; verified to agree on exact boundaries)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(10)
+    ).cast("long")
+    agged = orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return agged.withColumn(
+        "bucket_lo", (F.col("bucket") - 1).cast("double") * 50000.0
+    )
+
+
+_WIDTH_BUCKET_SQL = """
+SELECT bucket, COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       CAST((bucket - 1) * 50000.0 AS DOUBLE) AS bucket_lo
+FROM (
+  SELECT o_totalprice,
+         CASE WHEN o_totalprice < 0 THEN 0
+              WHEN o_totalprice >= 500000 THEN 11
+              ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket
+  FROM orders
+) GROUP BY bucket
+"""
+
+
+def event_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection per event type — the
+    outlier-resistant upgrade of the reference's mean/stddev Z-score
+    detector (advanced_analytics.py:174-196, threshold at :184).
+    Flags |value - median| > 3 * 1.4826 * MAD (1.4826 scales MAD to σ
+    under normality). Two median passes with broadcast joins back —
+    the same lazy crossjoin-broadcast shape as operators/zscore.py,
+    never a driver-side collect. Boundary compares on ROUNDED values
+    so fp noise cannot flip a flag across engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    agged = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("med").alias("raw_med"),
+        F.min("mad").alias("raw_mad"),
+        F.count_if(
+            F.round("dev", 6) > F.round(F.lit(3 * 1.4826) * F.col("mad"), 6)
+        ).alias("n_anomalies"),
+    )
+    return agged.select(
+        "event_type",
+        "n_events",
+        F.round("raw_med", 4).alias("median_value"),
+        F.round("raw_mad", 4).alias("mad_value"),
+        "n_anomalies",
+    )
+
+
+_MAD_SQL = """
+WITH ev AS (
+  SELECT event_type, value FROM events
+), med AS (
+  SELECT event_type, CAST(median(value) AS DOUBLE) AS med FROM ev GROUP BY event_type
+), dev AS (
+  SELECT ev.event_type, value, med, abs(value - med) AS dev
+  FROM ev JOIN med ON ev.event_type = med.event_type
+), mad AS (
+  SELECT event_type, CAST(median(dev) AS DOUBLE) AS mad FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       COUNT(*) AS n_events,
+       ROUND(MIN(med), 4) AS median_value,
+       ROUND(MIN(mad), 4) AS mad_value,
+       CAST(COUNT(*) FILTER (WHERE ROUND(dev, 6) > ROUND(3 * 1.4826 * mad, 6)) AS BIGINT)
+         AS n_anomalies
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+"""
+
+
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embedding vectors + reconstruction
+    RMSE — the storage-side half of vector search at 100 TB (4× size
+    reduction before LSH/IVF probing). Pure higher-order functions
+    (transform / zip_with / aggregate): per-element double arithmetic
+    is IEEE-identical across engines, and aggregate's sequential fold
+    matches DuckDB's list_sum ordering within the 6dp rounding."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    df = emb.withColumn("maxabs", F.array_max(F.transform("v", F.abs)))
+    df = df.withColumn(
+        "q",
+        F.transform(
+            "v", lambda x: F.round(x * 127.0 / F.col("maxabs"), 0).cast("int")
+        ),
+    )
+    sq_err = F.aggregate(
+        F.zip_with(
+            "v",
+            "q",
+            lambda x, qv: F.pow(
+                x - qv.cast("double") * F.col("maxabs") / 127.0, F.lit(2.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        "vec_id",
+        F.round("maxabs", 6).alias("max_abs"),
+        F.element_at("q", 1).alias("q_first"),
+        F.round(F.sqrt(sq_err / F.size("v")), 6).alias("rmse"),
+    )
+
+
+_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), m AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e
+), q AS (
+  SELECT vec_id, v, maxabs,
+         list_transform(v, x -> CAST(ROUND(x * 127.0 / maxabs, 0) AS INT)) AS qv
+  FROM m
+)
+SELECT vec_id,
+       ROUND(maxabs, 6) AS max_abs,
+       qv[1] AS q_first,
+       ROUND(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                                          i -> pow(v[i] - qv[i] * maxabs / 127.0, 2)))
+                  / len(v)), 6) AS rmse
+FROM q
+"""
+
+
+def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean) and mean member distance
+    to it — the cluster-quality diagnostic behind IVF cell training
+    (operators/similarity.py). posexplode → two grouped aggregations;
+    shuffles on (label, pos) then (label, vec_id), both well below
+    shuffle-partition granularity at any scale since dimensionality is
+    fixed (64)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = e.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    dist = (
+        e.join(cent, ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum(F.pow(F.col("x") - F.col("c"), F.lit(2.0))).alias("d2"))
+    )
+    per_label = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.sqrt("d2")), 4).alias("mean_dist"),
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm")
+    )
+    return per_label.join(cnorm, "label")
+
+
+_CENTROID_SQL = """
+WITH v AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), x AS (
+  SELECT label, vec_id,
+         CAST(u['pos'] AS INT) AS pos, CAST(u['x'] AS DOUBLE) AS x
+  FROM (
+    SELECT label, vec_id,
+           unnest(list_transform(generate_series(1, len(v)),
+                                 i -> {'pos': i - 1, 'x': v[i]})) AS u
+    FROM v
+  )
+), cent AS (
+  SELECT label, pos, AVG(x) AS c FROM x GROUP BY label, pos
+), dist AS (
+  SELECT x.label, vec_id, SUM(POW(x - c, 2)) AS d2
+  FROM x JOIN cent ON x.label = cent.label AND x.pos = cent.pos
+  GROUP BY x.label, vec_id
+), per_label AS (
+  SELECT label, COUNT(*) AS n_vecs, ROUND(AVG(sqrt(d2)), 4) AS mean_dist
+  FROM dist GROUP BY label
+), cn AS (
+  SELECT label, ROUND(sqrt(SUM(c * c)), 4) AS centroid_norm FROM cent GROUP BY label
+)
+SELECT per_label.label, n_vecs, mean_dist, centroid_norm
+FROM per_label JOIN cn ON per_label.label = cn.label
+"""
+
+
+def user_value_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra kit (array_intersect / array_except /
+    arrays_overlap) over per-user behavior profiles: event types seen
+    on high-value (≥50) vs low-value events. Sizes and flags only —
+    canonical scalar outputs, per the determinism rules on list-typed
+    results."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    hi = F.col("value") >= 50.0
+    agged = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set(F.when(hi, F.col("event_type")))).alias("hi_types"),
+        F.array_sort(F.collect_set(F.when(~hi, F.col("event_type")))).alias("lo_types"),
+    )
+    return agged.select(
+        "user_id",
+        F.size("hi_types").alias("n_hi_types"),
+        F.size("lo_types").alias("n_lo_types"),
+        F.size(F.array_intersect("hi_types", "lo_types")).alias("n_common"),
+        F.size(F.array_except("hi_types", "lo_types")).alias("n_hi_only"),
+        F.arrays_overlap("hi_types", "lo_types").alias("any_common"),
+    )
+
+
+_OVERLAP_SQL = """
+WITH a AS (
+  SELECT user_id,
+         COALESCE(list_sort(list(DISTINCT event_type) FILTER (WHERE value >= 50.0)), []) AS hi_types,
+         COALESCE(list_sort(list(DISTINCT event_type) FILTER (WHERE value < 50.0)), []) AS lo_types
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(hi_types) AS INT) AS n_hi_types,
+       CAST(len(lo_types) AS INT) AS n_lo_types,
+       CAST(len(list_intersect(hi_types, lo_types)) AS INT) AS n_common,
+       CAST(len(list_filter(hi_types, x -> NOT list_contains(lo_types, x))) AS INT) AS n_hi_only,
+       list_has_any(hi_types, lo_types) AS any_common
+FROM a
+"""
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (docs 0-199) — the classic
+    relevance/keyword extractor for corpus triage. Token explode →
+    (doc, term) counts → document frequency → ln(N/df) weight → per-doc
+    top-3 by ROUNDED score with a term tie-break (rank on rounded
+    values per base.py rules). The document-frequency side is tiny
+    (vocab) and broadcast back; at 100 TB the same plan holds with the
+    vocab table consolidated via a two-level aggregation."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "rn", "term", "tf", "df", "score")
+    )
+
+
+_TFIDF_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM docs
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), total AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM docs
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * ln(n_docs * 1.0 / df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total
+)
+SELECT doc_id, rn, term, tf, df, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: two disjoint
+    event increments (split by event_id parity, standing in for 'the
+    existing rollup' and 'today's new partition') are reduced to
+    mergeable partial states independently, then merged and finalized
+    — proving final results equal a full recompute (the oracle). This
+    is the 100 TB rollup path: O(new data) per refresh instead of
+    O(history), because count/sum states are associative."""
+    ev = load_table(spark, sf_dir, "events")
+    left = incremental.partial_hourly_state(ev.filter(F.col("event_id") % 2 == 0))
+    right = incremental.partial_hourly_state(ev.filter(F.col("event_id") % 2 == 1))
+    return incremental.finalize_hourly(incremental.merge_hourly_states(left, right))
+
+
+_INCREMENTAL_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS total_value,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             / 100.0 / COUNT(*), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("lineitem_regression", lineitem_regression, _REGR_SQL, ("agg", "stats")),
+    QuerySpec("event_value_moments", event_value_moments, _MOMENTS_SQL, ("agg", "stats")),
+    QuerySpec(
+        "user_value_median_native", user_value_median_native, _MEDIAN_NATIVE_SQL, ("agg", "stats")
+    ),
+    QuerySpec(
+        "lineitem_conditional_flags", lineitem_conditional_flags, _CONDITIONAL_SQL, ("agg",)
+    ),
+    QuerySpec(
+        "order_price_width_buckets", order_price_width_buckets, _WIDTH_BUCKET_SQL, ("agg", "stats")
+    ),
+    QuerySpec("event_mad_anomalies", event_mad_anomalies, _MAD_SQL, ("agg", "stats", "anomaly")),
+    QuerySpec("embedding_quantization", embedding_quantization, _QUANTIZE_SQL, ("llm", "vector")),
+    QuerySpec(
+        "embedding_centroid_distance", embedding_centroid_distance, _CENTROID_SQL, ("llm", "vector")
+    ),
+    QuerySpec(
+        "user_value_type_overlap", user_value_type_overlap, _OVERLAP_SQL, ("agg", "array")
+    ),
+    QuerySpec("doc_tfidf_top_terms", doc_tfidf_top_terms, _TFIDF_SQL, ("llm", "window")),
+    QuerySpec(
+        "incremental_hourly_merge", incremental_hourly_merge, _INCREMENTAL_SQL, ("agg", "incremental")
+    ),
+]
