@@ -62,6 +62,7 @@ def all_specs() -> dict[str, QuerySpec]:
         curation_queries,
         events_queries,
         function_queries,
+        graph_queries,
         llm_queries,
         relational_queries,
         sql_queries,
@@ -81,6 +82,7 @@ def all_specs() -> dict[str, QuerySpec]:
         function_queries,
         curation_queries,
         stat_queries,
+        graph_queries,
     ):
         for spec in module.SPECS:
             if spec.name in specs:

@@ -1,0 +1,186 @@
+"""Cluster-closure dedup queries: near-dup pairs → connected
+components → canonical corpus, plus embedding-space (SemDeDup-style)
+dedup.
+
+Completes the dedup story the pairwise operators start: the reference
+pipeline has no dedup beyond alert suppression (reference:
+monitoring/alert_manager.py:83-94), and pairs alone under-delete when
+duplicates chain (A~B, B~C, A!~C). The DuckDB oracles close the same
+pair sets with a recursive transitive-closure CTE and min-over-
+reachable — O(cluster²) per cluster, fine at oracle scale; the Spark
+side uses the O(log d)-round distributed algorithm
+(operators/graph.py) that holds at 100 TB.
+
+Determinism: pair sets come from the already-oracle-checked exact
+Jaccard / rounded-cosine operators (threshold compares on ROUNDED
+values per plans/base.py), and cluster ids are min member ids — no
+hashes, no RNG, no ordering sensitivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.operators import dedup, graph
+from pubg_data_pipeline_spark.plans.base import QuerySpec
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact word-3-gram Jaccard pair set (same parameters as the
+    oracle-checked `doc_ngram_jaccard_pairs`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.05)
+
+
+# Shared oracle prelude: the pair set (verbatim from _JACCARD_SQL in
+# llm_queries.py), symmetrized into an undirected edge list, closed
+# into components by recursive reachability, labeled min-reachable-id.
+_CLOSURE_PRELUDE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(arr) - 2, 0)),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT node, MIN(r) AS component FROM reach GROUP BY node
+)
+"""
+
+
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters of the document corpus: exact 3-gram Jaccard
+    pairs (threshold 0.05) closed under transitivity. One row per
+    multi-member cluster: canonical keeper id (= min member), member
+    count, max member."""
+    return graph.dedup_clusters(_jaccard_pairs(spark, sf_dir))
+
+
+_CLUSTERS_SQL = _CLOSURE_PRELUDE + """
+SELECT component AS cluster_id,
+       COUNT(*) AS n_members,
+       MAX(node) AS max_member
+FROM comp GROUP BY component
+"""
+
+
+def doc_corpus_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped corpus itself: drop every doc that sits in a
+    near-dup cluster but is not the cluster's min-id keeper, then
+    per-language survivor stats. This is the materialization step a
+    100 TB curation run ships — anti-join against the (small) loser
+    set, broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = graph.deduped_corpus(docs, _jaccard_pairs(spark, sf_dir), "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_AFTER_DEDUP_SQL = _CLOSURE_PRELUDE + """
+, losers AS (
+  SELECT node AS doc_id FROM comp WHERE node != component
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY lang
+"""
+
+
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-space dedup (Abbas et al. 2023,
+    arXiv:2303.09540): within each cluster (the `label` column stands
+    in for the k-means assignment — operators/similarity.py:ivf_top_k
+    trains real cells), remove any vector with a LOWER-id neighbor at
+    cosine >= 0.45. Per-label reduction stats.
+
+    The within-cluster pair join is the whole point of the method: at
+    100 TB the O(n²) cosine comparison happens only inside clusters
+    (n/k rows each), shuffled on the cluster key — never corpus-wide."""
+    from pubg_data_pipeline_spark.functions.vectors import as_double_vec, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.repartition(spark.sparkContext.defaultParallelism, "label").select(
+        "label", "vec_id", as_double_vec(F.col("embedding")).alias("e")
+    )
+    a = v.select("label", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select("label", F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
+    dup = pairs.filter(
+        F.round(cosine(F.col("ea"), F.col("eb")), 6) >= 0.45
+    )
+    removed = dup.select("label", F.col("id_b").alias("vec_id")).distinct()
+    n_rem = removed.groupBy("label").agg(F.count(F.lit(1)).alias("n_removed"))
+    tot = v.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    out = tot.join(n_rem, "label", "left")
+    return out.select(
+        "label",
+        "n_vecs",
+        F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
+        (F.col("n_vecs") - F.coalesce(F.col("n_removed"), F.lit(0))).alias("n_kept"),
+    )
+
+
+_SEMANTIC_SQL = """
+WITH v AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), dup AS (
+  SELECT a.label, b.vec_id
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45
+  GROUP BY a.label, b.vec_id
+), n_rem AS (
+  SELECT label, COUNT(*) AS n_removed FROM dup GROUP BY label
+), tot AS (
+  SELECT label, COUNT(*) AS n_vecs FROM v GROUP BY label
+)
+SELECT tot.label, n_vecs,
+       COALESCE(n_removed, 0) AS n_removed,
+       n_vecs - COALESCE(n_removed, 0) AS n_kept
+FROM tot LEFT JOIN n_rem ON tot.label = n_rem.label
+"""
+
+
+SPECS = [
+    QuerySpec("doc_dup_clusters", doc_dup_clusters, _CLUSTERS_SQL, ("llm", "dedup", "graph")),
+    QuerySpec(
+        "doc_corpus_after_dedup", doc_corpus_after_dedup, _AFTER_DEDUP_SQL, ("llm", "dedup", "graph")
+    ),
+    QuerySpec(
+        "embedding_semantic_dedup", embedding_semantic_dedup, _SEMANTIC_SQL, ("llm", "dedup", "vector")
+    ),
+]

@@ -1,0 +1,51 @@
+"""Connected-components operator: planted structure, chain diameter
+(pointer-jump convergence), and cluster-dedup policy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.operators import graph
+
+
+def _cc(spark, edge_tuples):
+    edges = spark.createDataFrame(edge_tuples, "src long, dst long")
+    rows = graph.connected_components(edges).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_two_components(spark):
+    comp = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges(spark):
+    # A 40-node path graph: diameter 39 — plain flooding would need 39
+    # rounds (> max_iter); pointer jumping must close it well inside 25.
+    chain = [(i, i + 1) for i in range(100, 140)]
+    comp = _cc(spark, chain)
+    assert set(comp.values()) == {100}
+    assert len(comp) == 41
+
+
+def test_duplicate_and_reversed_edges_collapse(spark):
+    comp = _cc(spark, [(2, 1), (1, 2), (2, 1), (3, 3), (3, 4)])
+    assert comp[1] == 1 and comp[2] == 1
+    assert comp[3] == 3 and comp[4] == 3
+
+
+def test_dedup_clusters_and_corpus(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = {
+        r["cluster_id"]: (r["n_members"], r["max_member"])
+        for r in graph.dedup_clusters(pairs).collect()
+    }
+    assert clusters == {1: (3, 3), 10: (2, 11)}
+
+    docs = spark.range(0, 13).select(F.col("id").alias("doc_id"))
+    kept = graph.deduped_corpus(docs, pairs, "doc_id")
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # losers 2,3,11 dropped; singletons (0,4..9,12) and keepers (1,10) stay
+    assert kept_ids == [0, 1, 4, 5, 6, 7, 8, 9, 10, 12]
