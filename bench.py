@@ -53,6 +53,9 @@ HEADLINE = [
     "token_shard_packing",
     "benchmark_contamination",
     "purchase_last_signup_asof",
+    "doc_dup_clusters",
+    "embedding_semantic_dedup",
+    "incremental_hourly_distinct",
 ]
 
 

@@ -51,12 +51,27 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Size the loop's shuffle width to the edge count (~500k edges per
+    # partition), exactly as AQE would coalesce it: the near-dup edge
+    # list is orders smaller than the corpus, and running log-d rounds
+    # of 32-way shuffles over a few thousand edges spends everything on
+    # task scheduling. The count also materializes the checkpoint, so
+    # the (expensive) pair-generation upstream runs exactly once.
+    n_parts = max(1, min(e.sparkSession.sparkContext.defaultParallelism, e.count() // 500_000))
+    e = e.repartition(n_parts, "a").localCheckpoint(eager=False)
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    # Convergence detection: labels only ever decrease, so
+    # sum(comp) is strictly monotone until fixpoint — two equal
+    # consecutive sums mean no label moved. One tiny aggregation per
+    # round (which doubles as the action materializing the round's
+    # checkpoint) instead of a join against the previous labels.
+    # decimal(38,0) keeps the sum exact under ANSI mode at any id scale.
+    prev_sum = None
     for _ in range(max_iter):
         # 1. neighbor min: comp'(n) = min(comp(n), min_{m in N(n)} comp(m))
         nbr_min = (
@@ -87,16 +102,13 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = jumped.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = jumped
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("comp").alias("component"))
 
 

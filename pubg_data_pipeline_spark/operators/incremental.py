@@ -54,6 +54,46 @@ def merge_hourly_states(*states: DataFrame) -> DataFrame:
     )
 
 
+def partial_distinct_state(
+    df: DataFrame, ts_col: str = "ts", key_col: str = "user_id", lg_k: int = 12
+) -> DataFrame:
+    """Mergeable distinct-count state per hour: a Datasketches HLL
+    sketch (binary column) + exact row count. The sketch IS the
+    incremental form of countDistinct — exact distinct state would be
+    the full key set per bucket (unbounded); the HLL state is fixed
+    2^lg_k bytes regardless of cardinality, and union is associative,
+    so day-N refresh merges yesterday's stored sketch with today's
+    partial in O(buckets) (reference recomputes from scratch each
+    micro-batch: spark_apps/advanced_analytics.py:236-248)."""
+    return df.groupBy(
+        F.date_format(F.date_trunc("hour", F.col(ts_col)), HOUR_FMT).alias("hour_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lg_k)).alias("key_hll"),
+    )
+
+
+def merge_distinct_states(*states: DataFrame) -> DataFrame:
+    """Union + hll_union_agg: sketch merge is exact over the sketch
+    lattice (no estimation error added by merging)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("hour_key").agg(
+        F.sum("n").alias("n"),
+        F.hll_union_agg("key_hll").alias("key_hll"),
+    )
+
+
+def finalize_distinct(state: DataFrame) -> DataFrame:
+    """Estimate at read time; the stored state stays mergeable."""
+    return state.select(
+        "hour_key",
+        F.col("n").alias("n_events"),
+        F.hll_sketch_estimate("key_hll").alias("approx_distinct_keys"),
+    )
+
+
 def finalize_hourly(state: DataFrame, digits: int = 2) -> DataFrame:
     """Derive presentation metrics from state (one double division at
     the end, per the determinism rules in plans/base.py)."""

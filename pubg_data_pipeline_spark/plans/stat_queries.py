@@ -457,6 +457,21 @@ def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.finalize_hourly(incremental.merge_hourly_states(left, right))
 
 
+def incremental_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-state twin of ``incremental_hourly_merge``: per-hour
+    distinct users via mergeable HLL partial states (two disjoint
+    increments merged, then estimated). No DuckDB oracle — its HLL is
+    a different implementation — so the driver runs the rows-only
+    check; tests/test_incremental.py pins merge-associativity (exact)
+    and estimate error (<5% vs true distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    left = incremental.partial_distinct_state(ev.filter(F.col("event_id") % 2 == 0))
+    right = incremental.partial_distinct_state(ev.filter(F.col("event_id") % 2 == 1))
+    return incremental.finalize_distinct(
+        incremental.merge_distinct_states(left, right)
+    )
+
+
 _INCREMENTAL_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key,
        COUNT(*) AS n_events,
@@ -491,5 +506,8 @@ SPECS = [
     QuerySpec("doc_tfidf_top_terms", doc_tfidf_top_terms, _TFIDF_SQL, ("llm", "window")),
     QuerySpec(
         "incremental_hourly_merge", incremental_hourly_merge, _INCREMENTAL_SQL, ("agg", "incremental")
+    ),
+    QuerySpec(
+        "incremental_hourly_distinct", incremental_hourly_distinct, None, ("agg", "incremental", "sketch")
     ),
 ]

@@ -1,0 +1,66 @@
+"""Incremental-state operators: merge associativity (split-and-merge
+must equal single-pass exactly) and HLL estimate quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.operators import incremental
+from tests.conftest import SF_DIR
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+
+def test_hourly_merge_equals_single_pass(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    left = incremental.partial_hourly_state(ev.filter(F.col("event_id") % 2 == 0))
+    right = incremental.partial_hourly_state(ev.filter(F.col("event_id") % 2 == 1))
+    merged = incremental.finalize_hourly(
+        incremental.merge_hourly_states(left, right)
+    ).collect()
+    single = incremental.finalize_hourly(incremental.partial_hourly_state(ev)).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, single))
+
+
+def test_hll_merge_equals_single_pass_exactly(spark):
+    # Sketch union is deterministic on the sketch lattice: merging two
+    # disjoint partials must give the SAME estimate as one pass.
+    ev = load_table(spark, SF_DIR, "events")
+    left = incremental.partial_distinct_state(ev.filter(F.col("event_id") % 2 == 0))
+    right = incremental.partial_distinct_state(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {
+        r["hour_key"]: (r["n_events"], r["approx_distinct_keys"])
+        for r in incremental.finalize_distinct(
+            incremental.merge_distinct_states(left, right)
+        ).collect()
+    }
+    single = {
+        r["hour_key"]: (r["n_events"], r["approx_distinct_keys"])
+        for r in incremental.finalize_distinct(
+            incremental.partial_distinct_state(ev)
+        ).collect()
+    }
+    assert merged == single
+
+
+def test_hll_estimate_within_5pct_of_exact(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {
+        r["hour_key"]: r["approx_distinct_keys"]
+        for r in incremental.finalize_distinct(
+            incremental.partial_distinct_state(ev)
+        ).collect()
+    }
+    exact = {
+        r["hour_key"]: r["exact"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), incremental.HOUR_FMT).alias(
+                "hour_key"
+            )
+        )
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for hk, est in approx.items():
+        true = exact[hk]
+        assert abs(est - true) <= max(0.05 * true, 2), (hk, est, true)
