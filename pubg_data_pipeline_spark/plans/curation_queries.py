@@ -345,8 +345,56 @@ FROM (
 """
 
 
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: order the corpus by a
+    content-independent hash (md5 of a salted id — NEVER an RNG, so
+    the permutation is reproducible across runs/engines/partitioning),
+    deal documents into 8 shards by hash prefix, and order within each
+    shard by the hash. Emits per-shard stats incl. the hash-order
+    first/last doc (min_by/max_by pins the within-shard ordering for
+    the oracle).
+
+    At 100 TB this is exactly a shuffled write: shard = repartition
+    key, hash = sortWithinPartitions key — one shuffle, then a
+    streaming-friendly ordered parquet write per shard
+    (sources/io.py:write_partitioned_by_date is the same shape keyed
+    by date instead of hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shuffle-"), F.col("doc_id").cast("string")))
+    sharded = docs.select(
+        "doc_id",
+        "n_chars",
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 8).alias("shard"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min_by("doc_id", F.col("h")).alias("first_doc"),
+        F.max_by("doc_id", F.col("h")).alias("last_doc"),
+    )
+
+
+_SHUFFLE_SQL = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         md5('shuffle-' || doc_id) AS h,
+         CAST(('0x' || substring(md5('shuffle-' || doc_id), 1, 8)) AS BIGINT) % 8 AS shard
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       min_by(doc_id, h) AS first_doc,
+       max_by(doc_id, h) AS last_doc
+FROM s GROUP BY shard
+"""
+
+
 SPECS = [
     QuerySpec("corpus_split_stats", corpus_split_stats, _SPLIT_SQL, ("curation",)),
+    QuerySpec(
+        "training_shuffle_shards", training_shuffle_shards, _SHUFFLE_SQL, ("curation",)
+    ),
     QuerySpec(
         "stratified_source_sample", stratified_source_sample, _STRATIFIED_SQL, ("curation",)
     ),
