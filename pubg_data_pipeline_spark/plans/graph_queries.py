@@ -129,18 +129,34 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The within-cluster pair join is the whole point of the method: at
     100 TB the O(n²) cosine comparison happens only inside clusters
-    (n/k rows each), shuffled on the cluster key — never corpus-wide."""
-    from pubg_data_pipeline_spark.functions.vectors import as_double_vec, cosine
+    (n/k rows each), shuffled on the cluster key — never corpus-wide.
+    Vectors are L2-normalized per ROW before the join, so the per-PAIR
+    work is one dot product instead of dot + two norm recomputations
+    (the naive cosine-in-join-condition form folds all three array
+    folds into the join predicate — 3× the flops on the n² side)."""
+    from pubg_data_pipeline_spark.functions.vectors import as_double_vec, dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.repartition(spark.sparkContext.defaultParallelism, "label").select(
+    raw = emb.repartition(spark.sparkContext.defaultParallelism, "label").select(
         "label", "vec_id", as_double_vec(F.col("embedding")).alias("e")
     )
-    a = v.select("label", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = v.select("label", F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    # Materialize the norm as a named column BEFORE the transform
+    # lambda and keep a Filter between the two projections: an
+    # aggregate fold inlined into a higher-order-function lambda is
+    # re-evaluated per element (see functions/text.py:_ngram_array).
+    with_norm = raw.select(
+        "label", "vec_id", "e", F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm")
+    )
+    v = with_norm.filter(F.col("nrm") > 0.0).select(
+        "label",
+        "vec_id",
+        F.transform("e", lambda x: x / F.col("nrm")).alias("u"),
+    )
+    a = v.select("label", F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
+    b = v.select("label", F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
     pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
     dup = pairs.filter(
-        F.round(cosine(F.col("ea"), F.col("eb")), 6) >= 0.45
+        F.round(dot(F.col("ua"), F.col("ub")), 6) >= 0.45
     )
     removed = dup.select("label", F.col("id_b").alias("vec_id")).distinct()
     n_rem = removed.groupBy("label").agg(F.count(F.lit(1)).alias("n_removed"))
@@ -155,13 +171,17 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMANTIC_SQL = """
-WITH v AS (
-  SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings
+WITH e0 AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), v AS (
+  SELECT label, vec_id, list_transform(e, x -> x / nrm) AS u
+  FROM e0 WHERE nrm > 0.0
 ), dup AS (
   SELECT a.label, b.vec_id
   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(a.e, b.e)
-              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45
+  WHERE ROUND(list_dot_product(a.u, b.u), 6) >= 0.45
   GROUP BY a.label, b.vec_id
 ), n_rem AS (
   SELECT label, COUNT(*) AS n_removed FROM dup GROUP BY label
