@@ -101,6 +101,65 @@ def streaming_analytics(
     )
 
 
+def rollup_merge_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> None:
+    """One epoch of incremental materialized-rollup maintenance: reduce
+    the micro-batch to mergeable partial state (operators/incremental),
+    merge with the stored state table, swap the store.
+
+    This is the cross-run form of streaming aggregation: state lives in
+    a TABLE (readable by any engine, survives checkpoint deletion, can
+    span years), not in the streaming state store; each refresh costs
+    O(micro-batch + state buckets), never O(history). The swap below is
+    write-new-then-rename on a filesystem; on an object store / lake
+    deployment the same epoch body targets a Delta/Iceberg MERGE INTO,
+    which makes the swap transactional — the plan shape is identical.
+    """
+    import os
+    import shutil
+
+    from pubg_data_pipeline_spark.operators import incremental
+
+    spark = batch_df.sparkSession
+    partial = incremental.partial_hourly_state(batch_df, ts_col, value_col)
+    if os.path.isdir(state_path):
+        old = spark.read.parquet(state_path)
+        merged = incremental.merge_hourly_states(old, partial)
+    else:
+        merged = partial
+    tmp = f"{state_path}.tmp-{epoch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(state_path):
+        shutil.rmtree(state_path)
+    os.rename(tmp, state_path)
+
+
+def incremental_rollup_stream(
+    event_stream: DataFrame,
+    state_path: str,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Event stream -> continuously-maintained hourly rollup table.
+
+    The stored state is the PARTIAL form (count + exact scaled sum) —
+    finalize with ``incremental.finalize_hourly(spark.read.parquet(
+    state_path))`` at read time. With ``available_now=True`` the same
+    query definition backfills history and stops."""
+    return sinks.foreach_batch_sink(
+        event_stream,
+        lambda df, eid: rollup_merge_epoch(df, eid, state_path),
+        trigger_seconds,
+        output_mode="update",
+        available_now=available_now,
+    )
+
+
 def streaming_hourly_aggregates(
     flat_match_stream: DataFrame,
     event_time_col: str = "created_at",

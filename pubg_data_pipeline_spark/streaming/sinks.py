@@ -73,19 +73,26 @@ def foreach_batch_sink(
     fn: Callable[[DataFrame, int], None],
     trigger_seconds: int = 60,
     output_mode: str = "append",
+    available_now: bool = False,
 ) -> StreamingQuery:
     """foreachBatch escape hatch (reference:
     spark_apps/advanced_analytics.py:284-288). The callback receives a
     materialized batch_df per epoch; callers should persist()/
     unpersist() it when issuing multiple actions — the reference
     recomputes its batch ~10× by skipping that (SURVEY.md §4.2 item 2).
-    """
-    return (
-        df.writeStream.foreachBatch(fn)
-        .outputMode(output_mode)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
-    )
+
+    ``available_now=True`` is the backfill/reprocessing mode: drain
+    everything currently in the source in rate-limited micro-batches,
+    then stop — same checkpointed exactly-once bookkeeping, so one job
+    definition serves both the 60 s live loop and a historical catch-up
+    run (the reference cannot backfill at all: offsets policy `latest`,
+    BASELINE.md)."""
+    writer = df.writeStream.foreachBatch(fn).outputMode(output_mode)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def kafka_json_sink(
