@@ -37,9 +37,11 @@ def severity_expr(kills: Column, damage: Column, max_zscore: Column) -> Column:
     """Alert severity classification as a chained CASE expression.
 
     reference: monitoring/alert_manager.py:366-396 —
-    HIGH:   kills>=20 or damage>=4000 or any |z|>=4   (:387-389)
-    MEDIUM: kills>=15 or damage>=2500 or any |z|>=3   (:392-394)
-    else LOW.
+    HIGH:   kills>=20 or damage>=4000 or any z>=4   (:387-389)
+    MEDIUM: kills>=15 or damage>=2500 or any z>=3   (:392-394)
+    else LOW. The z comparisons are SIGNED (the reference abs()es in
+    the anomaly filter, advanced_analytics.py:193-195, but not here),
+    so ``max_zscore`` = max of the signed per-metric z-scores.
     """
     return (
         F.when((kills >= 20) | (damage >= 4000) | (max_zscore >= 4), F.lit("HIGH"))
