@@ -87,6 +87,31 @@ def last_by(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def forward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap fill per series:
+    ``last(value, ignorenulls=True)`` over a running row frame — the
+    standard sensor/metrics repair for missing samples (the reference's
+    dashboards rely on Grafana ``fill(previous)``; this is the
+    engine-side equivalent, cf. spine_filled_agg for the zero-fill
+    form). One window sort per series partition, no shuffle beyond the
+    partition exchange; at 100 TB series keys partition the sort."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or f"{value_col}_filled",
+        F.last(F.col(value_col), ignorenulls=True).over(w),
+    )
+
+
 def recent_top_k(df: DataFrame, ts_col: str, tiebreak: str, k: int = 10) -> DataFrame:
     """``ORDER BY time DESC LIMIT k`` (dashboard Q7) — plans as
     TakeOrderedAndProject (distributed two-phase top-k)."""

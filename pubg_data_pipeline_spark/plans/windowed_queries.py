@@ -414,8 +414,56 @@ FROM orders
 """
 
 
+def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) gap repair per user series: values on every
+    third event are masked to NULL (a deterministic stand-in for
+    dropped sensor samples), then carried forward from the last
+    non-null observation in (ts, event_id) order. Emits only the
+    masked rows (the interesting ones) with their filled value."""
+    from pubg_data_pipeline_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    masked = ev.withColumn(
+        "v_masked",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    filled = timeseries.forward_fill(
+        masked, ["user_id"], ["ts", "event_id"], "v_masked", out_col="v_filled"
+    )
+    return (
+        filled.filter(F.col("v_masked").isNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.round("v_filled", 4).alias("filled_value"),
+        )
+    )
+
+
+_LOCF_SQL = """
+WITH m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v_masked
+  FROM events
+), f AS (
+  SELECT user_id, event_id, v_masked,
+         last_value(v_masked IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+  FROM m
+)
+SELECT user_id, event_id, ROUND(v_filled, 4) AS filled_value
+FROM f WHERE v_masked IS NULL
+"""
+
+
 SPECS = [
     QuerySpec("tumbling_10min_counts", tumbling_10min_counts, _TUMBLING_SQL, ("time", "window")),
+    QuerySpec("user_value_locf", user_value_locf, _LOCF_SQL, ("time", "window")),
     QuerySpec("order_price_distribution", order_price_distribution, _DISTRIBUTION_SQL, ("window",)),
     QuerySpec("sliding_hourly_counts", sliding_hourly_counts, _SLIDING_SQL, ("time", "window")),
     QuerySpec("user_sessions", user_sessions, _SESSIONS_SQL, ("time", "window")),

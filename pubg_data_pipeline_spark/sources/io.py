@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -53,6 +53,66 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def _spread_bits16(x: Column) -> Column:
+    """Spread the low 16 bits of ``x`` to even positions (classic
+    Morton magic-mask sequence) — pure JVM bit ops, codegen-friendly."""
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: min-max-normalize two numeric
+    columns to 16 bits each, interleave into a Morton key, range-
+    partition + sort the data by it, write one sorted file per range.
+
+    Why: parquet keeps per-file/row-group min-max stats; a file sorted
+    on ONE column gives perfect skipping on that column and none on
+    the other. Z-ordering makes files into tiles of the (a, b) plane,
+    so range predicates on EITHER column (or both) prune files — the
+    multi-dimensional data-skipping layout (Delta OPTIMIZE ZORDER BY
+    semantics, built from plain Spark ops). The min/max bounds come
+    from one cheap aggregate, joined back lazily via broadcast — no
+    driver collect in the plan."""
+    bounds = df.agg(
+        F.min(col_a).alias("__amin"),
+        F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"),
+        F.max(col_b).alias("__bmax"),
+    )
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    norm_a = F.round(
+        (F.col(col_a) - F.col("__amin"))
+        / F.greatest(F.col("__amax") - F.col("__amin"), F.lit(1))
+        * 65535,
+        0,
+    ).cast("long")
+    norm_b = F.round(
+        (F.col(col_b) - F.col("__bmin"))
+        / F.greatest(F.col("__bmax") - F.col("__bmin"), F.lit(1))
+        * 65535,
+        0,
+    ).cast("long")
+    zkey = F.shiftleft(_spread_bits16(norm_a), 1).bitwiseOR(_spread_bits16(norm_b))
+    (
+        with_bounds.withColumn("__z", zkey)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__amin", "__amax", "__bmin", "__bmax", "__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:

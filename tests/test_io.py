@@ -83,3 +83,36 @@ def test_bucket_key_aggregation_skips_exchange(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS lineitem_b2")
+
+
+def test_zorder_write_tiles_both_columns(spark, tmp_path):
+    # 64x64 grid of (a, b): a linear sort on `a` gives each file the
+    # FULL range of b (no skipping on b); z-order must give every file
+    # a narrow span on BOTH columns.
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("a"), (F.col("id") / n).cast("long").alias("b")
+    )
+    zpath = str(tmp_path / "zordered")
+    io.write_zordered(grid, zpath, "a", "b", num_files=16)
+
+    spans = (
+        spark.read.parquet(zpath)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("a") - F.min("a")).alias("span_a"),
+            (F.max("b") - F.min("b")).alias("span_b"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 8
+    avg_span_a = sum(r["span_a"] for r in spans) / len(spans)
+    avg_span_b = sum(r["span_b"] for r in spans) / len(spans)
+    # Perfect tiling of 16 files over a 64x64 grid = 16x16 tiles
+    # (span 15). Allow slack for range-boundary sampling; the point is
+    # BOTH spans are far below the full range (63), which a
+    # single-column sort cannot achieve (span_b would be ~63).
+    assert avg_span_a < 32, avg_span_a
+    assert avg_span_b < 32, avg_span_b
+    # and the data survives the layout intact
+    assert spark.read.parquet(zpath).count() == n * n
