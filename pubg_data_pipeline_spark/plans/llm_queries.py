@@ -299,7 +299,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_top_k(
         emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
-        k=5, nlist=8, nprobe=3,
+        k=5, nlist=8, nprobe=3, cache_key=f"embeddings:{sf_dir}",
     )
 
 
