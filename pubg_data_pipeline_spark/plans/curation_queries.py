@@ -390,8 +390,65 @@ FROM s GROUP BY shard
 """
 
 
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size training-sequence chunking with overlap: each
+    document's token stream is cut into 64-token chunks at stride 48
+    (16-token overlap, the standard long-document pretraining prep).
+    Emits (doc_id, chunk_idx, n_tokens, chunk_md5) — the digest keeps
+    oracle rows narrow while pinning exact chunk CONTENT, not just
+    boundaries.
+
+    Explode-then-slice: the chunk index sequence explodes first (its
+    own projection — generators cannot nest), then each row slices its
+    token window. Row expansion is ~len/stride per doc with no shuffle
+    at all; at 100 TB this fuses into the scan and the output
+    partitioning inherits the input's."""
+    chunk, stride = 64, 48
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    )
+    idx = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.greatest(
+                    F.ceil((F.size("toks") - F.lit(chunk)) / F.lit(stride)),
+                    F.lit(0).cast("bigint"),
+                ),
+            )
+        ).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, chunk)
+    return idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(piece).alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents
+), idx AS (
+  SELECT doc_id, arr,
+         unnest(generate_series(0,
+           GREATEST(CAST(CEIL((len(arr) - 64) / 48.0) AS BIGINT), 0))) AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(arr[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)]) AS INT) AS n_tokens,
+       md5(array_to_string(arr[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ')) AS chunk_md5
+FROM idx
+"""
+
+
 SPECS = [
     QuerySpec("corpus_split_stats", corpus_split_stats, _SPLIT_SQL, ("curation",)),
+    QuerySpec("doc_chunking", doc_chunking, _CHUNK_SQL, ("curation", "llm")),
     QuerySpec(
         "training_shuffle_shards", training_shuffle_shards, _SHUFFLE_SQL, ("curation",)
     ),

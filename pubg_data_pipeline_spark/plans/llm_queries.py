@@ -88,6 +88,55 @@ FROM t
 """
 
 
+def doc_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a logistic model over the text
+    features (fixed literal weights standing in for trained fasttext/
+    linear-classifier coefficients — the engine-side serving path is
+    identical: score = sigmoid(w·x) as a pure column expression,
+    broadcastable to any corpus size with zero shuffle). The logit is
+    ROUNDED before the sigmoid and the keep decision compares the
+    ROUNDED score, per the cross-engine determinism rules."""
+    docs = _docs(spark, sf_dir)
+    cols = text_stats_columns(F.col("text"))
+    z = F.round(
+        F.lit(-2.0)
+        + F.least(cols["n_tokens"].cast("double"), F.lit(200.0)) * 0.02
+        + cols["stop_ratio"] * 6.0
+        - cols["punct_ratio"] * 8.0,
+        6,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return docs.select(
+        "doc_id",
+        score.alias("model_score"),
+        (score >= 0.5).cast("int").alias("kept"),
+    )
+
+
+_MODEL_SCORE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x IN ({_STOPS}))) AS stop_hits,
+         length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) * 1.0
+           / GREATEST(length(text), 1) AS praw
+  FROM documents
+), z AS (
+  SELECT doc_id,
+         ROUND(-2.0 + LEAST(CAST(n_tokens AS DOUBLE), 200.0) * 0.02
+               + (stop_hits * 1.0 / GREATEST(n_tokens, 1)) * 6.0
+               - praw * 8.0, 6) AS z
+  FROM t
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-z)), 4) AS model_score,
+       CAST(ROUND(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS INT) AS kept
+FROM z
+"""
+
+
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic vs. the labeled lang column."""
     docs = _docs(spark, sf_dir)
@@ -464,6 +513,9 @@ SPECS = [
     QuerySpec("embedding_cosine_near_dups", embedding_cosine_near_dups, _COSINE_DUPS_SQL, ("llm", "dedup")),
     QuerySpec("doc_embedding_profile", doc_embedding_profile, _DOC_EMB_SQL, ("llm", "join")),
     QuerySpec("doc_text_stats", doc_text_stats, _TEXT_STATS_SQL, ("llm", "text")),
+    QuerySpec(
+        "doc_quality_model_score", doc_quality_model_score, _MODEL_SCORE_SQL, ("llm", "text")
+    ),
     QuerySpec("doc_lang_id", doc_lang_id, _LANG_SQL, ("llm", "text")),
     QuerySpec("doc_ngram_jaccard_pairs", doc_ngram_jaccard_pairs, _JACCARD_SQL, ("llm", "dedup")),
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, _TOPK_SQL, ("llm", "ann")),
