@@ -115,6 +115,36 @@ def write_zordered(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_within_by: Sequence[str] | None = None,
+) -> None:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally re-sorted within files to
+    restore clustering for min-max skipping).
+
+    Streaming parquet sinks write one file per partition per
+    micro-batch — a 60 s trigger produces ~50k files/partition/month,
+    and at 100 TB file-listing + footer reads start to dominate scan
+    setup. Compaction is the standing maintenance job (OPTIMIZE in
+    lake formats). Write-to-temp-then-swap keeps readers consistent on
+    a filesystem; on a lake table the same plan commits as one
+    transaction."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    out = df.repartition(target_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = f"{path}.compact-tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 

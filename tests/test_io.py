@@ -116,3 +116,34 @@ def test_zorder_write_tiles_both_columns(spark, tmp_path):
     assert avg_span_b < 32, avg_span_b
     # and the data survives the layout intact
     assert spark.read.parquet(zpath).count() == n * n
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    p = str(tmp_path / "frag")
+    # simulate a streaming sink's fragmentation: 32 tiny files
+    spark.range(1000).repartition(32).write.parquet(p)
+    import glob
+
+    assert len(glob.glob(f"{p}/*.parquet")) == 32
+    io.compact_parquet(spark, p, target_files=4, sort_within_by=["id"])
+    assert len(glob.glob(f"{p}/*.parquet")) == 4
+    assert spark.read.parquet(p).count() == 1000
+
+
+def test_observed_metrics_single_pass(spark):
+    # Observation API: pipeline data-quality counters piggyback on the
+    # write action — no second scan of the input.
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    ev = load_table(spark, SF_DIR, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("value") < 0).alias("n_negative"),
+        F.max("ts").alias("max_ts"),
+    )
+    ev.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] > 0
+    assert got["n_negative"] == 0
+    assert got["max_ts"] is not None
