@@ -56,6 +56,8 @@ HEADLINE = [
     "doc_dup_clusters",
     "embedding_semantic_dedup",
     "incremental_hourly_distinct",
+    "corpus_vocabulary",
+    "paragraph_block_dedup",
 ]
 
 

@@ -1,0 +1,223 @@
+"""Round-2 SQL-surface widening: grouping metadata columns, ordered
+string aggregation, full-frame value windows, edit-distance fuzzy
+matching, and the pandas GROUPED_AGG UDF extension point.
+
+These close the remaining gaps called out in SURVEY.md §2.5/§2.6/§2.9
+beyond round 1: the reference never needs them, but a relational engine
+user expects the full surface, and each is a zero-cost Catalyst
+built-in (except the grouped-agg pandas UDF, which is deliberately the
+Arrow slow-path twin of an expressible aggregate).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.plans.base import QuerySpec, exact_scaled, sql_scaled
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+
+def order_priority_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping metadata: grouping_id() and
+    grouping() columns disambiguate which NULLs are aggregation
+    placeholders vs data — the piece status_priority_grouping_sets
+    leaves implicit. Bit semantics (1 = column aggregated away,
+    left-to-right) are identical in Spark and DuckDB.
+
+    Scale: single expand+hash-aggregate, partial map-side — same plan
+    as any rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    agged = orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.grouping("o_orderpriority").cast("int").alias("priority_rolled"),
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(exact_scaled(F.col("o_totalprice"))).alias("cents"),
+    )
+    return agged.select(
+        "gid",
+        "priority_rolled",
+        "o_orderstatus",
+        "o_orderpriority",
+        "order_count",
+        F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+    )
+
+
+_GROUPING_ID_SQL = f"""
+SELECT GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+       CAST(GROUPING(o_orderpriority) AS INT) AS priority_rolled,
+       o_orderstatus, o_orderpriority, COUNT(*) AS order_count,
+       ROUND(CAST(SUM({sql_scaled('o_totalprice', 2)}) AS BIGINT) / 100.0, 2) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def region_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG semantics): one
+    comma-joined, alphabetically ordered nation roster per region.
+    Spark 4 ships F.listagg, but its within-group order is not
+    guaranteed under partial aggregation — the deterministic form is
+    collect_list -> array_sort -> array_join, which this engine treats
+    as THE implementation (same result as DuckDB's
+    string_agg(... ORDER BY ...)).
+
+    Scale: grouped collect on a dimension-sized table; the broadcast
+    region-nation join never shuffles the fact side (there is none)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("int").alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+    )
+
+
+_ROSTER_SQL = """
+SELECT r_name, CAST(COUNT(*) AS INT) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def customer_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-frame value windows: per customer, the first order date,
+    last order date, and the price of the SECOND order (nth_value) over
+    the (date, orderkey)-ordered order history — one row per customer
+    via a rank filter. Covers first_value/last_value/nth_value, the
+    frame-sensitive window trio round 1 left out.
+
+    Scale: one shuffle on o_custkey serves every window (same
+    partitioning, Catalyst plans a single Window node chain); the rank
+    filter applies WindowGroupLimit pushdown where supported."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spanned = orders.select(
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.date_format(F.first_value("o_orderdate").over(wfull), "yyyy-MM-dd").alias(
+            "first_order_date"
+        ),
+        F.date_format(F.last_value("o_orderdate").over(wfull), "yyyy-MM-dd").alias(
+            "last_order_date"
+        ),
+        F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
+        F.count(F.lit(1)).over(wfull).alias("n_orders"),
+    )
+    return spanned.filter(F.col("rn") == 1).drop("rn")
+
+
+_SPAN_SQL = """
+SELECT o_custkey, first_order_date, last_order_date, second_price, n_orders
+FROM (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER w AS rn,
+         strftime(first_value(o_orderdate) OVER wf, '%Y-%m-%d') AS first_order_date,
+         strftime(last_value(o_orderdate) OVER wf, '%Y-%m-%d') AS last_order_date,
+         ROUND(nth_value(o_totalprice, 2) OVER wf, 2) AS second_price,
+         COUNT(*) OVER wf AS n_orders
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+) WHERE rn = 1
+"""
+
+
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: part-name pairs within the same
+    brand at Levenshtein distance <= 2 — the blocked fuzzy-join shape of
+    entity resolution (block key = brand keeps the candidate set
+    quadratic only within blocks, never corpus-wide).
+
+    Scale: the self-join shuffles once on the block key; at 100 TB the
+    block key must bound block size (here brand ~ |parts|/25; a real
+    pipeline adds a second blocking key or LSH before edit distance).
+    levenshtein() is a JVM built-in on both engines."""
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = parts.alias("a")
+    b = parts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("edit_dist") <= 2)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_brand").alias("p_brand"),
+            "edit_dist",
+        )
+    )
+
+
+_FUZZY_SQL = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_brand,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+def user_value_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user geometric mean of event values via a pandas GROUPED_AGG
+    UDF — the third Arrow extension point (§2.9: scalar mapInPandas and
+    grouped-map applyInPandas are covered elsewhere). The aggregate is
+    deliberately expressible (exp(avg(ln x)), the oracle) so the UDF
+    path is value-checked; 4dp rounding absorbs float summation-order
+    noise per base.py's rules.
+
+    Scale: grouped-agg pandas UDFs get partial aggregation disabled —
+    all rows of a group transfer to Python via Arrow. Use for genuinely
+    non-expressible aggregates only; this engine's default is the JVM
+    expression form."""
+    @F.pandas_udf("double")
+    def gmean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v).mean()))
+
+    # Catalyst forbids mixing GROUP_AGG pandas UDFs with JVM aggregates
+    # in one agg() — the count rides along as a second pandas aggregate.
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        n_rows("value").alias("n_events"),
+        F.round(gmean("value"), 4).alias("gmean_value"),
+    )
+
+
+_GMEAN_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(EXP(AVG(LN(value))), 4) AS gmean_value
+FROM events GROUP BY user_id
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "order_priority_grouping_id", order_priority_grouping_id, _GROUPING_ID_SQL, ("agg",)
+    ),
+    QuerySpec("region_nation_roster", region_nation_roster, _ROSTER_SQL, ("agg",)),
+    QuerySpec("customer_order_span", customer_order_span, _SPAN_SQL, ("window",)),
+    QuerySpec("part_name_fuzzy_pairs", part_name_fuzzy_pairs, _FUZZY_SQL, ("join", "text")),
+    QuerySpec("user_value_gmean", user_value_gmean, _GMEAN_SQL, ("agg", "pandas")),
+]

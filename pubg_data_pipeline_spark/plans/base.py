@@ -59,6 +59,8 @@ def all_specs() -> dict[str, QuerySpec]:
     """All registered query specs, keyed by name (import-light so
     __spark_entry__ can call it without side effects)."""
     from pubg_data_pipeline_spark.plans import (
+        analytic_queries,
+        corpus_queries,
         curation_queries,
         events_queries,
         function_queries,
@@ -83,6 +85,8 @@ def all_specs() -> dict[str, QuerySpec]:
         curation_queries,
         stat_queries,
         graph_queries,
+        corpus_queries,
+        analytic_queries,
     ):
         for spec in module.SPECS:
             if spec.name in specs:
