@@ -92,3 +92,34 @@ def test_q17_windowed_avg_single_lineitem_scan(spark):
     # the probe side
     plan = _plan(spark, "small_quantity_revenue")
     assert plan.count("Scan parquet") - plan.count("ReusedExchange") <= 2  # lineitem + part
+
+
+def test_corpus_vocabulary_two_phase_topk(spark):
+    # top-50 terms must be TakeOrderedAndProject (two-phase top-k),
+    # never a global sort, and the count aggregate must be partial+final
+    plan = _plan(spark, "corpus_vocabulary")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_paragraph_block_dedup_single_block_shuffle(spark):
+    # the keeper decision is one window over the block hash plus the
+    # per-doc re-aggregate — no self-join back to the corpus
+    plan = _plan(spark, "paragraph_block_dedup")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_fuzzy_pairs_block_join_not_cartesian(spark):
+    # the brand block key must drive an equi-join (hash or broadcast);
+    # levenshtein is a post-join filter, never a cartesian product
+    plan = _plan(spark, "part_name_fuzzy_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_grouping_id_is_expand_aggregate(spark):
+    # grouping sets plan as one Expand feeding a partial+final aggregate
+    plan = _plan(spark, "order_priority_grouping_id")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
