@@ -212,10 +212,39 @@ FROM events GROUP BY user_id
 """
 
 
+def doc_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF twin of doc_chunking (§2.9 UDTF surface): the same
+    64/48 chunker as a registered table function applied per row via
+    SQL LATERAL — checked against the SAME DuckDB oracle as the
+    expression form, so the two paths are pinned equal.
+
+    Scale: row-at-a-time Python — the deliberate slow lane. The engine
+    default is the JVM expression form; use a UDTF only for expansion
+    logic generator expressions can't state."""
+    from pubg_data_pipeline_spark.functions.udtfs import ChunkTextUDTF
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_v")
+    spark.udtf.register("chunk_text", ChunkTextUDTF)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5
+        FROM documents_v d, LATERAL chunk_text(d.text) c
+        """
+    )
+
+
+def _chunk_oracle() -> str:
+    from pubg_data_pipeline_spark.plans.curation_queries import _CHUNK_SQL
+
+    return _CHUNK_SQL
+
+
 SPECS = [
     QuerySpec(
         "order_priority_grouping_id", order_priority_grouping_id, _GROUPING_ID_SQL, ("agg",)
     ),
+    QuerySpec("doc_chunking_udtf", doc_chunking_udtf, _chunk_oracle(), ("udtf", "llm")),
     QuerySpec("region_nation_roster", region_nation_roster, _ROSTER_SQL, ("agg",)),
     QuerySpec("customer_order_span", customer_order_span, _SPAN_SQL, ("window",)),
     QuerySpec("part_name_fuzzy_pairs", part_name_fuzzy_pairs, _FUZZY_SQL, ("join", "text")),
