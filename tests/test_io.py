@@ -147,3 +147,61 @@ def test_observed_metrics_single_pass(spark):
     assert got["n_rows"] > 0
     assert got["n_negative"] == 0
     assert got["max_ts"] is not None
+
+
+def test_dynamic_partition_pruning_on_date_join(spark, tmp_path):
+    # A date-partitioned fact joined to a dim filtered on a NON-key
+    # attribute must get a runtime partition filter (DPP): the dim's
+    # matching dates are computed first and injected into the fact scan
+    # as dynamicpruningexpression, so only matching date directories
+    # are read. Note the dim filter must be "likely selective" to the
+    # optimizer (equality/IN — a bare boolean attribute is not).
+    ev = load_table(spark, SF_DIR, "events").limit(5000)
+    path = str(tmp_path / "evp")
+    io.write_partitioned_by_date(ev, path, "ts")
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.select("p_date")
+        .distinct()
+        .withColumn("dow", F.dayofweek(F.to_date("p_date")))
+    )
+    dim.write.parquet(str(tmp_path / "dim"))
+    dim_back = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("dow") == 3)
+    joined = fact.join(dim_back, "p_date").agg(F.sum("value").alias("s"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = joined._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 1
+
+
+def test_runtime_bloom_filter_prunes_join_probe_side(spark):
+    # Runtime bloom-filter join pruning: the selective orders filter is
+    # turned into a bloom filter applied to the lineitem scan BEFORE
+    # the shuffle, cutting shuffle volume by the filter's selectivity.
+    # Size thresholds are relaxed to demonstrate the mechanism at test
+    # scale (defaults only engage it for >10MB creation sides, i.e.
+    # real workloads).
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
