@@ -174,6 +174,214 @@ FROM r GROUP BY doc_id
 """
 
 
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many distinct 20-token-block fingerprints appear in BOTH — the
+    "is source B just a re-crawl of source A?" diagnostic of a corpus
+    build at span granularity (whole-doc fingerprints miss re-crawls
+    with edited boilerplate) — plus the Jaccard overlap of the two
+    block-fingerprint sets.
+
+    Scale: block explosion fuses into the scan; per-source DISTINCT
+    fingerprints first (one shuffle on (source, fp), output ≤ corpus-
+    distinct size), then the pair match is an equi-join ON THE
+    FINGERPRINT (never a cross join) and the per-source set sizes come
+    back via a broadcast join of a |sources|-row aggregate. Skewed
+    boilerplate fingerprints surface as hot join keys — AQE skew-split
+    handles them; the pair count itself stays |sources|² rows."""
+    block = 20
+    docs = _docs(spark, sf_dir).select(
+        "source", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    )
+    idx = docs.select(
+        "source",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.greatest(
+                    F.ceil(F.size("toks") / F.lit(block)) - 1,
+                    F.lit(0).cast("bigint"),
+                ),
+            )
+        ).alias("block_idx"),
+    )
+    piece = F.slice(F.col("toks"), F.col("block_idx") * block + 1, block)
+    fps = idx.select(
+        "source", F.md5(F.array_join(piece, " ")).alias("fp")
+    ).distinct()
+    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n_fp", "n_fp_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("n_fp", "n_fp_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents
+), idx AS (
+  SELECT source, arr,
+         unnest(generate_series(0,
+           GREATEST(CAST(CEIL(len(arr) / 20.0) AS BIGINT) - 1, 0))) AS block_idx
+  FROM toks
+), fps AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(arr[(block_idx * 20 + 1):(block_idx * 20 + 20)], ' ')) AS fp
+  FROM idx
+), sizes AS (
+  SELECT source, COUNT(*) AS n_fp FROM fps GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+       ROUND(s.n_shared * 1.0 / (sa.n_fp + sb.n_fp - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.source = s.source_a
+JOIN sizes sb ON sb.source = s.source_b
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-two token buckets — the
+    context-length planning statistic of a corpus build (how much data
+    fits a 2^k-token window). Bucket index is the binary digit count of
+    the token count (floor(log2 n)+1) computed INTEGER-side via
+    ``bin()`` string length, never floating log2 (whose last-ulp noise
+    flips floor() across engines at exact powers of two).
+
+    Scale: pure map + one hash aggregate to ~30 rows; the shuffle
+    carries bucket partials only."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sized = docs.select(n_tokens.alias("n_tokens"))
+    bucket = F.length(F.bin(F.col("n_tokens")))
+    agg = (
+        sized.select("n_tokens", bucket.alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    total_docs = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT) - 1)").alias("bucket_lo"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) - CAST(1 AS BIGINT)").alias("bucket_hi"),
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("n_docs") / total_docs, 6).alias("doc_frac"),
+    )
+
+
+_LENGTH_HIST_SQL = r"""
+WITH sized AS (
+  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT n_tokens, length(bin(n_tokens)) AS b FROM sized
+), agg AS (
+  SELECT b, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM b GROUP BY b
+)
+SELECT CAST((1::BIGINT << (b - 1)) AS BIGINT) AS bucket_lo,
+       CAST((1::BIGINT << b) - 1 AS BIGINT) AS bucket_hi,
+       n_docs, total_tokens,
+       ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS doc_frac
+FROM agg
+"""
+
+
+def long_doc_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-quantile length filter WITHOUT a driver collect: keep docs
+    whose token count reaches the corpus-wide exact P75, report the
+    per-source survival rate and the threshold. The reference's z-score
+    pipeline collects global stats to the driver and re-embeds them as
+    literals (advanced_analytics.py:181-191); this is the lazy
+    broadcast-back form of the same global-stat-then-filter shape
+    applied to the corpus-curation use case.
+
+    Scale: the quantile is one exact-percentile aggregate to a 1-row
+    frame, re-attached by crossJoin(broadcast) — no driver round-trip,
+    the plan stays one job. P75 of integers interpolates on quarters
+    (x.0/.25/.5/.75 — exactly representable doubles), so the >= filter
+    compares identically across engines."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sized = docs.select("source", n_tokens.alias("n_tokens"))
+    thr = sized.agg(F.percentile("n_tokens", 0.75).alias("p75_tokens"))
+    return (
+        sized.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("n_tokens") >= F.col("p75_tokens")).cast("int")
+            ).alias("n_kept"),
+            F.round(
+                F.sum((F.col("n_tokens") >= F.col("p75_tokens")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+            F.round(F.first("p75_tokens"), 2).alias("p75_tokens"),
+        )
+    )
+
+
+_QUANTILE_FILTER_SQL = r"""
+WITH sized AS (
+  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), thr AS (
+  SELECT quantile_cont(n_tokens, 0.75) AS p75_tokens FROM sized
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens >= p75_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN n_tokens >= p75_tokens THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS kept_frac,
+       ROUND(ANY_VALUE(p75_tokens), 2) AS p75_tokens
+FROM sized CROSS JOIN thr
+GROUP BY source
+"""
+
+
 SPECS = [
     QuerySpec("corpus_vocabulary", corpus_vocabulary, _VOCAB_SQL, ("curation", "text")),
     QuerySpec(
@@ -181,5 +389,17 @@ SPECS = [
     ),
     QuerySpec(
         "paragraph_block_dedup", paragraph_block_dedup, _BLOCK_DEDUP_SQL, ("curation", "dedup")
+    ),
+    QuerySpec(
+        "cross_source_overlap", cross_source_overlap, _OVERLAP_SQL, ("curation", "dedup")
+    ),
+    QuerySpec(
+        "doc_length_histogram", doc_length_histogram, _LENGTH_HIST_SQL, ("curation", "text")
+    ),
+    QuerySpec(
+        "long_doc_quantile_filter",
+        long_doc_quantile_filter,
+        _QUANTILE_FILTER_SQL,
+        ("curation", "text"),
     ),
 ]
