@@ -76,8 +76,15 @@ def main() -> None:
     warm_dir = sf_dir.rsplit("sf", 1)[0] + "sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    # Per-query error isolation everywhere: one broken query must never
+    # zero the whole benchmark signal (round-2 postmortem — a warmup
+    # crash produced an empty BENCH file for every query).
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        specs[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        try:
+            specs[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - report, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Each query is timed twice and the minimum is reported: the host
     # shows multi-second intermittent noise (shared VM), and min-of-N
@@ -86,22 +93,25 @@ def main() -> None:
     for _ in range(2):
         for name in HEADLINE:
             start = time.perf_counter()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 - report, keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             elapsed = round(time.perf_counter() - start, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
 
 

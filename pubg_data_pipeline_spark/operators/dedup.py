@@ -211,20 +211,46 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All near-dup pairs by exact n-gram Jaccard, via an inverted
     shingle index (explode + self-equi-join on shingle) — exact but
-    costlier than LSH; the oracle-checkable baseline."""
+    costlier than LSH; the oracle-checkable baseline.
+
+    ``max_doc_freq`` is the 100 TB scale guard: a shingle appearing in
+    k documents generates O(k²) candidate pairs, so one boilerplate
+    phrase (license header, nav bar) shared by millions of docs is a
+    single-key blow-up no partitioning can save. With the cap set,
+    shingles whose document frequency exceeds it are dropped BEFORE
+    pair generation, and per-doc sizes are computed over the same
+    capped shingle universe — so the result is the exact Jaccard over
+    the non-boilerplate shingles (a documented, self-consistent
+    approximation, analogous to stop-word removal in IR; the
+    scale-safe probabilistic alternative is the MinHash-LSH path).
+    """
     exploded = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
+    if max_doc_freq is not None:
+        # The cap must fire BEFORE any posting list is materialized: a
+        # count aggregate has map-side partial aggregation (bounded
+        # state per group even for a shingle in 10^9 docs), whereas
+        # filtering on size(collect_list(...)) would build the full
+        # multi-GB list in one aggregation buffer first. The
+        # keep-filter join is an equi-join on the same key as the
+        # downstream groupBy, so the extra pass shares partitioning.
+        keep = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        exploded = exploded.join(keep, "shingle", "left_semi")
     # Pair generation via group-then-generate (sorted posting list per
     # shingle, ordered pairs from each list) — one shuffle of the
     # exploded shingles instead of a self-join's two, ~1.5x faster at
-    # sf0.1. Hot "stop shingles" still cost O(k^2) pairs either way;
-    # at 100 TB cap or drop shingles above a document-frequency bound
-    # (documented approximation) before this stage.
+    # sf0.1.
     posting = exploded.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc")).alias("docs")
     )

@@ -211,6 +211,48 @@ WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
 """
 
 
+def doc_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs with the hot-shingle document-frequency cap
+    (df > 4 shingles dropped before pair generation) — the 100 TB
+    scale guard against boilerplate blow-up. Jaccard is computed over
+    the capped shingle universe, so numerator and denominator stay
+    consistent; the oracle applies the identical cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.05, max_doc_freq=4
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_JACCARD_CAPPED_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(arr) - 2, 0)),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks
+), ex_all AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), ex AS (
+  SELECT doc_id, shingle FROM ex_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 4
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+"""
+
+
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 5
     — the exact ANN baseline. Ranks on the ROUNDED similarity with an
@@ -518,6 +560,12 @@ SPECS = [
     ),
     QuerySpec("doc_lang_id", doc_lang_id, _LANG_SQL, ("llm", "text")),
     QuerySpec("doc_ngram_jaccard_pairs", doc_ngram_jaccard_pairs, _JACCARD_SQL, ("llm", "dedup")),
+    QuerySpec(
+        "doc_ngram_jaccard_pairs_capped",
+        doc_ngram_jaccard_pairs_capped,
+        _JACCARD_CAPPED_SQL,
+        ("llm", "dedup"),
+    ),
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, _TOPK_SQL, ("llm", "ann")),
     QuerySpec("minhash_near_dups", minhash_near_dups, None, ("llm", "dedup")),
     QuerySpec("simhash_near_dups", simhash_near_dups, None, ("llm", "dedup")),

@@ -4,8 +4,10 @@ The reference builds its sessions ad hoc with a pinned Asia/Seoul
 timezone (reference: spark_apps/pubg_streaming.py:7-16,
 spark_apps/advanced_analytics.py:16-25). Here the timezone is an
 explicit parameter, AQE is on by default, and the parquet
-nanosecond-timestamp legacy flag is set so the synthetic ``events``
-table (timestamp[ns]) is readable.
+nanosecond-timestamp legacy flag is set so a timestamp[ns] encoding of
+the synthetic ``events`` table stays readable (the generated data has
+drifted between ns/us encodings across rounds; ``sources.tables``
+normalizes whichever one it finds to session-zoned TimestampType).
 
 Designed for scale: every config below is also safe on a large
 cluster — AQE handles skew joins and coalesces small shuffle
@@ -23,8 +25,11 @@ from pyspark.sql import SparkSession
 # Applied via configure_session() so the engine also works when handed
 # a foreign SparkSession (e.g. the verification driver's).
 _RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet stores timestamp[ns]; Spark reads it as LongType
+    # If events.parquet stores timestamp[ns], Spark reads it as LongType
     # under this flag and sources.tables converts to timestamp(us).
+    # (Current generated data stores timestamp[us]-NTZ; tables.load_table
+    # normalizes that encoding too. Keeping the flag costs nothing and
+    # guards against the data regenerating back to ns.)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic wall-clock semantics matching the DuckDB oracle
     # (naive timestamps read as-is).

@@ -1,11 +1,23 @@
 """Batch table registry for the synthetic star schema (TESTDATA.md).
 
 One parquet file per table under ``{sf_dir}/{name}.parquet``. The
-``events`` table stores ``ts`` as parquet timestamp[ns], which Spark
-cannot read natively — under ``spark.sql.legacy.parquet.nanosAsLong``
-it arrives as a long which we convert to a microsecond timestamp with
-exact integer division (``ts div 1000``; double division would lose
-precision at epoch-nanos magnitude).
+physical encoding of ``events.ts`` has drifted across data
+regenerations (timestamp[ns], timestamp[us] without UTC adjustment,
+timestamp[us] with it), so ``load_table`` normalizes every encoding to
+session-zoned ``TimestampType``:
+
+- ``bigint`` (timestamp[ns] read under
+  ``spark.sql.legacy.parquet.nanosAsLong``): nanos -> micros with
+  exact integer division (double division would lose precision at
+  epoch-nanos magnitude), then ``timestamp_micros``.
+- ``timestamp_ntz`` (timestamp[us], isAdjustedToUTC=false — what
+  Spark 4 infers): cast to ``timestamp``. Under the engine's pinned
+  UTC session timezone (session.py) this is value-identical, and it
+  restores the numeric casts / ``unix_micros`` calls Spark 4 forbids
+  on NTZ.
+- ``timestamp`` (isAdjustedToUTC=true): already correct.
+
+Downstream plans may therefore assume ``events.ts`` is TimestampType.
 
 At 100 TB these reads stay efficient because every consumer selects
 columns explicitly (parquet column pruning) and filters early
@@ -42,9 +54,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table, normalizing types."""
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos -> micros, truncating like DuckDB's ns->us display/cast.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            # nanos -> micros, truncating like DuckDB's ns->us display/cast.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_dtype == "timestamp_ntz":
+            # Value-identical under the pinned UTC session timezone.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

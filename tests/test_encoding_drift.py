@@ -1,0 +1,95 @@
+"""Encoding-drift guard for the generated testdata.
+
+Round-2 postmortem: the driver regenerated /root/testdata after the
+last commit, switching events.ts from parquet timestamp[ns] (read as
+bigint under nanosAsLong) to timestamp[us]-NTZ, which Spark 4 reads as
+TIMESTAMP_NTZ — four queries casting ts to numeric types broke and
+the benchmark crashed. sources.tables.load_table now normalizes every
+physical encoding to session-zoned TimestampType; these tests make a
+future drift impossible to miss in the first minute of a round.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1") if os.path.isdir(d)]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_is_timestamp_for_every_sf(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    assert df.schema["ts"].dataType == TimestampType(), (
+        f"events.ts normalized to {df.schema['ts'].dataType} in {sf_dir}; "
+        "load_table must handle this physical encoding (see sources/tables.py)"
+    )
+
+
+def test_events_ts_numeric_cast_and_unix_micros_work(spark):
+    # The exact operations Spark 4 forbids on TIMESTAMP_NTZ — the
+    # round-2 failure mode. They must be legal after normalization.
+    df = load_table(spark, SF_DIRS[0], "events")
+    row = df.selectExpr(
+        "cast(ts as double) AS d",
+        "cast(ts as long) AS l",
+        "unix_micros(ts) AS um",
+    ).first()
+    assert row.um == pytest.approx(row.d * 1_000_000, rel=1e-9)
+    assert row.l == row.um // 1_000_000
+
+
+def _write_events_fixture(spark, tmp_path, ts_column, schema):
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame([(1, ts_column, 7, "kill", 1.5, "{}")], schema).write.mode("overwrite").parquet(path)
+    return str(tmp_path)
+
+
+def test_ntz_synthesized_parquet_normalizes(spark, tmp_path):
+    import datetime
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    sf_dir = _write_events_fixture(spark, tmp_path, datetime.datetime(2024, 1, 1, 12, 0, 0), schema)
+    df = load_table(spark, sf_dir, "events")
+    assert df.schema["ts"].dataType == TimestampType()
+    # UTC session tz: NTZ wall-clock maps to identical epoch micros.
+    assert df.selectExpr("unix_micros(ts) AS um").first().um == 1_704_110_400_000_000
+
+
+def test_bigint_nanos_parquet_normalizes(spark, tmp_path):
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    nanos = 1_704_110_400_000_000_000  # 2024-01-01T12:00:00Z
+    sf_dir = _write_events_fixture(spark, tmp_path, nanos, schema)
+    df = load_table(spark, sf_dir, "events")
+    assert df.schema["ts"].dataType == TimestampType()
+    assert df.selectExpr("unix_micros(ts) AS um").first().um == nanos // 1000

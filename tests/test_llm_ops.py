@@ -43,6 +43,38 @@ def test_ngram_jaccard_matches_minhash_on_dups(spark, docs_df):
     assert (1, 3) in exact
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # Plant one boilerplate shingle ("standard license header text")
+    # shared by ALL docs — the O(k²) blow-up shape. With the cap below
+    # the corpus size, it contributes no pairs: docs related ONLY
+    # through the boilerplate must not pair, while genuine near-dups
+    # still do (their Jaccard now computed over non-hot shingles only).
+    boiler = "standard license header text"
+    docs = [
+        (1, f"{boiler} alpha beta gamma delta epsilon"),
+        (2, f"{boiler} alpha beta gamma delta zeta"),  # near dup of 1
+        (3, f"{boiler} one two three four five"),
+        (4, f"{boiler} six seven eight nine ten"),
+        (5, f"{boiler} eleven twelve thirteen fourteen fifteen"),
+        (6, f"{boiler} sixteen seventeen eighteen nineteen twenty"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.1, max_doc_freq=3
+        ).collect()
+    }
+    assert (1, 2) in capped  # genuine near dup survives the cap
+    assert all(p == (1, 2) for p in capped), (
+        f"boilerplate-only pairs leaked through the cap: {sorted(capped)}"
+    )
+    # Uncapped control: the planted hot shingles pair EVERY doc with
+    # every other — the blow-up the cap exists to prevent.
+    uncapped = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.1).collect()
+    assert len(uncapped) == 15  # C(6,2): all-pairs
+
+
 def test_simhash_identical_docs_hamming_zero(spark, docs_df):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df, "text", "doc_id").collect()}
     assert sigs[1] == sigs[2]
