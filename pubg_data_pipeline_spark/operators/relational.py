@@ -63,6 +63,53 @@ def range_join(
     return left.join(r, condition, how)
 
 
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    text_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All (id_a < id_b) pairs within a block at Levenshtein distance
+    <= ``max_dist`` — the blocked fuzzy-join of entity resolution.
+
+    The primary block key is refined by an EXACT secondary key: string
+    length. Edit distance <= k implies |len(a) - len(b)| <= k (each
+    edit changes length by at most 1), so side b fans out to its
+    2k+1 admissible length keys and the equi-join on (block, length)
+    recovers every qualifying pair exactly once — side a joins on its
+    single true length, so no dedup is needed. A skewed block of n
+    rows costs sum-over-length-bands |band_a| x |band_b| instead of
+    n^2, and the refinement provably loses no pairs.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        F.col(text_col).alias("__txt"),
+        F.length(text_col).alias("__len"),
+    )
+    a = base.alias("a")
+    b = base.withColumn(
+        "__lenkey", F.explode(F.sequence(F.col("__len") - max_dist, F.col("__len") + max_dist))
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__len") == F.col("b.__lenkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a.__txt"), F.col("b.__txt")))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__blk").alias(block_col),
+            "edit_dist",
+        )
+    )
+
+
 def union_by_name(dfs: Sequence[DataFrame], allow_missing: bool = False) -> DataFrame:
     """UNION ALL by column name (the reference's two parallel extracts
     from one parsed stream are the natural use case — reference:

@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pubg_data_pipeline_spark.operators import relational
 from pubg_data_pipeline_spark.plans.base import QuerySpec, exact_scaled, sql_scaled
 from pubg_data_pipeline_spark.sources.tables import load_table
 
@@ -141,27 +142,19 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity resolution (block key = brand keeps the candidate set
     quadratic only within blocks, never corpus-wide).
 
-    Scale: the self-join shuffles once on the block key; at 100 TB the
-    block key must bound block size (here brand ~ |parts|/25; a real
-    pipeline adds a second blocking key or LSH before edit distance).
+    Scale: the primary block (brand ~ |parts|/25) is refined by an
+    EXACT secondary blocking key — name length. Edit distance <= 2
+    implies |len(a) - len(b)| <= 2 (each edit changes length by at
+    most 1), so side b fans out to its 5 admissible length keys and
+    the equi-join on (brand, length) recovers every qualifying pair
+    exactly once (side a joins on its single true length). A skewed
+    brand with n parts now costs sum over length-bands of |band_a| x
+    |band_b| instead of n^2; the oracle is unchanged because the
+    refinement provably loses no pairs — the hash-match is the proof.
     levenshtein() is a JVM built-in on both engines."""
     parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = parts.alias("a")
-    b = parts.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .withColumn("edit_dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
-        .filter(F.col("edit_dist") <= 2)
-        .select(
-            F.col("a.p_partkey").alias("id_a"),
-            F.col("b.p_partkey").alias("id_b"),
-            F.col("a.p_brand").alias("p_brand"),
-            "edit_dist",
-        )
+    return relational.fuzzy_blocked_pairs(
+        parts, id_col="p_partkey", block_col="p_brand", text_col="p_name", max_dist=2
     )
 
 

@@ -118,6 +118,45 @@ def test_fuzzy_pairs_block_join_not_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_fuzzy_pairs_skewed_block_exact_and_bounded(spark):
+    # One giant block (every row the same brand) — the shape the
+    # length-band refinement exists for. The result must equal the
+    # brute-force all-pairs answer (the refinement is provably exact),
+    # and the join must stay an equi-join on (block, length).
+    from pubg_data_pipeline_spark.operators.relational import fuzzy_blocked_pairs
+
+    rows = [(i, "B#1", f"name {i:04d}") for i in range(300)]
+    rows += [(1000, "B#1", "exact match x"), (1001, "B#1", "exact match y"),
+             (1002, "B#1", "exact match xyzzy")]  # len differs by 3: never a pair
+    df = spark.createDataFrame(rows, "id long, brand string, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in fuzzy_blocked_pairs(df, "id", "brand", "name", max_dist=2).collect()
+    }
+    import itertools
+
+    expect = {}
+    def _lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    for (ia, _, na), (ib, _, nb) in itertools.combinations(rows, 2):
+        a, b = (ia, ib) if ia < ib else (ib, ia)
+        sa, sb = (na, nb) if ia < ib else (nb, na)
+        d = _lev(sa, sb)
+        if d <= 2:
+            expect[(a, b)] = d
+    assert got == expect
+    assert (1000, 1002) not in got  # length gap 3 pruned by the band key
+    plan = fuzzy_blocked_pairs(df, "id", "brand", "name")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_grouping_id_is_expand_aggregate(spark):
     # grouping sets plan as one Expand feeding a partial+final aggregate
     plan = _plan(spark, "order_priority_grouping_id")
