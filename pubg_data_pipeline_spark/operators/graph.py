@@ -44,9 +44,15 @@ def connected_components(
     Edges are treated as undirected; self-loops and duplicates are
     fine (they collapse in the symmetrize-distinct step).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the raw edge projection EAGERLY before symmetrizing:
+    # union(e, e.swapped) duplicates the entire upstream subtree in the
+    # logical plan, so an expensive pair-generation pipeline (shingle
+    # explode + 3 aggregates for the Jaccard case) would be analyzed
+    # and executed twice — measured 2x the whole-query cost at sf0.1.
+    # After the checkpoint the union reads a cached RDD twice instead.
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     e = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=False)
@@ -55,14 +61,24 @@ def connected_components(
     # partition), exactly as AQE would coalesce it: the near-dup edge
     # list is orders smaller than the corpus, and running log-d rounds
     # of 32-way shuffles over a few thousand edges spends everything on
-    # task scheduling. The count also materializes the checkpoint, so
-    # the (expensive) pair-generation upstream runs exactly once.
+    # task scheduling. The count also materializes the symmetrized
+    # checkpoint so each loop round starts from cached edges.
     n_parts = max(1, min(e.sparkSession.sparkContext.defaultParallelism, e.count() // 500_000))
-    e = e.repartition(n_parts, "a").localCheckpoint(eager=False)
+    # Partition by "b" — the loop's only join against e keys on b
+    # (labels renamed node->b), so the edge side never reshuffles
+    # inside the loop.
+    e = e.repartition(n_parts, "b").localCheckpoint(eager=False)
+    # Initialize at least(node, min_neighbor) — the first half of a
+    # propagation round folded into the init aggregate. Dup graphs are
+    # near-cliques, and a clique is already at fixpoint after this, so
+    # the loop's first round detects convergence immediately (one full
+    # round saved on the dominant shape; chains just shift by one).
+    # Every node of the symmetrized edge list appears as "a", so the
+    # groupBy covers all nodes.
     labels = (
-        e.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__mn"))
+        .select("node", F.least(F.col("node"), F.col("__mn")).alias("comp"))
         .localCheckpoint(eager=False)
     )
     # Convergence detection: labels only ever decrease, so
