@@ -86,6 +86,23 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # One untimed pass at the TARGET scale: size-dependent JIT tiers,
+    # shuffle buffers, and parquet footer caches only warm at sf0.1,
+    # and the first post-warmup query otherwise eats a multi-second
+    # full-GC of the warmup loop's garbage (observed 12s on a 1s agg).
+    # The explicit GC drains that debt outside the timed window.
+    for name in HEADLINE:
+        if name in errors:
+            continue
+        try:
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+
     # Each query is timed twice and the minimum is reported: the host
     # shows multi-second intermittent noise (shared VM), and min-of-N
     # is the standard steady-state estimator under one-sided noise.
