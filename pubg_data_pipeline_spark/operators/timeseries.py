@@ -197,3 +197,72 @@ def as_of_join(
         "__lrow.*", *[F.col(rc).alias(f"right_{c}") for c, rc in zip(right_cols, carried)]
     )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    keys: Sequence[str] = (),
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Inner join of point rows into interval rows where
+    ``start_col <= point_ts <= end_col`` (both inclusive), optionally
+    also matching on equality ``keys`` — the big-big range join Spark
+    has no native operator for.
+
+    Without an equi component Catalyst plans BroadcastNestedLoopJoin —
+    O(|points| x |intervals|) and only viable when one side broadcasts.
+    This operator manufactures the equi key by TIME BANDING: each point
+    hashes to its single ``bucket_seconds`` bucket; each interval
+    explodes to every bucket it overlaps (``sequence`` over the bucket
+    range). The join is then a plain equi-join on (keys..., bucket)
+    with the exact range predicate applied as a post-join filter, so
+    both sides shuffle-partition by bucket and no pair outside
+    overlapping buckets is ever generated. Each qualifying (point,
+    interval) pair is produced EXACTLY once — the point contributes
+    one bucket and the interval covers that bucket once — so no dedup
+    pass is needed (same argument as the fuzzy join's length bands,
+    operators/relational.py:fuzzy_blocked_pairs).
+
+    Scale: choose ``bucket_seconds`` near the typical interval length;
+    candidate fan-out per interval is ``len/bucket_seconds + 1`` rows.
+    Point and interval column names must be disjoint (pre-alias if
+    both derive from one table).
+
+    Composition note: for LEFT semantics (keep intervals with no
+    points), aggregate this inner result per interval id and join back
+    — the unmatched side is |intervals|-bounded, never the point table.
+    """
+    keys = list(keys)
+    usec = bucket_seconds * 1_000_000
+    # floor (not cast-truncate) keeps bucket math correct for pre-1970
+    # timestamps too.
+    pt = points.withColumn(
+        "__bucket", F.floor(F.unix_micros(F.col(point_ts)) / usec).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / usec).cast("long"),
+                F.floor(F.unix_micros(F.col(end_col)) / usec).cast("long"),
+            )
+        ),
+    )
+    cond = pt["__bucket"] == iv["__bucket"]
+    for k in keys:
+        cond = cond & (pt[k] == iv[k])
+    cond = (
+        cond
+        & (pt[point_ts] >= iv[start_col])
+        & (pt[point_ts] <= iv[end_col])
+    )
+    joined = pt.join(iv, cond)
+    drop_dups = [iv[k] for k in keys]
+    out = joined.drop(pt["__bucket"]).drop(iv["__bucket"])
+    for c in drop_dups:
+        out = out.drop(c)
+    return out

@@ -592,8 +592,71 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'sig
 """
 
 
+def incident_window_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (operators.timeseries.interval_join): count
+    and max of purchase events inside the ±5-minute window around each
+    high-value error "incident". Without the time-band equi key this
+    is a big-big range join Catalyst can only plan as a broadcast
+    nested loop; with it both sides hash-partition on the 10-minute
+    bucket and the range predicate filters post-join. Incidents with
+    no purchases in window are kept via the |incidents|-bounded
+    aggregate-and-join-back composition, never an outer join on the
+    point table. max (not sum) keeps the value column exact across
+    engines regardless of float summation order."""
+    ev = load_table(spark, sf_dir, "events")
+    incidents = ev.filter((F.col("event_type") == "error") & (F.col("value") > 250)).select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("win_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    matched = timeseries.interval_join(
+        purchases, incidents, "purchase_ts", "win_start", "win_end", bucket_seconds=600
+    )
+    agg = matched.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.max("purchase_value"), 2).alias("max_purchase_value"),
+    )
+    return (
+        incidents.select("incident_id")
+        .join(agg, "incident_id", "left")
+        .select(
+            "incident_id",
+            F.coalesce(F.col("n_purchases"), F.lit(0)).cast("long").alias("n_purchases"),
+            "max_purchase_value",
+        )
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+WITH incidents AS (
+  SELECT event_id AS incident_id,
+         ts - INTERVAL 5 MINUTE AS win_start,
+         ts + INTERVAL 5 MINUTE AS win_end
+  FROM events WHERE event_type = 'error' AND value > 250
+), purchases AS (
+  SELECT ts AS purchase_ts, value AS purchase_value FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT incident_id, COUNT(*) AS n_purchases,
+         ROUND(MAX(purchase_value), 2) AS max_purchase_value
+  FROM incidents JOIN purchases
+    ON purchase_ts >= win_start AND purchase_ts <= win_end
+  GROUP BY 1
+)
+SELECT i.incident_id,
+       CAST(COALESCE(m.n_purchases, 0) AS BIGINT) AS n_purchases,
+       m.max_purchase_value
+FROM incidents i LEFT JOIN matched m USING (incident_id)
+"""
+
+
 SPECS = [
     QuerySpec("player_ranking_top10", player_ranking_top10, _RANKING_SQL, ("flagship", "agg", "window")),
+    QuerySpec("incident_window_purchases", incident_window_purchases, _INTERVAL_JOIN_SQL, ("join", "time")),
     QuerySpec("purchase_last_signup_asof", purchase_last_signup_asof, _ASOF_SQL, ("join", "time")),
     QuerySpec("hourly_event_aggregates", hourly_event_aggregates, _HOURLY_SQL, ("agg", "time")),
     QuerySpec("event_type_difficulty", event_type_difficulty, _DIFFICULTY_SQL, ("agg",)),
