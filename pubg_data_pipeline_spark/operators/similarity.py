@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pubg_data_pipeline_spark.functions.vectors import as_double_vec, cosine, dot
@@ -136,6 +136,135 @@ def ml_euclidean_lsh_top_k(
 _IVF_CENTERS_CACHE: dict[tuple, list] = {}
 
 
+def _d2_to(center: list, v: Column) -> Column:
+    """Squared Euclidean distance from vector column v to a literal
+    center — pure JVM codegen, no MLlib transform in the serving path."""
+    lit_center = F.array(*[F.lit(float(x)) for x in center])
+    diffs = F.zip_with(v, lit_center, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cell_ranking(centers: list, v: Column) -> Column:
+    """Cells sorted nearest-first for vector column v. struct(d2, cell):
+    array_sort's natural struct ordering sorts by distance first, cell
+    id as tie-break — deterministic, and the same expression serves
+    both corpus assignment (argmin = element 1) and query probing
+    (slice nprobe)."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(_d2_to(ctr, v).alias("d2"), F.lit(i).alias("cell"))
+                for i, ctr in enumerate(centers)
+            ]
+        )
+    )
+
+
+def _l2_normalized(df: DataFrame, vcol: str) -> DataFrame:
+    """Unit-normalize a vector column per row (zero vectors dropped) so
+    downstream cosine is a single dot product per pair."""
+    with_norm = df.withColumn("__n", F.sqrt(dot(F.col(vcol), F.col(vcol))))
+    return (
+        with_norm.filter(F.col("__n") > 0.0)
+        .withColumn(vcol, F.transform(vcol, lambda x: x / F.col("__n")))
+        .drop("__n")
+    )
+
+
+def _ivf_probe_and_rerank(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centers: list,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared IVF serving path: probe-cell selection per query, equi-join
+    on cell against the assigned (cell, neighbor_id, cv-normalized)
+    corpus, exact cosine re-rank in the probed cells. ``assigned`` may
+    be an in-memory frame (ivf_top_k) or a cell-partitioned parquet
+    scan (ivf_index_top_k) — in the latter case the broadcast probe
+    join triggers dynamic partition pruning, so only probed cell
+    directories are read."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+    )
+    probes = _l2_normalized(
+        q.withColumn(
+            "probe", F.explode(F.slice(_cell_ranking(centers, F.col("qv")), 1, nprobe))
+        ).select("query_id", "qv", F.col("probe.cell").alias("cell")),
+        "qv",
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> list:
+    """Materialize an IVF index ON STORAGE: the corpus is assigned to
+    its nearest k-means cell, L2-normalized once, and written as
+    parquet PARTITIONED BY cell; the trained centers (index metadata,
+    nlist x dim floats) land beside it as a tiny parquet. This is the
+    100 TB layout the in-memory ``ivf_top_k`` docstring promises:
+    probing becomes an equi-join against a scan that reads ONLY the
+    probed cell directories (dynamic partition pruning — asserted in
+    tests/test_llm_ops.py). Returns the centers."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    )
+    centers = train_ivf_centers(c, nlist, seed)
+    assigned = _l2_normalized(
+        c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"]), "cv"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, ctr) for i, ctr in enumerate(centers)], "cell int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    return centers
+
+
+def ivf_index_top_k(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve approximate cosine top-k from a persisted IVF index
+    (``write_ivf_index``). Centers are collected once (kilobytes of
+    metadata) into literal expressions; the cell-partitioned corpus is
+    scanned with the broadcast probe join pruning to the probed cell
+    directories — at 100 TB with nprobe/nlist = 1/4, three quarters of
+    the corpus is never read."""
+    centers = [
+        row["center"]
+        for row in spark.read.parquet(f"{path}/centers").orderBy("cell").collect()
+    ]
+    assigned = spark.read.parquet(f"{path}/cells")
+    return _ivf_probe_and_rerank(assigned, queries, centers, id_col, vec_col, k, nprobe)
+
+
 def train_ivf_centers(
     corpus_vecs: DataFrame, nlist: int, seed: int = 42
 ) -> list:
@@ -205,56 +334,10 @@ def ivf_top_k(
         if cache_key is not None:
             _IVF_CENTERS_CACHE[key] = centers
 
-    def d2_to(center, v):
-        lit_center = F.array(*[F.lit(float(x)) for x in center])
-        diffs = F.zip_with(v, lit_center, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-    # struct(d2, cell): array_sort's natural struct ordering sorts by
-    # distance first, cell id as tie-break — deterministic, and the
-    # same expression serves both corpus assignment (argmin = slice 1)
-    # and query probing (slice nprobe).
-    def cell_ranking(v):
-        return F.array_sort(
-            F.array(
-                *[
-                    F.struct(d2_to(ctr, v).alias("d2"), F.lit(i).alias("cell"))
-                    for i, ctr in enumerate(centers)
-                ]
-            )
-        )
-
-    def normalized(df, vcol):
-        with_norm = df.withColumn("__n", F.sqrt(dot(F.col(vcol), F.col(vcol))))
-        return with_norm.filter(F.col("__n") > 0.0).withColumn(
-            vcol, F.transform(vcol, lambda x: x / F.col("__n"))
-        ).drop("__n")
-
-    assigned = normalized(
-        c.withColumn("cell", cell_ranking(F.col("cv"))[0]["cell"]), "cv"
+    assigned = _l2_normalized(
+        c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"]), "cv"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
-    )
-    probes = normalized(
-        q.withColumn(
-            "probe", F.explode(F.slice(cell_ranking(F.col("qv")), 1, nprobe))
-        ).select("query_id", "qv", F.col("probe.cell").alias("cell")),
-        "qv",
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _ivf_probe_and_rerank(assigned, queries, centers, id_col, vec_col, k, nprobe)
 
 
 def lsh_bucketed_top_k(

@@ -394,6 +394,30 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from the PERSISTED IVF index: cell-partitioned parquet
+    + centers metadata written once per (process, sf), then probed via
+    the dynamic-partition-pruned equi-join — the on-storage layout the
+    in-memory twin (embedding_ivf_topk) models. Rows-only check like
+    every k-means query (no SQL oracle); agreement with the in-memory
+    path is pinned in tests/test_llm_ops.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_ivf_index_{tag}")
+    if not os.path.isdir(os.path.join(path, "centers")):
+        similarity.write_ivf_index(
+            emb, path, id_col="vec_id", vec_col="embedding", nlist=8, seed=42
+        )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_index_top_k(
+        spark, path, queries, id_col="vec_id", vec_col="embedding", k=5, nprobe=3
+    )
+
+
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish-regex token counts per document — the two
     standard pre-tokenization counters for corpus budgeting."""
@@ -572,4 +596,5 @@ SPECS = [
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ml_lsh_topk", embedding_ml_lsh_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("llm", "ann")),
+    QuerySpec("embedding_ivf_index_topk", embedding_ivf_index_topk, None, ("llm", "ann", "io")),
 ]

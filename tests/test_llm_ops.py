@@ -140,6 +140,43 @@ def test_ivf_finds_duplicate_vector_and_recall(spark):
     assert [r["neighbor_id"] for r in full] == [r["neighbor_id"] for r in exact]
 
 
+def test_ivf_persisted_index_matches_inmemory_and_prunes_partitions(spark, tmp_path):
+    # the on-storage layout (write_ivf_index: cell-partitioned parquet
+    # + centers metadata) must serve the same results as the in-memory
+    # path at nprobe == nlist, and the probe join must prune the scan
+    # to probed cell directories (dynamic partition pruning).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact twin of 0
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.9, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "ivf")
+    centers = similarity.write_ivf_index(df, path, nlist=2, seed=42)
+    assert len(centers) == 2
+
+    served = similarity.ivf_index_top_k(spark, path, queries, k=3, nprobe=2).collect()
+    exact = similarity.brute_force_top_k(df, queries, k=3).collect()
+    assert [r["neighbor_id"] for r in served] == [r["neighbor_id"] for r in exact]
+
+    # narrow probe: rank-1 is still the planted twin
+    narrow = similarity.ivf_index_top_k(spark, path, queries, k=2, nprobe=1).collect()
+    assert narrow[0]["neighbor_id"] == 1
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = (
+        similarity.ivf_index_top_k(spark, path, queries, k=2, nprobe=1)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert "PartitionFilters" in plan
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_ml_lsh_finds_duplicate_vector(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
