@@ -58,6 +58,10 @@ HEADLINE = [
     "incremental_hourly_distinct",
     "corpus_vocabulary",
     "paragraph_block_dedup",
+    "incident_window_purchases",
+    "doc_ngram_jaccard_pairs_capped",
+    "embedding_ivf_index_topk",
+    "part_name_fuzzy_pairs",
 ]
 
 

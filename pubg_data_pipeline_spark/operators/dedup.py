@@ -365,3 +365,51 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- incremental ingestion
+
+def write_fingerprint_index(df: DataFrame, path: str, text_col: str, id_col: str) -> None:
+    """Persist the corpus's distinct content fingerprints (+ keeper id)
+    as the dedup INDEX for incremental ingestion — the layout a rolling
+    100 TB pipeline maintains so each new crawl batch dedups against
+    history without rescanning the historical text: the index holds one
+    md5 per distinct normalized document (32 bytes + id), orders
+    smaller than the corpus. At full scale write it bucketed on
+    fingerprint (sources/io.py:write_bucketed_table) so the per-batch
+    anti-join is shuffle-free on the index side."""
+    (
+        df.select(
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("keeper_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_ingest_dedup(
+    spark, index_path: str, new_docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Dedup a NEW ingestion batch against the persisted fingerprint
+    index AND within itself: rows whose fingerprint already exists in
+    history are dropped (anti-join on the index), then one keeper (min
+    id) survives per fingerprint inside the batch. Returns
+    (id, fingerprint) of the surviving rows — the set to append to
+    both the corpus and the index.
+
+    Scale: the anti-join shuffles only the new batch and the (small)
+    index, never historical text; within-batch keeper choice is one
+    aggregate on the same key."""
+    index = spark.read.parquet(index_path).select("fingerprint")
+    batch = new_docs.select(
+        F.col(id_col).alias("doc_id"), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    fresh = batch.join(index, "fingerprint", "left_anti")
+    return (
+        fresh.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+    )

@@ -403,11 +403,11 @@ def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is pinned in tests/test_llm_ops.py."""
     import hashlib
     import os
-    import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_ivf_index_{tag}")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo_root, ".ivf_cache", f"index_{tag}")
     if not os.path.isdir(os.path.join(path, "centers")):
         similarity.write_ivf_index(
             emb, path, id_col="vec_id", vec_col="embedding", nlist=8, seed=42
@@ -416,6 +416,44 @@ def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_index_top_k(
         spark, path, queries, id_col="vec_id", vec_col="embedding", k=5, nprobe=3
     )
+
+
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup against a PERSISTED fingerprint
+    index (operators.dedup.write_fingerprint_index +
+    incremental_ingest_dedup): history = docs with doc_id % 4 < 3
+    (indexed once per process and sf), new batch = the rest; batch rows
+    whose normalized-text md5 already exists in history are dropped,
+    then one keeper (min doc_id) survives per fingerprint within the
+    batch. The oracle replays the same split and logic in SQL."""
+    import hashlib
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo_root, ".index_cache", f"fingerprints_{tag}")
+    if not os.path.isdir(path):
+        dedup.write_fingerprint_index(
+            docs.filter(F.col("doc_id") % 4 < 3), path, text_col="text", id_col="doc_id"
+        )
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    return dedup.incremental_ingest_dedup(spark, path, batch, text_col="text", id_col="doc_id")
+
+
+_INCREMENTAL_INGEST_SQL = r"""
+WITH hist AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents WHERE doc_id % 4 < 3
+), batch AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents WHERE doc_id % 4 = 3
+)
+SELECT MIN(doc_id) AS doc_id, fingerprint
+FROM batch
+WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+GROUP BY fingerprint
+"""
 
 
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,4 +635,10 @@ SPECS = [
     QuerySpec("embedding_ml_lsh_topk", embedding_ml_lsh_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ivf_index_topk", embedding_ivf_index_topk, None, ("llm", "ann", "io")),
+    QuerySpec(
+        "incremental_ingest_dedup",
+        incremental_ingest_dedup,
+        _INCREMENTAL_INGEST_SQL,
+        ("llm", "dedup", "io"),
+    ),
 ]

@@ -49,19 +49,30 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Every timestamp-bearing column in the synthetic schema, normalized by
+# load_table regardless of the physical parquet encoding the generator
+# used this round (it has shipped both timestamp[ns] and
+# timestamp[us]-NTZ variants).
+_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table, normalizing types."""
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_dtype = dict(df.dtypes).get("ts")
+    for ts_col in _TS_COLUMNS.get(name, ()):
+        ts_dtype = dict(df.dtypes).get(ts_col)
         if ts_dtype == "bigint":
-            # nanos -> micros, truncating like DuckDB's ns->us display/cast.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # nanos -> micros, truncating like DuckDB's ns->us display/cast
+            # (bigint only arrives via the nanosAsLong flag, i.e. ns).
+            df = df.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
         elif ts_dtype == "timestamp_ntz":
             # Value-identical under the pinned UTC session timezone.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

@@ -30,12 +30,42 @@ SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_events_ts_is_timestamp_for_every_sf(spark, sf_dir):
-    df = load_table(spark, sf_dir, "events")
-    assert df.schema["ts"].dataType == TimestampType(), (
-        f"events.ts normalized to {df.schema['ts'].dataType} in {sf_dir}; "
+@pytest.mark.parametrize(
+    "table,ts_col",
+    [("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")],
+)
+def test_ts_columns_are_timestamp_for_every_sf(spark, sf_dir, table, ts_col):
+    df = load_table(spark, sf_dir, table)
+    assert df.schema[ts_col].dataType == TimestampType(), (
+        f"{table}.{ts_col} normalized to {df.schema[ts_col].dataType} in {sf_dir}; "
         "load_table must handle this physical encoding (see sources/tables.py)"
     )
+
+
+def test_required_columns_present(spark):
+    # Column-level drift guard for every table the 130+ registered
+    # queries depend on: regeneration that renames or retypes a column
+    # should fail HERE in the first minute of a round, not deep inside
+    # an oracle mismatch.
+    required = {
+        "region": {"r_regionkey", "r_name"},
+        "nation": {"n_nationkey", "n_name", "n_regionkey"},
+        "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+        "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+        "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+        "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"},
+        "lineitem": {
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        },
+        "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+        "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
+    for table, cols in required.items():
+        got = set(load_table(spark, SF_DIRS[0], table).columns)
+        missing = cols - got
+        assert not missing, f"{table} lost columns {sorted(missing)} (has {sorted(got)})"
 
 
 def test_events_ts_numeric_cast_and_unix_micros_work(spark):

@@ -75,6 +75,32 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert len(uncapped) == 15  # C(6,2): all-pairs
 
 
+def test_incremental_ingest_dedup_against_persisted_index(spark, tmp_path):
+    # history indexed once; the new batch drops rows already in history
+    # (even under whitespace/case normalization), keeps one keeper per
+    # within-batch duplicate group, and passes genuinely new docs.
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "something old here")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "fp_index")
+    dedup.write_fingerprint_index(hist, path, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (10, "THE  quick   BROWN fox"),  # dup of history doc 1 after normalize
+            (11, "a genuinely new document"),
+            (12, "a genuinely new document"),  # within-batch dup of 11
+            (13, "another brand new one"),
+        ],
+        "doc_id int, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_ingest_dedup(spark, path, batch, "text", "doc_id").collect()
+    )
+    assert kept == [11, 13]
+
+
 def test_simhash_identical_docs_hamming_zero(spark, docs_df):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df, "text", "doc_id").collect()}
     assert sigs[1] == sigs[2]
