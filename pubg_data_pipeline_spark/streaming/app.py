@@ -201,3 +201,70 @@ def streaming_hourly_aggregates(
             "avg_damage",
         )
     )
+
+
+def ingest_dedup_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One epoch of streaming corpus ingestion with exact dedup against
+    the persisted fingerprint index (the streaming twin of
+    operators.dedup.incremental_ingest_dedup): micro-batch rows whose
+    normalized-text md5 already exists in history are dropped via an
+    anti-join on the index, one keeper (min id) survives per
+    within-batch duplicate group, and the survivors append to BOTH the
+    corpus table and the index — so the next epoch dedups against them
+    too. Epoch cost is O(batch + index), never O(historical text);
+    at 100 TB the index is 32 bytes + id per distinct doc.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.functions.text import doc_fingerprint
+    from pubg_data_pipeline_spark.operators.dedup import exact_dedup
+
+    spark = batch_df.sparkSession
+    batch = batch_df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    if os.path.isdir(index_path):
+        idx = spark.read.parquet(index_path).select(F.col("fingerprint").alias("__fp"))
+        batch = batch.join(idx, "__fp", "left_anti")
+    keep = exact_dedup(batch, ["__fp"], id_col).persist()
+    try:
+        keep.drop("__fp").write.mode("append").parquet(corpus_path)
+        keep.select(
+            F.col("__fp").alias("fingerprint"), F.col(id_col).alias("keeper_id")
+        ).write.mode("append").parquet(index_path)
+    finally:
+        keep.unpersist()
+
+
+def streaming_ingest_dedup(
+    doc_stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Document stream -> continuously-deduplicated corpus + fingerprint
+    index. With ``available_now=True`` the same query definition
+    backfills pending files and stops — rerunning it later ingests
+    only new files (the checkpoint tracks progress) and dedups them
+    against everything already ingested."""
+    return sinks.foreach_batch_sink(
+        doc_stream,
+        lambda df, eid: ingest_dedup_epoch(
+            df, eid, index_path, corpus_path, text_col=text_col, id_col=id_col
+        ),
+        trigger_seconds,
+        output_mode="append",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )

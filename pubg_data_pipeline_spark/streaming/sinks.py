@@ -74,6 +74,7 @@ def foreach_batch_sink(
     trigger_seconds: int = 60,
     output_mode: str = "append",
     available_now: bool = False,
+    checkpoint: str | None = None,
 ) -> StreamingQuery:
     """foreachBatch escape hatch (reference:
     spark_apps/advanced_analytics.py:284-288). The callback receives a
@@ -88,6 +89,13 @@ def foreach_batch_sink(
     run (the reference cannot backfill at all: offsets policy `latest`,
     BASELINE.md)."""
     writer = df.writeStream.foreachBatch(fn).outputMode(output_mode)
+    if checkpoint is not None:
+        # An explicit location makes incremental reruns (availableNow
+        # catch-up jobs) resume the SAME offset bookkeeping across
+        # process restarts — required for ingest-style sinks whose
+        # output accumulates outside the stream (e.g.
+        # app.streaming_ingest_dedup).
+        writer = writer.option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
