@@ -113,3 +113,78 @@ def lag_lead_features(
             f"{value_col}_delta", F.col(value_col) - F.lag(value_col).over(w)
         )
     )
+
+
+def global_rank(
+    df: DataFrame,
+    score: Column,
+    tiebreak: str,
+    n_buckets: int = 1000,
+    ascending: bool = False,
+    out_col: str = "global_rank",
+) -> DataFrame:
+    """Total-order rank over the WHOLE table without a single-partition
+    sort — the scale path for "rank every document by quality".
+
+    A bare ``row_number() over (order by score)`` funnels all rows
+    through one task (Exchange SinglePartition — the classic global
+    window antipattern). Instead:
+
+    1. coarse bucket = ``width_bucket(score)`` over the score's range
+       (two-pass: one cheap min/max aggregate, then the bucketed scan);
+    2. per-bucket counts -> cumulative offsets, a ``n_buckets``-row
+       running sum computed with a window over the TINY bucket table
+       and broadcast back (never the data table);
+    3. local rank inside each bucket (window partitioned by bucket —
+       parallel across buckets) + the bucket's offset = exact global
+       rank.
+
+    Determinism: ties on score are broken by ``tiebreak`` everywhere.
+    Skew note: at most one bucket's rows sort together, so bucket width
+    bounds the largest local sort; raise ``n_buckets`` for heavier
+    tails (cost of step 2 stays trivial).
+    """
+    direction = 1.0 if ascending else -1.0
+    keyed = df.withColumn("__gr_score", score * F.lit(direction))
+    bounds = keyed.agg(
+        F.min("__gr_score").alias("lo"), F.max("__gr_score").alias("hi")
+    )
+    # crossJoin of a 1-row aggregate: broadcast literal bounds, no
+    # driver collect in the plan.
+    bucketed = keyed.crossJoin(F.broadcast(bounds)).withColumn(
+        "__gr_bucket",
+        F.when(
+            F.col("hi") == F.col("lo"), F.lit(1)
+        ).otherwise(
+            F.least(
+                F.lit(n_buckets),
+                (
+                    (F.col("__gr_score") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_buckets)
+                ).cast("int")
+                + 1,
+            )
+        ),
+    ).drop("lo", "hi")
+    counts = bucketed.groupBy("__gr_bucket").agg(F.count(F.lit(1)).alias("__gr_n"))
+    # The running sum below IS a single-partition window — over the
+    # n_buckets-row counts table, not the data (the whole point).
+    offsets = counts.withColumn(
+        "__gr_offset",
+        F.coalesce(
+            F.sum("__gr_n").over(
+                Window.orderBy("__gr_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__gr_bucket", "__gr_offset")
+    w_local = Window.partitionBy("__gr_bucket").orderBy(
+        F.col("__gr_score").asc(), F.col(tiebreak).asc()
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__gr_bucket")
+        .withColumn(out_col, F.row_number().over(w_local) + F.col("__gr_offset"))
+        .drop("__gr_bucket", "__gr_score", "__gr_offset")
+    )

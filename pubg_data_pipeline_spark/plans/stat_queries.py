@@ -483,7 +483,32 @@ FROM events GROUP BY 1
 """
 
 
+def doc_length_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact total-order rank of EVERY document by length, computed
+    without a single-partition sort (operators.windows.global_rank:
+    coarse score buckets -> tiny broadcast offset table -> per-bucket
+    parallel local rank). The oracle is the naive global ROW_NUMBER —
+    hash-match proves the two-phase decomposition exact."""
+    from pubg_data_pipeline_spark.operators.windows import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_rank(
+        docs, F.col("n_chars").cast("double"), tiebreak="doc_id", n_buckets=64
+    )
+    return ranked.select("doc_id", "n_chars", "global_rank")
+
+
+_GLOBAL_RANK_SQL = """
+SELECT doc_id, n_chars,
+       ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS global_rank
+FROM documents
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "doc_length_global_rank", doc_length_global_rank, _GLOBAL_RANK_SQL, ("window", "stats")
+    ),
     QuerySpec("lineitem_regression", lineitem_regression, _REGR_SQL, ("agg", "stats")),
     QuerySpec("event_value_moments", event_value_moments, _MOMENTS_SQL, ("agg", "stats")),
     QuerySpec(

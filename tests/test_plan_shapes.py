@@ -157,6 +157,18 @@ def test_fuzzy_pairs_skewed_block_exact_and_bounded(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_global_rank_window_is_bucket_partitioned(spark):
+    # The data-table window must be PARTITIONED by the coarse score
+    # bucket (parallel local sorts); only the n_buckets-row offset
+    # table may pass through a single-partition window. A bare global
+    # row_number would instead put the full table behind
+    # Exchange SinglePartition.
+    plan = _plan(spark, "doc_length_global_rank")
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
+    assert window_lines, plan
+    assert any("__gr_bucket" in ln for ln in window_lines), window_lines
+
+
 def test_grouping_id_is_expand_aggregate(spark):
     # grouping sets plan as one Expand feeding a partial+final aggregate
     plan = _plan(spark, "order_priority_grouping_id")
