@@ -144,6 +144,26 @@ def global_rank(
     bounds the largest local sort; raise ``n_buckets`` for heavier
     tails (cost of step 2 stays trivial).
     """
+    bucketed = _score_buckets(df, score, ascending, n_buckets)
+    counts = bucketed.groupBy("__gr_bucket").agg(F.count(F.lit(1)).alias("__gr_n"))
+    offsets = _exclusive_bucket_offsets(counts, "__gr_n")
+    w_local = Window.partitionBy("__gr_bucket").orderBy(
+        F.col("__gr_score").asc(), F.col(tiebreak).asc()
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__gr_bucket")
+        .withColumn(out_col, F.row_number().over(w_local) + F.col("__gr_offset"))
+        .drop("__gr_bucket", "__gr_score", "__gr_offset")
+    )
+
+
+def _score_buckets(
+    df: DataFrame, score: Column, ascending: bool, n_buckets: int
+) -> DataFrame:
+    """Coarse range-bucket assignment over the score's [min, max] —
+    the shared first phase of the global rank/prefix-sum decomposition.
+    Adds ``__gr_score`` (direction-normalized so asc ordering is always
+    correct) and ``__gr_bucket`` (1..n_buckets)."""
     direction = 1.0 if ascending else -1.0
     keyed = df.withColumn("__gr_score", score * F.lit(direction))
     bounds = keyed.agg(
@@ -151,7 +171,7 @@ def global_rank(
     )
     # crossJoin of a 1-row aggregate: broadcast literal bounds, no
     # driver collect in the plan.
-    bucketed = keyed.crossJoin(F.broadcast(bounds)).withColumn(
+    return keyed.crossJoin(F.broadcast(bounds)).withColumn(
         "__gr_bucket",
         F.when(
             F.col("hi") == F.col("lo"), F.lit(1)
@@ -166,13 +186,16 @@ def global_rank(
             )
         ),
     ).drop("lo", "hi")
-    counts = bucketed.groupBy("__gr_bucket").agg(F.count(F.lit(1)).alias("__gr_n"))
-    # The running sum below IS a single-partition window — over the
-    # n_buckets-row counts table, not the data (the whole point).
-    offsets = counts.withColumn(
+
+
+def _exclusive_bucket_offsets(per_bucket: DataFrame, value_col: str) -> DataFrame:
+    """Exclusive prefix over the per-bucket totals. This IS a
+    single-partition window — over the n_buckets-row bucket table, not
+    the data (the whole point of the decomposition)."""
+    return per_bucket.withColumn(
         "__gr_offset",
         F.coalesce(
-            F.sum("__gr_n").over(
+            F.sum(value_col).over(
                 Window.orderBy("__gr_bucket").rowsBetween(
                     Window.unboundedPreceding, -1
                 )
@@ -180,11 +203,40 @@ def global_rank(
             F.lit(0),
         ),
     ).select("__gr_bucket", "__gr_offset")
-    w_local = Window.partitionBy("__gr_bucket").orderBy(
-        F.col("__gr_score").asc(), F.col(tiebreak).asc()
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    score: Column,
+    tiebreak: str,
+    value_col: str,
+    n_buckets: int = 1000,
+    ascending: bool = False,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Exact running total of ``value_col`` over the table's TOTAL
+    order (score, tiebreak) without a single-partition sort — the
+    distributed scan primitive behind curriculum packing ("cumulative
+    tokens over quality-ranked docs"), budget cutoffs, and exact
+    quantile assignment.
+
+    Same decomposition as ``global_rank``: per-bucket value sums roll
+    into a tiny exclusive-prefix offset table (broadcast back), and a
+    bucket-partitioned window computes the inclusive local running
+    sum; offset + local = exact global running total. Use integer
+    value columns for cross-engine exactness (float summation order
+    differs from a naive global scan's).
+    """
+    bucketed = _score_buckets(df, score, ascending, n_buckets)
+    sums = bucketed.groupBy("__gr_bucket").agg(F.sum(value_col).alias("__gr_v"))
+    offsets = _exclusive_bucket_offsets(sums, "__gr_v")
+    w_local = (
+        Window.partitionBy("__gr_bucket")
+        .orderBy(F.col("__gr_score").asc(), F.col(tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         bucketed.join(F.broadcast(offsets), "__gr_bucket")
-        .withColumn(out_col, F.row_number().over(w_local) + F.col("__gr_offset"))
+        .withColumn(out_col, F.sum(value_col).over(w_local) + F.col("__gr_offset"))
         .drop("__gr_bucket", "__gr_score", "__gr_offset")
     )

@@ -505,9 +505,49 @@ FROM documents
 """
 
 
+def curriculum_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: documents sorted longest-first over
+    the WHOLE corpus (a curriculum proxy), running char total via the
+    distributed scan (operators.windows.global_prefix_sum — no
+    single-partition sort), then packed into fixed-budget shards by
+    the running total's start offset. Integer arithmetic end-to-end so
+    the oracle (naive global SUM OVER) hash-matches exactly."""
+    from pubg_data_pipeline_spark.operators.windows import global_prefix_sum
+
+    budget = 100_000
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scanned = global_prefix_sum(
+        docs,
+        F.col("n_chars").cast("double"),
+        tiebreak="doc_id",
+        value_col="n_chars",
+        n_buckets=64,
+        out_col="cum_chars",
+    )
+    return scanned.select(
+        "doc_id",
+        "n_chars",
+        F.col("cum_chars").cast("long").alias("cum_chars"),
+        ((F.col("cum_chars") - F.col("n_chars")) / budget).cast("long").alias("shard_id"),
+    )
+
+
+_CURRICULUM_SQL = """
+SELECT doc_id, n_chars,
+       CAST(SUM(n_chars) OVER w AS BIGINT) AS cum_chars,
+       CAST(FLOOR((SUM(n_chars) OVER w - n_chars) / 100000) AS BIGINT) AS shard_id
+FROM documents
+WINDOW w AS (ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 SPECS = [
     QuerySpec(
         "doc_length_global_rank", doc_length_global_rank, _GLOBAL_RANK_SQL, ("window", "stats")
+    ),
+    QuerySpec(
+        "curriculum_shard_packing", curriculum_shard_packing, _CURRICULUM_SQL, ("llm", "window")
     ),
     QuerySpec("lineitem_regression", lineitem_regression, _REGR_SQL, ("agg", "stats")),
     QuerySpec("event_value_moments", event_value_moments, _MOMENTS_SQL, ("agg", "stats")),
