@@ -104,3 +104,27 @@ def finalize_hourly(state: DataFrame, digits: int = 2) -> DataFrame:
         F.round(F.col("scaled_sum") / denom, 2).alias("total_value"),
         F.round(F.col("scaled_sum") / denom / F.col("n"), 4).alias("avg_value"),
     )
+
+
+def rollup_to_daily(hourly_state: DataFrame) -> DataFrame:
+    """Derive the DAY-level rollup from stored HOUR-level states — the
+    hierarchical ("hypertable continuous aggregate") form: coarser
+    resolutions re-aggregate the finer partial states (24 rows per
+    day), never the raw events. Exact because the states are integer
+    count/scaled-sum, which re-aggregate associatively."""
+    return hourly_state.groupBy(
+        F.substring("hour_key", 1, 10).alias("day_key")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("scaled_sum").alias("scaled_sum"),
+    )
+
+
+def finalize_daily(state: DataFrame, digits: int = 2) -> DataFrame:
+    denom = float(10**digits)
+    return state.select(
+        "day_key",
+        F.col("n").alias("n_events"),
+        F.round(F.col("scaled_sum") / denom, 2).alias("total_value"),
+        F.round(F.col("scaled_sum") / denom / F.col("n"), 4).alias("avg_value"),
+    )

@@ -542,9 +542,34 @@ WINDOW w AS (ORDER BY n_chars DESC, doc_id
 """
 
 
+def daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: the DAY aggregate is derived from stored
+    HOUR partial states (24 tiny rows/day — operators.incremental.
+    rollup_to_daily), never by rescanning events. The oracle aggregates
+    the raw table directly per day; integer count/scaled-sum states
+    make the two routes bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = incremental.partial_hourly_state(ev)
+    return incremental.finalize_daily(incremental.rollup_to_daily(hourly))
+
+
+_DAILY_ROLLUP_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_key,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS total_value,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             / 100.0 / COUNT(*), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec(
         "doc_length_global_rank", doc_length_global_rank, _GLOBAL_RANK_SQL, ("window", "stats")
+    ),
+    QuerySpec(
+        "daily_from_hourly_rollup", daily_from_hourly_rollup, _DAILY_ROLLUP_SQL, ("agg", "incremental")
     ),
     QuerySpec(
         "curriculum_shard_packing", curriculum_shard_packing, _CURRICULUM_SQL, ("llm", "window")
