@@ -446,8 +446,41 @@ FROM idx
 """
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RNG-free WEIGHTED Bernoulli sampling: P(keep) = min(n_chars,
+    1000)/1000 per document (longer docs up-weighted), decided by
+    comparing the content hash mod 1000 against the weight — the
+    deterministic form of weighted dataset mixing. Same reproducibility
+    contract as the unweighted hash sampling (stratified_source_sample):
+    identical keep-set on every run, engine, and partitioning; here
+    aggregated to per-source totals. One map-side projection + one
+    aggregate at any scale."""
+    docs = _docs(spark, sf_dir)
+    fp = rolling_fingerprint(F.col("text"))
+    kept = (F.pmod(fp, F.lit(1000)) < F.least(F.col("n_chars"), F.lit(1000))).cast("long")
+    return (
+        docs.select("source", kept.alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("k").cast("long").alias("n_kept"),
+        )
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = rf"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ({_FP_SQL}) % 1000 < LEAST(n_chars, 1000)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY source
+"""
+
+
 SPECS = [
     QuerySpec("corpus_split_stats", corpus_split_stats, _SPLIT_SQL, ("curation",)),
+    QuerySpec(
+        "quality_weighted_sample", quality_weighted_sample, _WEIGHTED_SAMPLE_SQL, ("curation",)
+    ),
     QuerySpec("doc_chunking", doc_chunking, _CHUNK_SQL, ("curation", "llm")),
     QuerySpec(
         "training_shuffle_shards", training_shuffle_shards, _SHUFFLE_SQL, ("curation",)
