@@ -1,0 +1,82 @@
+"""Native session_window in a STREAMING aggregation with watermark —
+the streaming-capable twin of the batch user_sessions_native query.
+Append mode only emits sessions the watermark has closed, so a late
+sentinel event pushes the watermark past the real sessions before the
+availableNow run drains."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+from pubg_data_pipeline_spark.streaming import sources
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "view"),
+        (2, "2024-01-01T10:10:00", 1, "view"),   # same session (gap < 30m)
+        (3, "2024-01-01T11:30:00", 1, "view"),   # new session
+        (4, "2024-01-01T10:05:00", 2, "view"),
+        # sentinel far in the future: advances the watermark past every
+        # real session so append mode emits them before the stream ends
+        (99, "2024-01-02T12:00:00", 999, "view"),
+    ]
+    with open(src / "b0.json", "w") as f:
+        for eid, ts, uid, et in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid, "event_type": et}) + "\n")
+
+    stream = sources.json_file_stream(spark, str(src), SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+        if r["user_id"] != 999
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00", 2),
+        (1, "2024-01-01 11:30:00", 1),
+        (2, "2024-01-01 10:05:00", 1),
+    }
+
+    # the batch form over the same rows agrees (streaming/batch parity
+    # of the native session operator)
+    batch = spark.createDataFrame(
+        [(e, t.replace("T", " "), u, et) for e, t, u, et in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got_batch = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in batch.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+        .collect()
+        if r["user_id"] != 999
+    }
+    assert got_batch == got
