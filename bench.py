@@ -62,6 +62,10 @@ HEADLINE = [
     "doc_ngram_jaccard_pairs_capped",
     "embedding_ivf_index_topk",
     "part_name_fuzzy_pairs",
+    "doc_length_global_rank",
+    "curriculum_shard_packing",
+    "incremental_ingest_dedup",
+    "daily_from_hourly_rollup",
 ]
 
 
@@ -107,11 +111,12 @@ def main() -> None:
     except Exception:
         pass
 
-    # Each query is timed twice and the minimum is reported: the host
-    # shows multi-second intermittent noise (shared VM), and min-of-N
-    # is the standard steady-state estimator under one-sided noise.
+    # Each query is timed three times and the minimum is reported: the
+    # host shows multi-second intermittent noise (shared VM — observed
+    # 10x spikes under CPU steal), and min-of-N is the standard
+    # steady-state estimator under one-sided noise.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             start = time.perf_counter()
             try:
