@@ -211,7 +211,11 @@ def interval_join(
     """Inner join of point rows into interval rows where
     ``start_col <= point_ts <= end_col`` (both inclusive), optionally
     also matching on equality ``keys`` — the big-big range join Spark
-    has no native operator for.
+    has no native operator for. (Reference analog: the alert manager's
+    fixed 15-minute suppression window membership,
+    reference monitoring/alert_manager.py:83-94, is the degenerate
+    single-interval-per-key case; this operator generalizes to
+    arbitrary interval tables at scale.)
 
     Without an equi component Catalyst plans BroadcastNestedLoopJoin —
     O(|points| x |intervals|) and only viable when one side broadcasts.

@@ -125,6 +125,10 @@ def global_rank(
 ) -> DataFrame:
     """Total-order rank over the WHOLE table without a single-partition
     sort — the scale path for "rank every document by quality".
+    (Reference analog: the ranking windows of
+    reference spark_apps/advanced_analytics.py:141-168 are per-batch
+    and unpartitioned — the SURVEY.md §4.2 antipattern this
+    decomposition fixes for corpus-wide ordering.)
 
     A bare ``row_number() over (order by score)`` funnels all rows
     through one task (Exchange SinglePartition — the classic global
