@@ -143,6 +143,35 @@ def dedup_clusters(
     )
 
 
+def deduped_corpus_by_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster dedup keeping the BEST-quality member per near-dup
+    cluster (ties broken by min id) — what a real curation run wants:
+    when a boilerplate-stripped page and its raw twin collide, keep
+    the higher-quality one, not the lower doc id. One window over the
+    (tiny) membership table picks keepers; the corpus-side removal is
+    the same broadcast anti-join as ``deduped_corpus``."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    members = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("__q")), "node"
+    )
+    w = Window.partitionBy("component").orderBy(F.col("__q").desc(), F.col("node").asc())
+    losers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def deduped_corpus(
     df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -120,6 +120,48 @@ GROUP BY lang
 """
 
 
+def doc_corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-keeper variant of the corpus dedup: within each near-dup
+    cluster keep the LONGEST document (n_chars as the quality proxy;
+    ties -> min doc_id), not the min-id member — the policy a real
+    curation run ships (operators/graph.py:deduped_corpus_by_quality).
+    Same per-language survivor stats as doc_corpus_after_dedup so the
+    two policies are directly comparable."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = graph.deduped_corpus_by_quality(
+        docs, _jaccard_pairs(spark, sf_dir), "doc_id", "n_chars"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_KEEP_BEST_SQL = _CLOSURE_PRELUDE + """
+, members AS (
+  SELECT comp.node, comp.component, d.n_chars
+  FROM comp JOIN documents d ON d.doc_id = comp.node
+), losers AS (
+  SELECT node AS doc_id FROM (
+    SELECT node,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, node ASC) AS rn
+    FROM members
+  ) WHERE rn > 1
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY lang
+"""
+
+
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding-space dedup (Abbas et al. 2023,
     arXiv:2303.09540): within each cluster (the `label` column stands
@@ -199,6 +241,9 @@ SPECS = [
     QuerySpec("doc_dup_clusters", doc_dup_clusters, _CLUSTERS_SQL, ("llm", "dedup", "graph")),
     QuerySpec(
         "doc_corpus_after_dedup", doc_corpus_after_dedup, _AFTER_DEDUP_SQL, ("llm", "dedup", "graph")
+    ),
+    QuerySpec(
+        "doc_corpus_keep_best", doc_corpus_keep_best, _KEEP_BEST_SQL, ("llm", "dedup", "graph")
     ),
     QuerySpec(
         "embedding_semantic_dedup", embedding_semantic_dedup, _SEMANTIC_SQL, ("llm", "dedup", "vector")
