@@ -1,0 +1,50 @@
+"""Driver-contract guard: the grading driver imports __spark_entry__
+with ITS OWN plain SparkSession (none of the engine's confs preset), so
+entry()/queries() must retrofit every required conf via
+configure_session. This test replays that exact path in a SUBPROCESS —
+the in-process test session is already configured and would mask a
+regression (precisely how the round-2 nanos-flag class of bug slips
+through suites)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PROBE = """
+import sys
+sys.path.insert(0, %r)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+rows = e.entry(spark).collect()
+assert len(rows) > 0, "entry() returned no rows"
+qs, oracles = e.queries(), e.oracle_sql()
+assert set(oracles) <= set(qs), f"orphan oracles: {set(oracles) - set(qs)}"
+# one timestamp-sensitive query end-to-end: proves the ts-normalization
+# fires on a session that did NOT preset any parquet/timezone confs
+n = qs["hourly_event_aggregates"](spark, "/root/testdata/sf0.001").count()
+assert n > 0
+print("CONTRACT_OK", len(qs), len(oracles))
+"""
+
+
+def test_entry_contract_on_bare_foreign_session():
+    proc = subprocess.run(
+        [sys.executable, "-c", _PROBE % REPO_ROOT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO_ROOT,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    assert "CONTRACT_OK" in proc.stdout
