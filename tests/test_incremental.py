@@ -64,3 +64,29 @@ def test_hll_estimate_within_5pct_of_exact(spark):
     for hk, est in approx.items():
         true = exact[hk]
         assert abs(est - true) <= max(0.05 * true, 2), (hk, est, true)
+
+
+def test_daily_rollup_from_hourly_matches_direct(spark):
+    # hierarchy exactness: day states derived from hourly partials must
+    # equal the day aggregate computed directly from raw rows, even
+    # when the hourly states arrive as two disjoint merged increments
+    ev = load_table(spark, SF_DIR, "events")
+    left = incremental.partial_hourly_state(ev.filter(F.col("event_id") % 2 == 0))
+    right = incremental.partial_hourly_state(ev.filter(F.col("event_id") % 2 == 1))
+    hourly = incremental.merge_hourly_states(left, right)
+    via_hourly = {
+        r["day_key"]: (r["n_events"], r["total_value"])
+        for r in incremental.finalize_daily(incremental.rollup_to_daily(hourly)).collect()
+    }
+    direct = {
+        r["day_key"]: (r["n_events"], r["total_value"])
+        for r in incremental.finalize_daily(
+            ev.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_key")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("scaled_sum"),
+            )
+        ).collect()
+    }
+    assert via_hourly == direct
