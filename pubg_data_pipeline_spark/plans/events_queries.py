@@ -654,9 +654,48 @@ FROM incidents i LEFT JOIN matched m USING (incident_id)
 """
 
 
+def event_type_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators.skew.salted_aggregate):
+    each hot grouping key spreads over 16 salt buckets in phase 1, the
+    partials merge on the real key in phase 2. Decomposable aggregates
+    only (count/sum/max here); the value sum rides the exact
+    scaled-integer lane so the salted result is bit-identical to the
+    oracle's direct GROUP BY regardless of partitioning or salt."""
+    from pubg_data_pipeline_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = skew.salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("value", "count"),
+            "scaled_total": ("v_cents", "sum"),
+            "max_cents": ("v_cents", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("scaled_total") / 100.0, 2).alias("total_value"),
+        F.round(F.col("max_cents") / 100.0, 2).alias("max_value"),
+    )
+
+
+_SALTED_AGG_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total_value,
+       ROUND(MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("player_ranking_top10", player_ranking_top10, _RANKING_SQL, ("flagship", "agg", "window")),
     QuerySpec("incident_window_purchases", incident_window_purchases, _INTERVAL_JOIN_SQL, ("join", "time")),
+    QuerySpec("event_type_salted_agg", event_type_salted_agg, _SALTED_AGG_SQL, ("agg", "skew")),
     QuerySpec("purchase_last_signup_asof", purchase_last_signup_asof, _ASOF_SQL, ("join", "time")),
     QuerySpec("hourly_event_aggregates", hourly_event_aggregates, _HOURLY_SQL, ("agg", "time")),
     QuerySpec("event_type_difficulty", event_type_difficulty, _DIFFICULTY_SQL, ("agg",)),
