@@ -167,6 +167,58 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def bucketed_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free join from BUCKETED storage (S11,
+    sources/io.py:write_bucketed_table): customer and orders are saved
+    bucketed on custkey (once per process and sf — the offline layout
+    step of a 100 TB warehouse), so the join needs no exchange on
+    either side (plan asserted in tests/test_io.py); per-segment order
+    stats ride the exact scaled-integer lane."""
+    import hashlib
+
+    from pubg_data_pipeline_spark.sources import io
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    cust_tbl, ord_tbl = f"bkt_customer_{tag}", f"bkt_orders_{tag}"
+    if not spark.catalog.tableExists(cust_tbl):
+        io.write_bucketed_table(
+            load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            cust_tbl,
+            ["c_custkey"],
+            num_buckets=8,
+        )
+    if not spark.catalog.tableExists(ord_tbl):
+        io.write_bucketed_table(
+            load_table(spark, sf_dir, "orders")
+            .select("o_custkey", "o_totalprice")
+            .withColumn("o_cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .withColumnRenamed("o_custkey", "c_custkey"),
+            ord_tbl,
+            ["c_custkey"],
+            num_buckets=8,
+        )
+    cust = spark.table(cust_tbl)
+    orders = spark.table(ord_tbl)
+    return (
+        cust.join(orders, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_cents") / 100.0, 2).alias("total_price"),
+        )
+    )
+
+
+_BUCKETED_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS total_price
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def user_value_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user geometric mean of event values via a pandas GROUPED_AGG
     UDF — the third Arrow extension point (§2.9: scalar mapInPandas and
@@ -241,5 +293,8 @@ SPECS = [
     QuerySpec("region_nation_roster", region_nation_roster, _ROSTER_SQL, ("agg",)),
     QuerySpec("customer_order_span", customer_order_span, _SPAN_SQL, ("window",)),
     QuerySpec("part_name_fuzzy_pairs", part_name_fuzzy_pairs, _FUZZY_SQL, ("join", "text")),
+    QuerySpec(
+        "bucketed_segment_order_stats", bucketed_segment_order_stats, _BUCKETED_SQL, ("join", "io")
+    ),
     QuerySpec("user_value_gmean", user_value_gmean, _GMEAN_SQL, ("agg", "pandas")),
 ]
