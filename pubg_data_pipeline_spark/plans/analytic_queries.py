@@ -174,11 +174,10 @@ def bucketed_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     step of a 100 TB warehouse), so the join needs no exchange on
     either side (plan asserted in tests/test_io.py); per-segment order
     stats ride the exact scaled-integer lane."""
-    import hashlib
-
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
     from pubg_data_pipeline_spark.sources import io
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    tag = dataset_cache_tag(sf_dir, "customer", "orders")
     cust_tbl, ord_tbl = f"bkt_customer_{tag}", f"bkt_orders_{tag}"
     if not spark.catalog.tableExists(cust_tbl):
         io.write_bucketed_table(

@@ -41,6 +41,27 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default=())
 
 
+def dataset_cache_tag(sf_dir: str, *tables: str) -> str:
+    """Cache key for per-dataset derived artifacts (persisted IVF /
+    fingerprint indexes, bucketed tables): hashes the sf_dir PLUS the
+    mtime and size of each source parquet, so a driver-side testdata
+    regeneration (same paths, new content — the round-2 failure class)
+    invalidates every cache instead of silently serving stale derived
+    data."""
+    import hashlib
+    import os
+
+    h = hashlib.sha1(sf_dir.encode())
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(path)
+            h.update(f"{t}:{st.st_mtime_ns}:{st.st_size}".encode())
+        except OSError:
+            h.update(f"{t}:missing".encode())
+    return h.hexdigest()[:12]
+
+
 def exact_scaled(col: Column, digits: int = 2) -> Column:
     """Per-row exact fixed-point encoding: round(x * 10^digits) as long.
 

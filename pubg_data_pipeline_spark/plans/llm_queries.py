@@ -401,11 +401,12 @@ def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-memory twin (embedding_ivf_topk) models. Rows-only check like
     every k-means query (no SQL oracle); agreement with the in-memory
     path is pinned in tests/test_llm_ops.py."""
-    import hashlib
     import os
 
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    tag = dataset_cache_tag(sf_dir, "embeddings")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo_root, ".ivf_cache", f"index_{tag}")
     if not os.path.isdir(os.path.join(path, "centers")):
@@ -426,11 +427,12 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose normalized-text md5 already exists in history are dropped,
     then one keeper (min doc_id) survives per fingerprint within the
     batch. The oracle replays the same split and logic in SQL."""
-    import hashlib
     import os
 
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+
     docs = load_table(spark, sf_dir, "documents")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    tag = dataset_cache_tag(sf_dir, "documents")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo_root, ".index_cache", f"fingerprints_{tag}")
     if not os.path.isdir(path):
