@@ -167,6 +167,23 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def _drop_stale_managed_location(spark: SparkSession, *tables: str) -> None:
+    """Remove warehouse directories left by a PREVIOUS process for
+    managed tables the current in-memory catalog doesn't know — else
+    saveAsTable fails with LOCATION_ALREADY_EXISTS. (The bucketed
+    layout must be a catalog table: bucket metadata lives in the
+    catalog, and a plain path read would lose the shuffle-free join.)"""
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    for tbl in tables:
+        loc = os.path.join(wh, tbl)
+        if not spark.catalog.tableExists(tbl) and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+
 def bucketed_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free join from BUCKETED storage (S11,
     sources/io.py:write_bucketed_table): customer and orders are saved
@@ -179,6 +196,7 @@ def bucketed_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = dataset_cache_tag(sf_dir, "customer", "orders")
     cust_tbl, ord_tbl = f"bkt_customer_{tag}", f"bkt_orders_{tag}"
+    _drop_stale_managed_location(spark, cust_tbl, ord_tbl)
     if not spark.catalog.tableExists(cust_tbl):
         io.write_bucketed_table(
             load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
