@@ -66,6 +66,8 @@ HEADLINE = [
     "curriculum_shard_packing",
     "incremental_ingest_dedup",
     "daily_from_hourly_rollup",
+    "event_type_salted_agg",
+    "bucketed_segment_order_stats",
 ]
 
 
