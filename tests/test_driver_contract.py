@@ -34,6 +34,11 @@ assert set(oracles) <= set(qs), f"orphan oracles: {set(oracles) - set(qs)}"
 # fires on a session that did NOT preset any parquet/timezone confs
 n = qs["hourly_event_aggregates"](spark, "/root/testdata/sf0.001").count()
 assert n > 0
+# the side-effecting queries (persisted IVF index, fingerprint index,
+# bucketed catalog tables) must ALSO work from a bare fresh process —
+# stale artifacts from earlier processes included
+for q in ("embedding_ivf_index_topk", "incremental_ingest_dedup", "bucketed_segment_order_stats"):
+    assert qs[q](spark, "/root/testdata/sf0.001").count() > 0, q
 print("CONTRACT_OK", len(qs), len(oracles))
 """
 
