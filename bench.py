@@ -68,6 +68,8 @@ HEADLINE = [
     "daily_from_hourly_rollup",
     "event_type_salted_agg",
     "bucketed_segment_order_stats",
+    "event_enrich_salted_join",
+    "big_order_customers_right_join",
 ]
 
 
@@ -125,9 +127,16 @@ def main() -> None:
                 specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001 - report, keep benching
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                # A query that succeeded in an earlier pass but broke in
+                # this one must not keep its stale min timing — it would
+                # inflate the headline total AND appear in errors.
+                timings.pop(name, None)
                 continue
             elapsed = round(time.perf_counter() - start, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+            # Symmetric consistency: a timed success supersedes an error
+            # from an earlier (warmup or timed) pass.
+            errors.pop(name, None)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -137,10 +146,52 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    regressions = _regressions_vs_last_recorded(timings)
+    if regressions:
+        result["regressions"] = regressions
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
     spark.stop()
+
+
+def _regressions_vs_last_recorded(
+    timings: dict[str, float], factor: float = 1.5, min_sec: float = 0.3
+) -> dict[str, dict[str, float]]:
+    """Per-query comparison against the most recent recorded
+    BENCH_r{N}.json in the repo root: queries now > ``factor``× slower
+    are flagged so an environment/testdata drift is caught by the
+    builder before the driver sees it. Sub-``min_sec`` queries are
+    ignored (pure scheduling noise at that magnitude)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    out: dict[str, dict[str, float]] = {}
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            # The driver records bench stdout inside a "tail" field;
+            # the metric line is the last '{"metric"...}' in it.
+            if "queries" not in prev and '{"metric"' in prev.get("tail", ""):
+                prev = json.loads(prev["tail"][prev["tail"].rindex('{"metric"'):])
+            prev_q = prev.get("queries") or {}
+        except (OSError, ValueError, IndexError):
+            continue
+        if not prev_q:
+            continue  # crashed round (e.g. r02) — fall back further
+        for name, now in timings.items():
+            before = prev_q.get(name)
+            if before and before >= min_sec and now > before * factor:
+                out[name] = {"prev": before, "now": now, "ratio": round(now / before, 2)}
+        return out
+    return out
 
 
 if __name__ == "__main__":

@@ -29,6 +29,32 @@ from pyspark.sql import functions as F
 from pubg_data_pipeline_spark.functions.text import doc_fingerprint, word_shingles
 
 
+def guard_all_pairs(
+    df: DataFrame, max_rows: int, op: str, scale_twin: str, allow_full: bool = False
+) -> None:
+    """Fail-fast scale guard for exact all-pairs baselines.
+
+    The exact pair-generation baselines (uncapped n-gram Jaccard,
+    embedding-cosine near-dup pairs) exist to pin semantics for the
+    oracle; their cost grows quadratically with input size, so pointing
+    one at a production-scale corpus is a silent cluster-killer.
+    Probes at most ``max_rows + 1`` rows (``limit().count()`` — bounded
+    work regardless of corpus size) and raises with a pointer at the
+    scale-safe twin. ``allow_full=True`` is the explicit escape hatch
+    for deliberate large exact runs.
+    """
+    if allow_full:
+        return
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: input exceeds {max_rows} rows — this exact all-pairs "
+            f"baseline is quadratic and exists only as an oracle anchor. "
+            f"Use the scale-safe path ({scale_twin}), or pass "
+            f"allow_full=True to run the exact form anyway."
+        )
+
+
 def exact_dedup(df: DataFrame, keys: Sequence[str], order_key: str) -> DataFrame:
     """Keep exactly one row per key group — the one with the smallest
     ``order_key`` (deterministic; plain dropDuplicates keeps an
@@ -212,6 +238,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    allow_full: bool = False,
+    guard_max_rows: int = 100_000,
 ) -> DataFrame:
     """All near-dup pairs by exact n-gram Jaccard, via an inverted
     shingle index (explode + self-equi-join on shingle) — exact but
@@ -227,7 +255,20 @@ def ngram_jaccard_pairs(
     the non-boilerplate shingles (a documented, self-consistent
     approximation, analogous to stop-word removal in IR; the
     scale-safe probabilistic alternative is the MinHash-LSH path).
+
+    Without the cap the hot-shingle blow-up is unguarded, so the
+    UNCAPPED form refuses inputs beyond ``guard_max_rows`` (override
+    with ``allow_full=True``) — see :func:`guard_all_pairs`.
     """
+    if max_doc_freq is None:
+        guard_all_pairs(
+            df,
+            guard_max_rows,
+            "ngram_jaccard_pairs(max_doc_freq=None)",
+            "max_doc_freq cap (doc_ngram_jaccard_pairs_capped) or "
+            "MinHash-LSH (minhash_near_dups)",
+            allow_full,
+        )
     exploded = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),

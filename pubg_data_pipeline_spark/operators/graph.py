@@ -36,6 +36,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id in the node's connected
@@ -43,19 +44,37 @@ def connected_components(
 
     Edges are treated as undirected; self-loops and duplicates are
     fine (they collapse in the symmetrize-distinct step).
+
+    ``checkpoint_dir``: by default rounds truncate lineage with
+    ``localCheckpoint`` — executor-local blocks, right for local mode
+    and fastest, but NOT executor-loss tolerant (a lost executor's
+    cached blocks cannot be recomputed once lineage is truncated). On
+    a real cluster pass a fault-tolerant directory (HDFS/S3) and each
+    round checkpoints there via ``sparkContext.setCheckpointDir`` +
+    ``DataFrame.checkpoint`` instead, surviving executor loss at the
+    cost of one distributed write per round.
     """
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     # Materialize the raw edge projection EAGERLY before symmetrizing:
     # union(e, e.swapped) duplicates the entire upstream subtree in the
     # logical plan, so an expensive pair-generation pipeline (shingle
     # explode + 3 aggregates for the Jaccard case) would be analyzed
     # and executed twice — measured 2x the whole-query cost at sf0.1.
     # After the checkpoint the union reads a cached RDD twice instead.
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
-    e = (
+    e0 = _ckpt(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), eager=True)
+    e = _ckpt(
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        eager=False,
     )
     # Size the loop's shuffle width to the edge count (~500k edges per
     # partition), exactly as AQE would coalesce it: the near-dup edge
@@ -67,7 +86,7 @@ def connected_components(
     # Partition by "b" — the loop's only join against e keys on b
     # (labels renamed node->b), so the edge side never reshuffles
     # inside the loop.
-    e = e.repartition(n_parts, "b").localCheckpoint(eager=False)
+    e = _ckpt(e.repartition(n_parts, "b"), eager=False)
     # Initialize at least(node, min_neighbor) — the first half of a
     # propagation round folded into the init aggregate. Dup graphs are
     # near-cliques, and a clique is already at fixpoint after this, so
@@ -75,11 +94,11 @@ def connected_components(
     # round saved on the dominant shape; chains just shift by one).
     # Every node of the symmetrized edge list appears as "a", so the
     # groupBy covers all nodes.
-    labels = (
+    labels = _ckpt(
         e.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("__mn"))
-        .select("node", F.least(F.col("node"), F.col("__mn")).alias("comp"))
-        .localCheckpoint(eager=False)
+        .select("node", F.least(F.col("node"), F.col("__mn")).alias("comp")),
+        eager=False,
     )
     # Convergence detection: labels only ever decrease, so
     # sum(comp) is strictly monotone until fixpoint — two equal
@@ -108,15 +127,15 @@ def connected_components(
         ptr = stepped.select(
             F.col("node").alias("comp"), F.col("comp").alias("comp2")
         )
-        jumped = (
+        jumped = _ckpt(
             stepped.join(ptr, "comp", "left")
             .select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))
                 ).alias("comp"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
         cur_sum = jumped.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")

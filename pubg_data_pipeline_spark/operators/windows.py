@@ -167,17 +167,45 @@ def _score_buckets(
     """Coarse range-bucket assignment over the score's [min, max] —
     the shared first phase of the global rank/prefix-sum decomposition.
     Adds ``__gr_score`` (direction-normalized so asc ordering is always
-    correct) and ``__gr_bucket`` (1..n_buckets)."""
+    correct) and ``__gr_bucket`` (1..n_buckets).
+
+    NULL/NaN scores fail fast instead of silently vanishing: a NULL
+    score would yield a NULL bucket and be dropped by the inner join on
+    ``__gr_bucket`` — diverging from an oracle's ROW_NUMBER, which
+    ranks every row. The decomposition has no principled place for
+    unordered rows (engines disagree on NULL sort position), so the
+    caller must filter or fill them explicitly; the assert is folded
+    into the bucket expression so it rides the same scan (no extra
+    pass)."""
     direction = 1.0 if ascending else -1.0
     keyed = df.withColumn("__gr_score", score * F.lit(direction))
+    # Bounds over non-NaN scores only (min/max already ignore NULLs):
+    # one NaN would otherwise poison hi, making every HEALTHY row's
+    # bucket NaN and erroring on the int cast before the per-row assert
+    # below can report the real problem.
+    clean_score = F.when(~F.isnan(F.col("__gr_score")), F.col("__gr_score"))
     bounds = keyed.agg(
-        F.min("__gr_score").alias("lo"), F.max("__gr_score").alias("hi")
+        F.min(clean_score).alias("lo"), F.max(clean_score).alias("hi")
+    )
+    score_ok = F.assert_true(
+        F.col("__gr_score").isNotNull() & ~F.isnan(F.col("__gr_score")),
+        F.lit(
+            "global rank/prefix-sum: NULL or NaN score — filter these rows "
+            "or fill the score first (they cannot be placed in a total "
+            "order deterministically)"
+        ),
     )
     # crossJoin of a 1-row aggregate: broadcast literal bounds, no
     # driver collect in the plan.
     return keyed.crossJoin(F.broadcast(bounds)).withColumn(
         "__gr_bucket",
+        # assert_true returns NULL when the row passes, so the `when`
+        # always falls through to the real bucket expression — but the
+        # check stays inside a USED column, surviving column pruning.
         F.when(
+            score_ok.isNotNull(),
+            F.lit(None).cast("int"),
+        ).when(
             F.col("hi") == F.col("lo"), F.lit(1)
         ).otherwise(
             F.least(

@@ -175,8 +175,16 @@ def _drop_stale_managed_location(spark: SparkSession, *tables: str) -> None:
     catalog, and a plain path read would lose the shuffle-free join.)"""
     import os
     import shutil
+    from urllib.parse import urlparse
 
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    # Local-filesystem warehouses only: on a real cluster the warehouse
+    # is an hdfs://, s3a://, ... URI — os/shutil cannot (and must not)
+    # sweep it; leave remote stale locations to the deployment's
+    # catalog tooling.
+    scheme = urlparse(wh).scheme
+    if scheme not in ("", "file"):
+        return
     wh = wh.removeprefix("file:")
     for tbl in tables:
         loc = os.path.join(wh, tbl)

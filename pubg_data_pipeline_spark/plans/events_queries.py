@@ -692,10 +692,55 @@ FROM events GROUP BY event_type
 """
 
 
+def event_enrich_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join (operators.skew.salted_join): events join their
+    per-type stats on event_type — a 5-distinct-value key, the exact
+    hot-key shape where a plain shuffle join funnels each type into one
+    reducer. The salted form spreads every hot key over 16 buckets by
+    replicating the (tiny) dim side; result is row-identical to the
+    oracle's direct join regardless of salt (pinned by the hash gate).
+    """
+    from pubg_data_pipeline_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"), F.sum("v_cents").alias("type_cents")
+    )
+    out = skew.salted_join(ev, dim, "event_type")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("v_cents") / 100.0, 2).alias("value"),
+        "n_type",
+        F.round(F.col("type_cents") / 100.0, 2).alias("type_total"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS v_cents
+  FROM events
+), d AS (
+  SELECT event_type, COUNT(*) AS n_type, SUM(v_cents) AS type_cents
+  FROM e GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.v_cents / 100.0, 2) AS value,
+       d.n_type,
+       ROUND(CAST(d.type_cents AS BIGINT) / 100.0, 2) AS type_total
+FROM e JOIN d USING (event_type)
+"""
+
+
 SPECS = [
     QuerySpec("player_ranking_top10", player_ranking_top10, _RANKING_SQL, ("flagship", "agg", "window")),
     QuerySpec("incident_window_purchases", incident_window_purchases, _INTERVAL_JOIN_SQL, ("join", "time")),
     QuerySpec("event_type_salted_agg", event_type_salted_agg, _SALTED_AGG_SQL, ("agg", "skew")),
+    QuerySpec("event_enrich_salted_join", event_enrich_salted_join, _SALTED_JOIN_SQL, ("join", "skew")),
     QuerySpec("purchase_last_signup_asof", purchase_last_signup_asof, _ASOF_SQL, ("join", "time")),
     QuerySpec("hourly_event_aggregates", hourly_event_aggregates, _HOURLY_SQL, ("agg", "time")),
     QuerySpec("event_type_difficulty", event_type_difficulty, _DIFFICULTY_SQL, ("agg",)),

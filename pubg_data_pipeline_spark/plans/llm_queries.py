@@ -513,15 +513,31 @@ FROM f GROUP BY fingerprint
 """
 
 
-def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_cosine_near_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    allow_full: bool = False,
+    guard_max_rows: int = 25_000,
+) -> DataFrame:
     """Embedding-cosine near-dup PAIRS (the dedup use of similarity,
     vs the top-k search): all pairs with cosine >= threshold. Exact
     all-pairs baseline — the LSH bucket join (embedding_lsh_topk /
     minhash pattern) is the 100 TB path; this oracle-checked form pins
-    the semantics."""
+    the semantics. The plan is a theta join (``id_a < id_b`` →
+    nested loop), so inputs beyond ``guard_max_rows`` are refused up
+    front (``allow_full=True`` to override) — see
+    ``operators.dedup.guard_all_pairs``."""
     from pubg_data_pipeline_spark.functions.vectors import as_double_vec, cosine
+    from pubg_data_pipeline_spark.operators.dedup import guard_all_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
+    guard_all_pairs(
+        emb,
+        guard_max_rows,
+        "embedding_cosine_near_dups",
+        "embedding_lsh_topk / embedding_ivf_topk",
+        allow_full,
+    )
     v = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id"), as_double_vec(F.col("embedding")).alias("e")
     )

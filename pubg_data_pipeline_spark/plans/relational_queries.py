@@ -190,6 +190,49 @@ GROUP BY c_custkey, c_mktsegment
 """
 
 
+def big_order_customers_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: high-value orders RIGHT JOIN the BUILDING
+    customer segment. Every customer of the segment survives; those
+    with no qualifying order null-extend (order count 0, total 0.0) —
+    the RightOuter Catalyst node (operators/relational.py equi_join
+    ``how="right"``), the mirror of customer_order_stats' left join.
+    At scale the filtered ("big orders") side streams while the
+    preserved customer side builds — the planner picks sides; the
+    semantics here pin the null extension either way."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            exact_scaled(F.col("o_totalprice")).alias("o_cents"),
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    joined = relational.equi_join(orders, cust, "c_custkey", how="right")
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("big_orders"),
+        F.round(F.coalesce(F.sum("o_cents"), F.lit(0)) / 100.0, 2).alias("big_total"),
+    )
+
+
+_RIGHT_OUTER_SQL = f"""
+SELECT c.c_custkey, c.c_name,
+       COUNT(o.o_orderkey) AS big_orders,
+       ROUND(CAST(COALESCE(SUM(o.cents), 0) AS BIGINT) / 100.0, 2) AS big_total
+FROM (SELECT o_custkey, o_orderkey, {_PRICE_CENTS} AS cents
+      FROM orders WHERE o_totalprice > 300000) o
+RIGHT JOIN (SELECT c_custkey, c_name FROM customer
+            WHERE c_mktsegment = 'BUILDING') c
+  ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join (NOT EXISTS)."""
     customer = load_table(spark, sf_dir, "customer")
@@ -725,6 +768,7 @@ SPECS = [
     QuerySpec("top_revenue_nations", top_revenue_nations, _REVENUE_NATIONS_SQL, ("join",)),
     QuerySpec("shipping_priority", shipping_priority, _SHIPPING_SQL, ("join", "topk")),
     QuerySpec("customer_order_stats", customer_order_stats, _CUST_ORDERS_SQL, ("join",)),
+    QuerySpec("big_order_customers_right_join", big_order_customers_right_join, _RIGHT_OUTER_SQL, ("join",)),
     QuerySpec("customers_without_orders", customers_without_orders, _ANTI_SQL, ("join",)),
     QuerySpec("active_customer_segments", active_customer_segments, _SEMI_SQL, ("join",)),
     QuerySpec("order_priority_rollup", order_priority_rollup, _ROLLUP_SQL, ("agg",)),

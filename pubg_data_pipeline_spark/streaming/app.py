@@ -216,10 +216,31 @@ def ingest_dedup_epoch(
     operators.dedup.incremental_ingest_dedup): micro-batch rows whose
     normalized-text md5 already exists in history are dropped via an
     anti-join on the index, one keeper (min id) survives per
-    within-batch duplicate group, and the survivors append to BOTH the
+    within-batch duplicate group, and the survivors land in BOTH the
     corpus table and the index — so the next epoch dedups against them
     too. Epoch cost is O(batch + index), never O(historical text);
     at 100 TB the index is 32 bytes + id per distinct doc.
+
+    Exactly-once under foreachBatch's at-least-once retries: both
+    outputs are PARTITIONED BY the epoch id and written with dynamic
+    partition overwrite, so a replayed micro-batch overwrites exactly
+    its own ``__epoch=N`` directories instead of appending duplicates
+    (plain append here was the classic duplicate-on-retry window: a
+    crash between the two appends left the index missing the batch
+    fingerprints, and the retry re-appended the same corpus rows).
+    A retry that finds its fingerprints already indexed recomputes an
+    empty keeper set and touches no partitions — the committed epoch-N
+    data, being deterministic, is already correct. Survivors are
+    materialized via eager ``localCheckpoint`` BEFORE either write:
+    the second write must never recompute the anti-join against the
+    index directory the first write just modified (and best-effort
+    ``persist`` could silently do exactly that on block eviction; the
+    checkpoint either serves the materialized rows or fails the task,
+    and a failed task replays the now-idempotent epoch).
+
+    Assumes one stream per (corpus_path, index_path) pair — epoch ids
+    are unique per streaming checkpoint, and continue monotonically
+    across restarts of the same checkpoint.
     """
     import os
 
@@ -230,17 +251,39 @@ def ingest_dedup_epoch(
 
     spark = batch_df.sparkSession
     batch = batch_df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
-    if os.path.isdir(index_path):
+    # Bare-directory guard: an empty epoch creates the directory but no
+    # data files, and schema inference on a fileless dir fails.
+    has_index = os.path.isdir(index_path) and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(index_path)
+        for f in files
+    )
+    if has_index:
         idx = spark.read.parquet(index_path).select(F.col("fingerprint").alias("__fp"))
         batch = batch.join(idx, "__fp", "left_anti")
-    keep = exact_dedup(batch, ["__fp"], id_col).persist()
-    try:
-        keep.drop("__fp").write.mode("append").parquet(corpus_path)
+    keep = (
+        exact_dedup(batch, ["__fp"], id_col)
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .localCheckpoint()
+    )
+    (
+        keep.drop("__fp")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(corpus_path)
+    )
+    (
         keep.select(
-            F.col("__fp").alias("fingerprint"), F.col(id_col).alias("keeper_id")
-        ).write.mode("append").parquet(index_path)
-    finally:
-        keep.unpersist()
+            F.col("__fp").alias("fingerprint"),
+            F.col(id_col).alias("keeper_id"),
+            "__epoch",
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(index_path)
+    )
 
 
 def streaming_ingest_dedup(

@@ -53,3 +53,36 @@ def test_entry_contract_on_bare_foreign_session():
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
     assert "CONTRACT_OK" in proc.stdout
+
+
+def test_readme_counts_match_registry():
+    # Round-3 lesson: hand-maintained README counts drift. Pin them to
+    # the registry so any query/oracle/headline change that forgets the
+    # README fails here.
+    import re
+
+    import bench
+    from pubg_data_pipeline_spark.plans import all_specs
+
+    specs = all_specs()
+    n_queries = len(specs)
+    n_oracles = sum(1 for s in specs.values() if s.oracle is not None)
+    n_headline = len(bench.HEADLINE)
+
+    with open(f"{REPO_ROOT}/README.md") as f:
+        readme = f.read()
+    claimed_q = re.search(r"(\d+) registered queries", readme)
+    claimed_o = re.search(r"(\d+) with DuckDB\s+oracle", readme)
+    claimed_h = re.search(r"(\d+) headline queries", readme)
+    assert claimed_q and int(claimed_q.group(1)) == n_queries, (
+        f"README says {claimed_q and claimed_q.group(1)} queries, registry has {n_queries}"
+    )
+    assert claimed_o and int(claimed_o.group(1)) == n_oracles, (
+        f"README says {claimed_o and claimed_o.group(1)} oracles, registry has {n_oracles}"
+    )
+    assert claimed_h and int(claimed_h.group(1)) == n_headline, (
+        f"README says {claimed_h and claimed_h.group(1)} headline, bench.HEADLINE has {n_headline}"
+    )
+    # Every headline query must exist in the registry.
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing, f"bench.HEADLINE references unknown queries: {missing}"

@@ -42,6 +42,7 @@ def test_ts_columns_are_timestamp_for_every_sf(spark, sf_dir, table, ts_col):
     )
 
 
+@pytest.mark.skipif(not SF_DIRS, reason="no /root/testdata sf dirs on this machine")
 def test_required_columns_present(spark):
     # Column-level drift guard for every table the 130+ registered
     # queries depend on: regeneration that renames or retypes a column
@@ -68,6 +69,7 @@ def test_required_columns_present(spark):
         assert not missing, f"{table} lost columns {sorted(missing)} (has {sorted(got)})"
 
 
+@pytest.mark.skipif(not SF_DIRS, reason="no /root/testdata sf dirs on this machine")
 def test_events_ts_numeric_cast_and_unix_micros_work(spark):
     # The exact operations Spark 4 forbids on TIMESTAMP_NTZ — the
     # round-2 failure mode. They must be legal after normalization.

@@ -61,3 +61,25 @@ def test_global_rank_ascending(spark):
         for r in global_rank(df, F.col("s"), tiebreak="id", ascending=True).collect()
     }
     assert got == {2: 1, 3: 2, 1: 3}
+
+
+def test_global_rank_null_or_nan_score_fails_fast(spark):
+    # A NULL score would bucket to NULL and silently vanish through the
+    # inner offset join (diverging from an oracle's ROW_NUMBER); the
+    # operator must error instead, telling the caller to filter/fill.
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id long, s double"
+    )
+    with pytest.raises(Exception, match="NULL or NaN score"):
+        global_rank(df, F.col("s"), tiebreak="id").collect()
+    nan_df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan"))], "id long, s double"
+    )
+    with pytest.raises(Exception, match="NULL or NaN score"):
+        global_prefix_sum(nan_df, F.col("s"), tiebreak="id", value_col="id").collect()
+    # Clean scores still rank 1..n.
+    ok = spark.createDataFrame([(1, 5.0), (2, 4.0)], "id long, s double")
+    got = {r["id"]: r["global_rank"] for r in global_rank(ok, F.col("s"), tiebreak="id").collect()}
+    assert got == {1: 1, 2: 2}

@@ -34,6 +34,28 @@ def test_duplicate_and_reversed_edges_collapse(spark):
     assert comp[3] == 3 and comp[4] == 3
 
 
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    # checkpoint_dir routes lineage truncation through fault-tolerant
+    # DataFrame.checkpoint instead of localCheckpoint; results must be
+    # identical and checkpoint files must actually land in the dir.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)], "src long, dst long"
+    )
+    local = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(edges).collect()
+    }
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    reliable = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(edges, checkpoint_dir=ckpt_dir).collect()
+    }
+    assert reliable == local
+    import os
+
+    assert any(os.scandir(ckpt_dir)), "no checkpoint files written to the reliable dir"
+
+
 def test_dedup_clusters_and_corpus(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"

@@ -60,3 +60,30 @@ def test_streaming_ingest_dedup_across_batches_and_runs(spark, tmp_path):
     assert got2 == [1, 3, 4, 5, 7]
     idx = spark.read.parquet(index)
     assert idx.count() == idx.select("fingerprint").distinct().count() == 5
+
+
+def test_ingest_dedup_epoch_retry_is_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: a replayed epoch (same epoch_id)
+    # must leave corpus + index exactly as a single run would — both
+    # for a full replay and for the nasty window where the corpus write
+    # committed but the index write did not.
+    import shutil
+
+    from pubg_data_pipeline_spark.streaming.app import ingest_dedup_epoch
+
+    index, corpus = str(tmp_path / "idx"), str(tmp_path / "corp")
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    ingest_dedup_epoch(b0, 0, index, corpus)
+    ingest_dedup_epoch(b0, 0, index, corpus)  # full replay (crash pre-checkpoint)
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2]
+
+    b1 = spark.createDataFrame([(3, "alpha"), (4, "gamma")], "doc_id long, text string")
+    ingest_dedup_epoch(b1, 1, index, corpus)
+    # Simulate crash between the corpus and index writes of epoch 1,
+    # then the retry: corpus epoch-1 data exists, its fingerprints don't.
+    shutil.rmtree(f"{index}/__epoch=1")
+    ingest_dedup_epoch(b1, 1, index, corpus)
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 4]  # doc 3 is a cross-epoch dup of doc 1; no double-appends
+    idx = spark.read.parquet(index)
+    assert idx.count() == idx.select("fingerprint").distinct().count() == 3

@@ -205,3 +205,32 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_drop_stale_managed_location_local_only(tmp_path, monkeypatch):
+    # The stale-location sweep rm-rf's warehouse subdirs; that is only
+    # valid when the warehouse is a local filesystem path. A remote URI
+    # (hdfs/s3a) must be left strictly alone.
+    import shutil
+
+    from pubg_data_pipeline_spark.plans import analytic_queries as aq
+
+    removed = []
+    monkeypatch.setattr(shutil, "rmtree", lambda p, **kw: removed.append(str(p)))
+
+    class _FakeSpark:
+        def __init__(self, warehouse, known=()):
+            self._wh = warehouse
+            self.conf = type("C", (), {"get": lambda _s, k, d=None: warehouse})()
+            self.catalog = type(
+                "K", (), {"tableExists": lambda _s, t: t in known}
+            )()
+
+    stale = tmp_path / "stale_tbl"
+    stale.mkdir()
+
+    aq._drop_stale_managed_location(_FakeSpark("hdfs://nn:8020/warehouse"), "stale_tbl")
+    assert removed == [], "remote warehouse must never be swept"
+
+    aq._drop_stale_managed_location(_FakeSpark(f"file:{tmp_path}"), "stale_tbl")
+    assert removed == [str(stale)]

@@ -43,6 +43,33 @@ def test_ngram_jaccard_matches_minhash_on_dups(spark, docs_df):
     assert (1, 3) in exact
 
 
+def test_uncapped_ngram_jaccard_guard_trips_and_escapes(spark, docs_df):
+    # The uncapped exact baseline is quadratic in the worst case; it
+    # must refuse oversized inputs with a message naming the scale twin,
+    # and allow_full=True must be the only escape.
+    with pytest.raises(ValueError, match="minhash_near_dups"):
+        dedup.ngram_jaccard_pairs(docs_df, "text", "doc_id", guard_max_rows=3)
+    got = dedup.ngram_jaccard_pairs(
+        docs_df, "text", "doc_id", guard_max_rows=3, allow_full=True
+    )
+    assert {(r["id_a"], r["id_b"]) for r in got.collect()} >= {(1, 2)}
+    # Capped form is the scale path — never guarded.
+    dedup.ngram_jaccard_pairs(
+        docs_df, "text", "doc_id", max_doc_freq=10, guard_max_rows=3
+    ).collect()
+
+
+def test_cosine_near_dups_guard_trips(spark):
+    from pubg_data_pipeline_spark.plans.llm_queries import embedding_cosine_near_dups
+
+    with pytest.raises(ValueError, match="embedding_lsh_topk"):
+        embedding_cosine_near_dups(spark, "/root/testdata/sf0.001", guard_max_rows=10)
+    ok = embedding_cosine_near_dups(
+        spark, "/root/testdata/sf0.001", guard_max_rows=10, allow_full=True
+    )
+    assert ok.limit(1).count() >= 0
+
+
 def test_ngram_jaccard_hot_shingle_cap(spark):
     # Plant one boilerplate shingle ("standard license header text")
     # shared by ALL docs — the O(k²) blow-up shape. With the cap below
