@@ -1,0 +1,148 @@
+"""Change-data-capture operators: snapshot diff and SCD Type-2 history.
+
+The reference's ingest model is snapshot-refresh: each producer poll
+re-emits the player's CURRENT stats wholesale (reference:
+producer/producer.py:73-105) and the Spark layer appends every
+snapshot (spark_apps/pubg_streaming.py:252-262), so "what changed
+since the last poll" and "what was this player's rating during week
+N" are questions the reference can only answer by re-scanning all
+snapshots. These operators give the engine the two standard warehouse
+answers:
+
+- ``snapshot_diff``: classify rows of two snapshots of the same table
+  into insert / delete / update / unchanged — the change feed a
+  snapshot-refresh source implies but never materializes.
+- ``scd2_from_changelog``: compact a change log into Type-2 dimension
+  history (validity intervals + current flag), collapsing no-op
+  re-emissions — exactly what the producer's re-poll stream needs
+  before it is joinable as a dimension.
+
+The SCD1 counterpart (latest-wins MERGE) already exists as
+``operators.relational.upsert``.
+
+Scale notes (100 TB): ``snapshot_diff`` is ONE full-outer shuffle
+join on the key — both sides hash-partition once, no driver state; on
+bucketed storage (sources/io.write_bucketed) the shuffle disappears
+entirely. ``scd2_from_changelog`` is two window passes over the SAME
+(key, ts) partitioning — Catalyst reuses one sort/exchange for both
+(collapse lag + interval lead), so the whole history build costs a
+single shuffle of the changelog, never a self-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff of two snapshots keyed by ``keys``.
+
+    Returns one row per key present in either snapshot with
+    ``change_type`` in {'insert','delete','update','unchanged'} plus,
+    for every compared column c, ``old_<c>`` / ``new_<c>``.
+
+    Comparison is null-safe (a NULL->value transition is an update,
+    NULL->NULL is not). Keys must be unique per side — the operator
+    asserts nothing about duplicates; dedup upstream (e.g. with
+    relational.upsert's order_key) if the source can re-emit keys.
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, list(keys), "full_outer")
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        *keys,
+        change_type.alias("change_type"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tracked_cols: Sequence[str],
+    order_cols: Sequence[str] = (),
+    collapse: bool = True,
+) -> DataFrame:
+    """Build Type-2 dimension history from an append-only change log.
+
+    Each input row is "key had these tracked values as of ts". Output
+    is one row per VERSION: keys + tracked cols + ``version`` (1-based
+    per key), ``valid_from``, ``valid_to`` (next version's valid_from,
+    NULL for the open current version) and ``is_current``.
+
+    ``collapse=True`` drops rows whose tracked values are null-safely
+    identical to the key's previous row first — re-polls that changed
+    nothing (the reference producer re-emits full snapshots every
+    cycle) produce no spurious versions.
+
+    ``order_cols``: extra tie-breakers after ``ts_col`` so same-
+    timestamp changes order deterministically (pass the event id).
+
+    Both window passes share one (keys) x (ts, order) sort, so the
+    plan is a single exchange + window — no self-join, scale-linear in
+    the changelog.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    df = changes
+    if collapse:
+        # null-safe "identical to previous row" — first row per key has
+        # no previous (lag of the probe literal is NULL) and never drops.
+        has_prev = F.lag(F.lit(1)).over(w).isNotNull()
+        same = has_prev
+        for c in tracked_cols:
+            same = same & F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+        df = df.withColumn("__same", same).filter(~F.col("__same")).drop("__same")
+    return (
+        df.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*keys, *tracked_cols, "version", "valid_from", "valid_to", "is_current")
+    )
+
+
+def scd2_point_in_time(
+    history: DataFrame, keys: Sequence[str], as_of, ts_from: str = "valid_from", ts_to: str = "valid_to"
+) -> DataFrame:
+    """Slice a Type-2 history table to the version valid at ``as_of``
+    (a literal or Column): valid_from <= as_of < valid_to, open
+    intervals included. A filter, not a join — partition pruning
+    applies when history is stored partitioned by valid_from date."""
+    as_of_c = as_of if not isinstance(as_of, str) else F.lit(as_of).cast("timestamp")
+    return history.filter(
+        (F.col(ts_from) <= as_of_c)
+        & (F.col(ts_to).isNull() | (F.col(ts_to) > as_of_c))
+    )

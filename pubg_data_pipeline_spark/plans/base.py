@@ -81,6 +81,7 @@ def all_specs() -> dict[str, QuerySpec]:
     __spark_entry__ can call it without side effects)."""
     from pubg_data_pipeline_spark.plans import (
         analytic_queries,
+        cdc_queries,
         corpus_queries,
         curation_queries,
         events_queries,
@@ -108,6 +109,7 @@ def all_specs() -> dict[str, QuerySpec]:
         graph_queries,
         corpus_queries,
         analytic_queries,
+        cdc_queries,
     ):
         for spec in module.SPECS:
             if spec.name in specs:

@@ -1,0 +1,252 @@
+"""Change-data-capture query batch: snapshot diff, MERGE/upsert,
+SCD Type-2 history, point-in-time slicing.
+
+The reference's ingest is snapshot-refresh — every producer poll
+re-emits a player's full current stats (reference:
+producer/producer.py:73-105) and the sink appends each snapshot
+(spark_apps/pubg_streaming.py:252-262); it never derives a change
+feed or versioned history from them. These queries grade that missing
+layer: operators/cdc.py (diff + SCD2) and operators/relational.upsert
+(SCD1 MERGE), each pinned against a DuckDB oracle.
+
+Both snapshots in the diff/merge queries are derived DETERMINISTICALLY
+from the same source table (modulus-selected deletes/updates/inserts),
+so Spark and the oracle reconstruct identical old/new worlds without
+any side files.
+
+Scale notes: the diff is one full-outer hash join on the key (no
+driver state; zero-shuffle on bucketed storage), the merge is
+anti-join + union (updates-side shuffle only when base is bucketed),
+and the SCD2 build is one exchange + two window passes sharing a sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.operators import cdc, relational
+from pubg_data_pipeline_spark.plans.base import QuerySpec, exact_scaled, sql_scaled
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------- diff
+
+def _old_new_customers(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic snapshot worlds derived from `customer`:
+    keys % 10 == 3 are missing from OLD (-> inserts), keys % 7 == 2
+    are missing from NEW (-> deletes), keys % 5 == 0 get a balance
+    bump and keys % 11 == 0 a segment change in NEW (-> updates)."""
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 10 != 3)
+    new = (
+        cust.filter(F.col("c_custkey") % 7 != 2)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + F.lit(250.0)).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 11 == 0, F.lit("PROMO")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+    )
+    return old, new
+
+
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify each customer key across two snapshot worlds into
+    insert/delete/update (unchanged filtered out): the change feed the
+    reference's snapshot-refresh ingest implies but never materializes
+    (producer/producer.py:73-105 re-emits full state each poll)."""
+    old, new = _old_new_customers(spark, sf_dir)
+    d = cdc.snapshot_diff(
+        old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"], include_unchanged=False
+    )
+    return d.select(
+        "c_custkey",
+        "change_type",
+        F.round("old_c_acctbal", 2).alias("old_acctbal"),
+        F.round("new_c_acctbal", 2).alias("new_acctbal"),
+        F.col("old_c_mktsegment").alias("old_segment"),
+        F.col("new_c_mktsegment").alias("new_segment"),
+    )
+
+
+_DIFF_SQL = """
+WITH old AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 10 != 3
+), new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 250.0 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 11 = 0 THEN 'PROMO' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 != 2
+), d AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         CASE WHEN o.c_custkey IS NULL THEN 'insert'
+              WHEN n.c_custkey IS NULL THEN 'delete'
+              WHEN (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment) THEN 'update'
+              ELSE 'unchanged' END AS change_type,
+         ROUND(o.c_acctbal, 2) AS old_acctbal, ROUND(n.c_acctbal, 2) AS new_acctbal,
+         o.c_mktsegment AS old_segment, n.c_mktsegment AS new_segment
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT * FROM d WHERE change_type != 'unchanged'
+"""
+
+
+# --------------------------------------------------------------- merge
+
+def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE: a deterministic update batch (VIP re-segmentation +
+    synthetic insert keys) applied to `customer` via
+    relational.upsert (anti-join + union — the storage-level MERGE
+    plan shape), then aggregated per resulting segment with exact
+    scaled-integer sums."""
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(500.0)).alias("c_acctbal"),
+        F.lit("VIP").alias("c_mktsegment"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 250 == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merged = relational.upsert(cust, updates.unionByName(inserts), ["c_custkey"])
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(exact_scaled(F.col("c_acctbal"))).alias("bal_scaled"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.round(F.col("bal_scaled") / 100.0, 2).alias("total_balance"),
+        )
+    )
+
+
+_MERGE_SQL = f"""
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500.0 AS c_acctbal,
+         'VIP' AS c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0, 'NEW'
+  FROM customer WHERE c_custkey % 250 = 0
+), merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT b.* FROM customer b
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = b.c_custkey)
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(SUM({sql_scaled('c_acctbal')}) / 100.0, 2) AS total_balance
+FROM merged GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------- scd2
+
+def purchase_band_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's purchase-value band: the events
+    changelog compacted into validity intervals, consecutive same-band
+    purchases collapsed. One exchange + two shared-sort window passes
+    (operators/cdc.scd2_from_changelog)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ch = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 50).cast("long").alias("value_band"),
+    )
+    hist = cdc.scd2_from_changelog(
+        ch, ["user_id"], "ts", ["value_band"], order_cols=["event_id"]
+    )
+    return hist.select(
+        "user_id",
+        "value_band",
+        "version",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+_SCD2_SQL = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, CAST(FLOOR(value / 50) AS BIGINT) AS value_band
+  FROM events WHERE event_type = 'purchase'
+), keep AS (
+  SELECT user_id, ts, event_id, value_band FROM (
+    SELECT *, LAG(value_band) OVER w AS prev_band,
+           ROW_NUMBER() OVER w AS rn
+    FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE rn = 1 OR value_band IS DISTINCT FROM prev_band
+)
+SELECT user_id, value_band,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM keep WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def purchase_band_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time slice of the SCD2 history: every user's purchase
+    band as of 2024-01-15 — a pure interval filter on the history
+    (cdc.scd2_point_in_time), prunable by valid_from partitioning."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ch = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 50).cast("long").alias("value_band"),
+    )
+    hist = cdc.scd2_from_changelog(
+        ch, ["user_id"], "ts", ["value_band"], order_cols=["event_id"]
+    )
+    sliced = cdc.scd2_point_in_time(hist, ["user_id"], "2024-01-15 00:00:00")
+    return sliced.select("user_id", "value_band", "version")
+
+
+_AS_OF_SQL = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, CAST(FLOOR(value / 50) AS BIGINT) AS value_band
+  FROM events WHERE event_type = 'purchase'
+), keep AS (
+  SELECT user_id, ts, event_id, value_band FROM (
+    SELECT *, LAG(value_band) OVER w AS prev_band,
+           ROW_NUMBER() OVER w AS rn
+    FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE rn = 1 OR value_band IS DISTINCT FROM prev_band
+), hist AS (
+  SELECT user_id, value_band,
+         CAST(ROW_NUMBER() OVER w AS INT) AS version,
+         ts AS valid_from, LEAD(ts) OVER w AS valid_to
+  FROM keep WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, value_band, version FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+"""
+
+
+SPECS = [
+    QuerySpec("customer_snapshot_diff", customer_snapshot_diff, _DIFF_SQL, ("cdc", "join")),
+    QuerySpec("customer_merge_upsert", customer_merge_upsert, _MERGE_SQL, ("cdc", "join")),
+    QuerySpec("purchase_band_scd2", purchase_band_scd2, _SCD2_SQL, ("cdc", "window")),
+    QuerySpec("purchase_band_as_of", purchase_band_as_of, _AS_OF_SQL, ("cdc", "window")),
+]

@@ -311,3 +311,78 @@ def streaming_ingest_dedup(
         available_now=available_now,
         checkpoint=checkpoint,
     )
+
+
+def dim_upsert_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    dim_path: str,
+    keys: list[str],
+    order_key: str,
+) -> None:
+    """One epoch of streaming dimension maintenance: MERGE the
+    micro-batch of change rows into the stored dimension table,
+    latest-per-key wins (the streaming twin of
+    operators.relational.upsert, and the missing half of the
+    reference's snapshot-refresh ingest — reference
+    producer/producer.py:73-105 re-emits full player state each poll,
+    but the reference only ever APPENDS snapshots,
+    spark_apps/pubg_streaming.py:252-262, so its "dimension" grows
+    without bound and every reader re-derives latest-per-key).
+
+    Epoch cost is O(batch + dim); the swap is write-new-then-rename
+    (on a lake deployment: MERGE INTO, same plan shape). Retry-safe
+    without epoch partitioning because MERGE is IDEMPOTENT: replaying
+    the same micro-batch re-merges identical rows into an identical
+    table — unlike append sinks, at-least-once delivery needs no extra
+    bookkeeping here. The merged state is materialized (eager
+    localCheckpoint) before the tmp write so the rename never races a
+    recomputation against the directory being replaced.
+    """
+    import os
+    import shutil
+
+    from pubg_data_pipeline_spark.operators import relational
+
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        # nothing to merge; also avoids materializing a fileless empty
+        # table on the very first epoch (unreadable by schema inference)
+        return
+    if os.path.isdir(dim_path):
+        base = spark.read.parquet(dim_path)
+        merged = relational.upsert(base, batch_df, keys, order_key=order_key)
+    else:
+        # within-batch duplicate keys still resolve latest-wins
+        merged = relational.upsert(
+            batch_df.limit(0), batch_df, keys, order_key=order_key
+        )
+    merged = merged.localCheckpoint()
+    tmp = f"{dim_path}.tmp-{epoch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(dim_path):
+        shutil.rmtree(dim_path)
+    os.rename(tmp, dim_path)
+
+
+def streaming_dim_upsert(
+    change_stream: DataFrame,
+    dim_path: str,
+    keys: list[str],
+    order_key: str,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Change stream -> continuously-maintained latest-per-key
+    dimension table at ``dim_path`` (SCD1). Readers see a plain
+    parquet table; history-preserving SCD2 is the batch compaction
+    ``operators.cdc.scd2_from_changelog`` over the raw change log."""
+    return sinks.foreach_batch_sink(
+        change_stream,
+        lambda df, eid: dim_upsert_epoch(df, eid, dim_path, keys, order_key),
+        trigger_seconds,
+        output_mode="update",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )
