@@ -203,3 +203,53 @@ def deduped_corpus(
         F.col("node").alias(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """All triangles in an undirected graph, one row per triangle with
+    members sorted ``(id_a < id_b < id_c)``.
+
+    Uses DEGREE ORIENTATION (each undirected edge directed from its
+    lower-(degree, id) endpoint to the higher): the oriented graph is
+    acyclic, every triangle appears exactly once as u->v, v->w, u->w,
+    and — the scale property — out-degrees are bounded by O(sqrt(m)),
+    so the wedge join materializes O(m^1.5) candidates worst-case
+    instead of the O(sum deg^2) a naive id-orientation pays on skewed
+    graphs (one celebrity node with degree d creates d^2/2 wedges
+    under id-order; at most m under degree order). Two shuffles: one
+    to attach degrees, one wedge equi-join + closing-edge semi pattern.
+
+    The reference has no graph surface at all; this extends the
+    near-dup pair/cluster layer (operators/dedup.py, graph.py) with
+    the standard triangle primitive used for dup-cluster density and
+    social-graph metrics.
+    """
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # attach both endpoint degrees, keep each undirected edge once,
+    # oriented low-(deg,id) -> high-(deg,id)
+    with_deg = (
+        und.join(deg, "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")),
+            "v",
+        )
+        .filter(
+            (F.col("deg") < F.col("deg_v"))
+            | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    d1 = with_deg
+    d2 = with_deg.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    d3 = with_deg.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    tri = d1.join(d2, "v").join(d3, ["u", "w"])
+    sorted_ids = F.array_sort(F.array("u", "v", "w"))
+    return tri.select(
+        sorted_ids[0].alias("id_a"),
+        sorted_ids[1].alias("id_b"),
+        sorted_ids[2].alias("id_c"),
+    )

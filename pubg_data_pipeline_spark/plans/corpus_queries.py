@@ -382,7 +382,133 @@ GROUP BY source
 """
 
 
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: bigram and
+    unigram counts over the whole corpus, PMI computed from EXACT
+    integer counts in one double expression (ln((c12*N1*N1)/(N2*c1*c2))
+    — a single division then log, deterministic cross-engine), min
+    bigram support 3, top 15 on the rounded score.
+
+    Scale: token/bigram extraction is expression-only (split + slice +
+    arrays_zip, JVM-side), the two counts are ordinary partial-agg
+    groupBys, and the scalar totals join back via broadcast — linear
+    in corpus tokens, no Python, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tokened = docs.select(toks.alias("arr")).filter(F.size("arr") > 0)
+    uni = (
+        tokened.select(F.explode("arr").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    bi = (
+        tokened.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(arr, 1, size(arr) - 1)"),
+                    F.expr("slice(arr, 2, size(arr) - 1)"),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    n2 = bi.agg(F.sum("c12").alias("n2"))
+    scored = (
+        bi.filter(F.col("c12") >= 3)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") * F.col("n1") * F.col("n1")).cast("double")
+                    / (F.col("n2") * F.col("c1") * F.col("c2")).cast("double")
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(15)
+
+
+_PMI_SQL = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(arr) AS w FROM toks) GROUP BY 1
+), n1 AS (
+  SELECT SUM(c) AS n1 FROM uni
+), bi AS (
+  SELECT u['w1'] AS w1, u['w2'] AS w2, COUNT(*) AS c12 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                                 i -> {'w1': arr[i], 'w2': arr[i+1]})) AS u
+    FROM toks
+  ) GROUP BY 1, 2
+), n2 AS (
+  SELECT SUM(c12) AS n2 FROM bi
+)
+SELECT w1, w2, c12,
+       ROUND(LN(CAST(c12 * n1.n1 * n1.n1 AS DOUBLE)
+                / CAST(n2.n2 * u1.c * u2.c AS DOUBLE)), 4) AS pmi
+FROM bi
+JOIN uni u1 ON u1.w = bi.w1
+JOIN uni u2 ON u2.w = bi.w2
+CROSS JOIN n1 CROSS JOIN n2
+WHERE c12 >= 3
+ORDER BY pmi DESC, w1, w2
+LIMIT 15
+"""
+
+
+def token_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index slice: per token with document
+    frequency >= 5, the df and the first 10 posting-list doc ids (sorted,
+    joined) — the bounded-payload form of an index build. The cap is
+    the scale property: collect_set is bounded per group by the df
+    band filter, and the emitted sample is sliced to 10 ids, so no
+    unbounded list ever materializes (a full posting-list table at
+    100 TB would instead WRITE grouped-sorted parquet via
+    sources/io.write_bucketed, same plan minus the slice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    ex = docs.select("doc_id", F.explode(toks).alias("token"))
+    g = ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.expr(
+            "concat_ws(',', transform(slice(sort_array(collect_set(doc_id)), 1, 10),"
+            " x -> cast(x as string)))"
+        ).alias("sample_docs"),
+    )
+    return g.filter(F.col("df") >= 5)
+
+
+_POSTING_SQL = r"""
+WITH ex AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS df,
+       array_to_string(list_sort(list(doc_id))[1:10], ',') AS sample_docs
+FROM ex GROUP BY token
+HAVING COUNT(*) >= 5
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "bigram_pmi_collocations", bigram_pmi_collocations, _PMI_SQL, ("curation", "text")
+    ),
+    QuerySpec(
+        "token_posting_lists", token_posting_lists, _POSTING_SQL, ("curation", "text")
+    ),
     QuerySpec("corpus_vocabulary", corpus_vocabulary, _VOCAB_SQL, ("curation", "text")),
     QuerySpec(
         "source_mixture_weights", source_mixture_weights, _MIXTURE_SQL, ("curation",)

@@ -237,8 +237,55 @@ FROM tot LEFT JOIN n_rem ON tot.label = n_rem.label
 """
 
 
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles of the near-dup graph (word-3-gram Jaccard >= 0.02
+    over the df-capped shingle universe): doc triples where all three
+    pairwise similarities clear the threshold — the density signal
+    that separates true duplicate cliques from chance shingle
+    collisions. Spark side is the degree-oriented wedge join
+    (operators/graph.triangles, O(m^1.5) candidates bound); the pair
+    generation itself is the capped inverted-index plan, never O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.02, max_doc_freq=8
+    )
+    return graph.triangles(pairs, src="id_a", dst="id_b")
+
+
+_TRIANGLES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(arr) - 2, 0)),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks
+), ex_all AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), ex AS (
+  SELECT doc_id, shingle FROM ex_all QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 8
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+)
+SELECT p1.id_a AS id_a, p1.id_b AS id_b, p2.id_b AS id_c
+FROM pairs p1
+JOIN pairs p2 ON p1.id_b = p2.id_a
+JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+"""
+
+
 SPECS = [
     QuerySpec("doc_dup_clusters", doc_dup_clusters, _CLUSTERS_SQL, ("llm", "dedup", "graph")),
+    QuerySpec("neardup_triangles", neardup_triangles, _TRIANGLES_SQL, ("llm", "dedup", "graph")),
     QuerySpec(
         "doc_corpus_after_dedup", doc_corpus_after_dedup, _AFTER_DEDUP_SQL, ("llm", "dedup", "graph")
     ),

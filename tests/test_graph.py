@@ -71,3 +71,33 @@ def test_dedup_clusters_and_corpus(spark):
     kept_ids = sorted(r["doc_id"] for r in kept.collect())
     # losers 2,3,11 dropped; singletons (0,4..9,12) and keepers (1,10) stay
     assert kept_ids == [0, 1, 4, 5, 6, 7, 8, 9, 10, 12]
+
+
+def test_triangles_basic_shapes(spark):
+    # K4 on {1,2,3,4} has exactly 4 triangles; the pendant edge (4,5)
+    # and disconnected edge (10,11) add none.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (10, 11)],
+        "src long, dst long",
+    )
+    tris = sorted(
+        (r["id_a"], r["id_b"], r["id_c"]) for r in graph.triangles(edges).collect()
+    )
+    assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_triangles_input_orientation_irrelevant(spark):
+    # reversed / duplicated / self-loop edges collapse to the same set
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 1), (2, 3), (3, 3)], "src long, dst long"
+    )
+    tris = [(r["id_a"], r["id_b"], r["id_c"]) for r in graph.triangles(edges).collect()]
+    assert tris == [(1, 2, 3)]
+
+
+def test_triangles_star_has_none(spark):
+    # a degree-skewed hub with no closing edges: the degree-oriented
+    # wedge join generates zero candidates (every edge points INTO the
+    # hub, so the hub has no out-wedges) — the skew property under test.
+    hub = spark.createDataFrame([(0, i) for i in range(1, 30)], "src long, dst long")
+    assert graph.triangles(hub).count() == 0
