@@ -1,0 +1,96 @@
+"""Data-quality profiling and expectation checks.
+
+The reference validates nothing on ingest: malformed envelopes become
+all-null rows via PERMISSIVE from_json (spark_apps/
+pubg_streaming.py:138-145) and flow straight into the sink; its only
+"quality gate" is Python-side try/except logging in the collectors
+(monitoring/metrics_collector.py). A pipeline feeding a 100 TB
+training corpus needs the standard two primitives instead:
+
+- ``profile_columns``: one-pass per-column statistics (nulls, exact
+  distincts, min/max) — the table-health report.
+- ``expectations_report``: declarative row-level rules evaluated as a
+  SINGLE aggregate pass — the ingest gate.
+
+Scale notes: both are one full-scan aggregation with map-side partial
+aggregation and no shuffle wider than one row per (partition); the
+multi-countDistinct in ``profile_columns`` plans as Catalyst's Expand
+(rows × |cols| intermediates, each partially aggregated) — for
+hundreds of columns at 100 TB, split the profile into column batches
+or swap ``exact_distinct=False`` to HLL approx_count_distinct, which
+removes the Expand entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], exact_distinct: bool = True
+) -> DataFrame:
+    """Per-column profile: one row per column with ``n_rows``,
+    ``n_nulls``, ``null_frac`` (6dp), ``n_distinct`` (null-excluded),
+    ``min_value``/``max_value`` (stringified AFTER the typed min/max,
+    so numeric/timestamp ordering is semantic, not lexicographic).
+
+    One aggregation job regardless of column count; the wide single
+    row is then unpivoted driver-free via ``stack``.
+    """
+    nd = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)",
+    ).select(
+        "column_name",
+        F.col("__n").alias("n_rows"),
+        "n_nulls",
+        F.round(F.col("n_nulls") / F.col("__n"), 6).alias("null_frac"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )
+
+
+def expectations_report(
+    df: DataFrame, rules: Sequence[tuple[str, Column]]
+) -> DataFrame:
+    """Evaluate declarative quality rules in ONE aggregate pass over
+    the table: each rule is (name, boolean Column that should hold per
+    row). Returns one row per rule: ``n_rows``, ``n_violations``
+    (rows where the rule is false OR NULL — an unevaluable rule is a
+    violation, matching SQL CHECK semantics inverted for safety), and
+    ``passed``.
+
+    All rules share a single scan + partial agg — adding a rule costs
+    one projected expression, never another job.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules:
+        aggs.append(
+            F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(f"__v_{name}")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', __v_{name}" for name, _ in rules)
+    return wide.selectExpr(
+        "__n", f"stack({len(rules)}, {stack_args}) AS (rule_name, n_violations)"
+    ).select(
+        "rule_name",
+        F.col("__n").alias("n_rows"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -83,6 +83,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytic_queries,
         cdc_queries,
         corpus_queries,
+        quality_queries,
         curation_queries,
         events_queries,
         function_queries,
@@ -110,6 +111,7 @@ def all_specs() -> dict[str, QuerySpec]:
         corpus_queries,
         analytic_queries,
         cdc_queries,
+        quality_queries,
     ):
         for spec in module.SPECS:
             if spec.name in specs:

@@ -1,0 +1,65 @@
+"""Unit tests for operators/profile.py — null accounting, typed
+min/max, single-job evaluation, and NULL-rule CHECK semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.operators import profile
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, None, 5.0), (4, "b", 5.0)],
+        "id int, s string, v double",
+    )
+    rows = {r["column_name"]: r for r in profile.profile_columns(df, ["s", "v"]).collect()}
+    assert rows["s"]["n_rows"] == 4
+    assert rows["s"]["n_nulls"] == 1
+    assert rows["s"]["null_frac"] == 0.25
+    assert rows["s"]["n_distinct"] == 2          # nulls excluded
+    assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
+    assert rows["v"]["n_nulls"] == 1
+    assert rows["v"]["n_distinct"] == 2
+    # typed (numeric) min/max, stringified after — not lexicographic
+    assert rows["v"]["min_value"] == "5.0" and rows["v"]["max_value"] == "10.0"
+
+
+def test_profile_numeric_ordering_not_lexicographic(spark):
+    df = spark.createDataFrame([(9,), (10,), (100,)], "n int")
+    row = profile.profile_columns(df, ["n"]).collect()[0]
+    assert row["min_value"] == "9" and row["max_value"] == "100"  # lexicographic would say max='9'
+
+
+def test_profile_approx_mode_drops_expand(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("m")
+    )
+    exact = profile.profile_columns(df, ["id", "m"])
+    approx = profile.profile_columns(df, ["id", "m"], exact_distinct=False)
+    # exact multi-distinct needs Expand; approx (HLL) must not
+    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx._jdf.queryExecution().executedPlan().toString()
+    got = {r["column_name"]: r["n_distinct"] for r in approx.collect()}
+    assert got["m"] == 7  # HLL is exact at tiny cardinality
+
+
+def test_expectations_null_rule_is_violation(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (-2.0,)], "v double")
+    rows = {
+        r["rule_name"]: r
+        for r in profile.expectations_report(
+            df, [("v_nonneg", F.col("v") >= 0), ("v_present", F.col("v").isNotNull())]
+        ).collect()
+    }
+    # -2.0 fails the predicate, NULL evaluates to NULL -> counted too
+    assert rows["v_nonneg"]["n_violations"] == 2
+    assert not rows["v_nonneg"]["passed"]
+    assert rows["v_present"]["n_violations"] == 1
+    assert rows["v_nonneg"]["n_rows"] == 3
+
+
+def test_expectations_all_pass(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    out = profile.expectations_report(df, [("ok", F.col("v") > 0)]).collect()[0]
+    assert out["passed"] and out["n_violations"] == 0
