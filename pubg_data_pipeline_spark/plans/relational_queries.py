@@ -426,14 +426,38 @@ GROUP BY band
 
 
 def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE(4) quartile analysis over a deterministic total order.
+    """NTILE(4) quartile analysis over a deterministic total order —
+    WITHOUT the single-partition global sort NTILE normally costs.
 
-    Scale note: a global ntile needs a single-partition sort; fine on
-    the reduced orders table, but at 100 TB use approx_percentile
-    boundaries + a bucket join instead."""
+    The exact global rank comes from the distributed decomposition
+    (operators/windows.global_rank: bucket histogram -> tiny CDF ->
+    bucket-partitioned local ranks), then NTILE's bucket-assignment
+    formula is applied as a pure expression: with n rows and k=4
+    tiles, the first n%k tiles get ceil(n/k) rows — identical row
+    placement to SQL NTILE over the same (price, orderkey) order, but
+    every stage is partition-parallel. The plan auditor
+    (pubg_data_pipeline_spark/audit.py) flags the naive form; this is
+    the fix it prescribes."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    tiled = orders.withColumn("quartile", F.ntile(4).over(w))
+    ranked = windows.global_rank(
+        orders,
+        F.col("o_totalprice"),
+        tiebreak="o_orderkey",
+        ascending=True,
+        out_col="__r",
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("__n"))
+    # exact integer arithmetic (div), so placement is bit-identical to
+    # SQL NTILE at any n: first n%4 tiles take (n div 4)+1 rows each
+    tiled = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "quartile",
+        F.expr(
+            "CAST(CASE WHEN __r <= (__n % 4) * ((__n div 4) + 1) "
+            "THEN (__r - 1) div ((__n div 4) + 1) + 1 "
+            "ELSE (__n % 4) + (__r - (__n % 4) * ((__n div 4) + 1) - 1) div (__n div 4) + 1 "
+            "END AS INT)"
+        ),
+    )
     agged = tiled.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_totalprice").alias("min_price"),

@@ -1,0 +1,120 @@
+"""Plan-auditor tests: planted red-flag plans are caught, the benign
+idioms pass, and — the real gate — EVERY registered query's plan is
+scale-safe except the two documented exact-oracle baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.audit import assert_scale_safe, audit_plan
+from pubg_data_pipeline_spark.plans import all_specs
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _crit(df, **kw):
+    return {f.rule for f in audit_plan(df, **kw) if f.severity == "critical"}
+
+
+def test_cartesian_between_row_sets_is_critical(spark):
+    a = spark.range(100).select(F.col("id").alias("x"))
+    b = spark.range(100).select(F.col("id").alias("y"))
+    assert _crit(a.crossJoin(b)) == {"nested_loop_join"}
+    assert _crit(a.join(b, a.x < b.y)) == {"nested_loop_join"}
+    with pytest.raises(AssertionError, match="nested_loop_join"):
+        assert_scale_safe(a.crossJoin(b))
+
+
+def test_scalar_broadcast_crossjoin_is_clean(spark):
+    # the standard z-score shape: broadcast one global-agg row
+    a = spark.range(100).select(F.col("id").alias("x"))
+    stats = a.agg(F.avg("x").alias("mu"), F.stddev("x").alias("sd"))
+    joined = a.crossJoin(F.broadcast(stats)).filter(
+        (F.col("x") - F.col("mu")) / F.col("sd") > 2
+    )
+    assert _crit(joined) == set()
+
+
+def test_literal_dim_band_join_is_clean(spark):
+    rows = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    bands = spark.createDataFrame(
+        [(0.0, 300.0, "low"), (300.0, 1e9, "high")], "lo double, hi double, band string"
+    )
+    joined = rows.join(
+        F.broadcast(bands), (rows.v >= bands.lo) & (rows.v < bands.hi)
+    )
+    assert _crit(joined) == set()
+
+
+def test_global_window_over_raw_rows_is_critical(spark):
+    df = spark.range(1000).select(F.col("id").alias("x"))
+    ranked = df.withColumn("r", F.row_number().over(Window.orderBy("x")))
+    assert _crit(ranked) == {"single_partition_funnel"}
+
+
+def test_global_window_over_aggregated_rows_is_info_only(spark):
+    # tiny post-agg frame through one partition: normal idiom
+    df = spark.range(1000).select((F.col("id") % 5).alias("g"))
+    agged = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    share = agged.withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    assert _crit(share) == set()
+    assert any(
+        f.rule == "single_partition_funnel" and f.severity == "info"
+        for f in audit_plan(share)
+    )
+
+
+def test_partitioned_window_is_clean(spark):
+    df = spark.range(1000).select((F.col("id") % 5).alias("g"), F.col("id").alias("x"))
+    w = Window.partitionBy("g").orderBy("x")
+    assert _crit(df.withColumn("r", F.row_number().over(w))) == set()
+
+
+def test_row_python_udf_is_critical_arrow_is_not(spark):
+    from pyspark.sql.functions import pandas_udf, udf
+
+    df = spark.range(100)
+    row_f = udf(lambda v: v + 1, "long")
+    assert _crit(df.select(row_f("id").alias("z"))) == {"python_row_udf"}
+
+    @pandas_udf("long")
+    def arrow_f(s):
+        return s + 1
+
+    assert _crit(df.select(arrow_f("id").alias("z"))) == set()
+
+
+def test_global_final_aggregate_is_clean(spark):
+    df = spark.range(1000)
+    assert _crit(df.agg(F.sum("id").alias("s"))) == set()
+    assert _crit(df.orderBy("id").limit(5)) == set()  # TakeOrderedAndProject
+
+
+def test_allow_suppresses_rule(spark):
+    a = spark.range(10).select(F.col("id").alias("x"))
+    b = spark.range(10).select(F.col("id").alias("y"))
+    assert _crit(a.crossJoin(b), allow={"nested_loop_join"}) == set()
+    assert_scale_safe(a.crossJoin(b), allow={"nested_loop_join"})
+
+
+# Documented exceptions: exact all-pairs oracle baselines whose
+# docstrings name the bucketed scale twin as the production path.
+# Anything else showing a critical finding fails the sweep.
+_ALLOWED_CRITICAL = {
+    "embedding_cosine_near_dups": {"nested_loop_join"},  # guarded exact baseline; twin: embedding_lsh_topk
+    "embedding_topk_cosine": {"nested_loop_join"},       # brute-force ANN baseline; twins: IVF/LSH
+}
+
+
+def test_every_registered_query_plan_is_scale_safe(spark):
+    """The registry-wide pre-flight gate: audit the physical plan of
+    all ~150 registered queries (planning only, no execution)."""
+    bad = {}
+    for name, spec in sorted(all_specs().items()):
+        df = spec.fn(spark, SMOKE_SF_DIR)
+        crit = {f.rule for f in audit_plan(df) if f.severity == "critical"}
+        unexpected = crit - _ALLOWED_CRITICAL.get(name, set())
+        if unexpected:
+            bad[name] = sorted(unexpected)
+    assert not bad, f"scale-unsafe plans: {bad}"
