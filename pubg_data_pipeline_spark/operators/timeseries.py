@@ -127,6 +127,7 @@ def as_of_join(
     right_cols: Sequence[str] = (),
     tiebreak: str | None = None,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: each left row picks the LATEST right row of the
     same key with ``right_ts <= left_ts`` (``direction="backward"``,
@@ -144,6 +145,11 @@ def as_of_join(
     a range-predicate join, and partition-parallel at 100 TB because
     state never crosses key boundaries. ``tiebreak`` (a right column)
     makes the pick deterministic if a key has duplicate right_ts values.
+
+    ``tolerance_seconds`` (pandas merge_asof parity): a match farther
+    than the tolerance from the left timestamp is nulled out — the
+    left row survives unmatched. Implemented as a post-pick mask, so
+    it adds zero shuffles.
     """
     keys = list(keys)
     carried = [f"__r_{c}" for c in right_cols]
@@ -154,6 +160,7 @@ def as_of_join(
         F.lit(None).cast("long").alias("__tie"),
         F.struct(*left.columns).alias("__lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(rc) for c, rc in zip(right_cols, carried)],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rmt"),
     )
     tie = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
     rhs = right.select(
@@ -163,6 +170,7 @@ def as_of_join(
         tie.alias("__tie"),
         F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
+        F.col(right_ts).alias("__rmt"),
     )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -176,7 +184,7 @@ def as_of_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tie").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        picked = [F.last(rc, ignorenulls=True).over(w).alias(rc) for rc in carried]
+        picked = [F.last(rc, ignorenulls=True).over(w).alias(rc) for rc in carried + ["__rmt"]]
     else:
         # Forward: look DOWN the timeline — right rows sort AFTER left
         # rows at equal ts (side asc, still inclusive) and the first
@@ -187,13 +195,28 @@ def as_of_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc_nulls_first())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        picked = [F.first(rc, ignorenulls=True).over(w).alias(rc) for rc in carried]
+        picked = [F.first(rc, ignorenulls=True).over(w).alias(rc) for rc in carried + ["__rmt"]]
     filled = unioned.select(
         "__side",
+        "__ts",
         "__lrow",
         *picked,
     )
-    out = filled.filter(F.col("__side") == 0).select(
+    lefts = filled.filter(F.col("__side") == 0)
+    if tolerance_seconds is not None:
+        delta = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__rmt"))
+            if direction == "backward"
+            else F.unix_micros(F.col("__rmt")) - F.unix_micros(F.col("__ts"))
+        )
+        within = delta <= F.lit(int(tolerance_seconds * 1_000_000))
+        lefts = lefts.select(
+            "__side",
+            "__ts",
+            "__lrow",
+            *[F.when(within, F.col(rc)).alias(rc) for rc in carried],
+        )
+    out = lefts.select(
         "__lrow.*", *[F.col(rc).alias(f"right_{c}") for c, rc in zip(right_cols, carried)]
     )
     return out

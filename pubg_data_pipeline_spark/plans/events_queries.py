@@ -592,6 +592,50 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'sig
 """
 
 
+def purchase_signup_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof parity): the
+    same attribution lookup, but a signup more than 3 days before the
+    purchase no longer attributes — the match nulls out while the
+    purchase row survives. The tolerance is a post-pick mask in
+    operators.timeseries.as_of_join (zero extra shuffles); the oracle
+    applies the identical mask over DuckDB's native ASOF JOIN."""
+    from pubg_data_pipeline_spark.operators.timeseries import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event_id")
+    )
+    tol = 3 * 24 * 3600
+    joined = as_of_join(
+        purchases,
+        signups,
+        keys=["user_id"],
+        right_cols=["signup_event_id", "ts"],
+        tolerance_seconds=tol,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("right_signup_event_id").alias("signup_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("right_ts"))).alias("gap_us"),
+    )
+
+
+_ASOF_TOL_SQL = """
+SELECT a.event_id, a.user_id,
+       CASE WHEN epoch_us(a.ts) - epoch_us(b.ts) <= 259200000000
+            THEN b.event_id END AS signup_event_id,
+       CASE WHEN epoch_us(a.ts) - epoch_us(b.ts) <= 259200000000
+            THEN CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) END AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
 def incident_window_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded interval join (operators.timeseries.interval_join): count
     and max of purchase events inside the ±5-minute window around each
@@ -742,6 +786,12 @@ SPECS = [
     QuerySpec("event_type_salted_agg", event_type_salted_agg, _SALTED_AGG_SQL, ("agg", "skew")),
     QuerySpec("event_enrich_salted_join", event_enrich_salted_join, _SALTED_JOIN_SQL, ("join", "skew")),
     QuerySpec("purchase_last_signup_asof", purchase_last_signup_asof, _ASOF_SQL, ("join", "time")),
+    QuerySpec(
+        "purchase_signup_asof_tolerance",
+        purchase_signup_asof_tolerance,
+        _ASOF_TOL_SQL,
+        ("join", "time"),
+    ),
     QuerySpec("hourly_event_aggregates", hourly_event_aggregates, _HOURLY_SQL, ("agg", "time")),
     QuerySpec("event_type_difficulty", event_type_difficulty, _DIFFICULTY_SQL, ("agg",)),
     QuerySpec("global_event_stats", global_event_stats, _GLOBAL_STATS_SQL, ("agg",)),

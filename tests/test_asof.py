@@ -94,3 +94,43 @@ def test_asof_forward_direction(spark):
         ).collect()
     }
     assert out == {1: 101, 2: 101, 3: None}
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:05:00")),  # 4 min after r1 -> within 10 min
+            (2, 10, _ts("2024-01-01T01:00:00")),  # 59 min after r1 -> masked
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(101, 10, _ts("2024-01-01T00:01:00"))],
+        "rid int, user_id int, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["right_rid"]
+        for r in as_of_join(
+            left, right, keys=["user_id"], right_cols=["rid"], tolerance_seconds=600
+        ).collect()
+    }
+    assert out == {1: 101, 2: None}
+
+
+def test_asof_forward_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T00:00:00"))], "event_id int, user_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(201, 10, _ts("2024-01-01T00:30:00"))], "rid int, user_id int, ts timestamp"
+    )
+    hit = as_of_join(
+        left, right, keys=["user_id"], right_cols=["rid"],
+        direction="forward", tolerance_seconds=3600,
+    ).collect()[0]
+    assert hit["right_rid"] == 201
+    miss = as_of_join(
+        left, right, keys=["user_id"], right_cols=["rid"],
+        direction="forward", tolerance_seconds=60,
+    ).collect()[0]
+    assert miss["right_rid"] is None
