@@ -87,3 +87,44 @@ def salted_join(
     right_replicated = right.withColumn("__salt", F.explode(buckets))
     joined = left_salted.join(right_replicated, [key, "__salt"], how)
     return joined.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-skew diagnostic: the top-N heaviest keys with their row
+    counts, share of the table, and cumulative share — the numbers
+    that decide whether a join/aggregate on ``key`` needs salting
+    (operators above) or AQE skew handling, and what salt factor.
+
+    The reference joins nothing so it never faces this; any real
+    deployment of its analytics at scale does (one celebrity player =
+    one straggler task).
+
+    Plan: one groupBy(key) count (map-side partial agg), a top-N via
+    TakeOrderedAndProject (two-phase, never a global sort), a scalar
+    total broadcast back, and one window over the N-row result for the
+    cumulative share — O(distinct keys) shuffle, O(N) window.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col(key).asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.col("n_rows").desc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.col(key),
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("__total") * 100, 4).alias("share_pct"),
+        F.round(F.sum("n_rows").over(w) / F.col("__total") * 100, 4).alias("cum_share_pct"),
+        F.row_number().over(w).alias("rank"),
+    )

@@ -592,6 +592,36 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'sig
 """
 
 
+def event_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators.skew.skew_report): the top-10
+    heaviest users by event count with table share and cumulative
+    share — the pre-flight numbers behind the salting decision the
+    salted aggregate/join queries then demonstrate. Top-N is
+    TakeOrderedAndProject; the cumulative window runs over 10 rows."""
+    from pubg_data_pipeline_spark.operators.skew import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_n=10)
+
+
+_SKEW_REPORT_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+), t AS (
+  SELECT COUNT(*) AS total FROM events
+), top AS (
+  SELECT * FROM c ORDER BY n_rows DESC, user_id LIMIT 10
+)
+SELECT user_id, n_rows,
+       ROUND(n_rows / total * 100, 4) AS share_pct,
+       ROUND(SUM(n_rows) OVER w / total * 100, 4) AS cum_share_pct,
+       CAST(ROW_NUMBER() OVER w AS INT) AS rank
+FROM top CROSS JOIN t
+WINDOW w AS (ORDER BY n_rows DESC, user_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def purchase_signup_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tolerance-bounded as-of join (pandas merge_asof parity): the
     same attribution lookup, but a signup more than 3 days before the
@@ -786,6 +816,7 @@ SPECS = [
     QuerySpec("event_type_salted_agg", event_type_salted_agg, _SALTED_AGG_SQL, ("agg", "skew")),
     QuerySpec("event_enrich_salted_join", event_enrich_salted_join, _SALTED_JOIN_SQL, ("join", "skew")),
     QuerySpec("purchase_last_signup_asof", purchase_last_signup_asof, _ASOF_SQL, ("join", "time")),
+    QuerySpec("event_user_skew_report", event_user_skew_report, _SKEW_REPORT_SQL, ("agg", "skew")),
     QuerySpec(
         "purchase_signup_asof_tolerance",
         purchase_signup_asof_tolerance,

@@ -67,3 +67,15 @@ def test_salted_join_rejects_right_and_full_outer(spark, skewed_df):
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError):
             skew.salted_join(skewed_df, dim, "k", how=how)
+
+
+def test_skew_report_shares_and_ranks(spark):
+    from pubg_data_pipeline_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1, "k string"
+    )
+    rows = sorted(skew_report(df, "k", top_n=2).collect(), key=lambda r: r["rank"])
+    assert [(r["k"], r["n_rows"], r["rank"]) for r in rows] == [("hot", 6, 1), ("warm", 3, 2)]
+    assert rows[0]["share_pct"] == 60.0
+    assert rows[1]["cum_share_pct"] == 90.0
