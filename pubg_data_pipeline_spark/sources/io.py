@@ -176,3 +176,43 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Opaque-binary batch source (images/audio/video payloads):
+    one row per file with (path, modificationTime, length, content).
+    This is the ingestion edge of the multimodal pipeline — pair it
+    with functions/multimodal.py's Arrow-batched decode/resize/
+    frame-sample operators, which expect exactly this
+    (binary content + metadata) shape.
+
+    ``glob`` filters filenames (e.g. ``*.png``); ``max_bytes`` drops
+    oversized payloads AT THE SOURCE via a pushed filter on the
+    ``length`` metadata column — the file is never read, which is the
+    scale property that matters when a crawl directory mixes 10 KB
+    thumbnails with 10 GB videos.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the engine is format-agnostic at the storage edge
+    (parquet is the default everywhere else; ORC interops with
+    Hive-ecosystem consumers). Same columnar pushdown/pruning
+    properties as the parquet path."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -234,3 +234,35 @@ def test_drop_stale_managed_location_local_only(tmp_path, monkeypatch):
 
     aq._drop_stale_managed_location(_FakeSpark(f"file:{tmp_path}"), "stale_tbl")
     assert removed == [str(stale)]
+
+
+def test_read_binary_files_glob_and_size_filter(spark, tmp_path):
+    from pubg_data_pipeline_spark.sources import io as sio
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG" + b"x" * 10)
+    (d / "b.png").write_bytes(b"\x89PNG" + b"y" * 5000)
+    (d / "c.txt").write_bytes(b"not an image")
+
+    all_pngs = sio.read_binary_files(spark, str(d), glob="*.png")
+    assert all_pngs.count() == 2
+    small = sio.read_binary_files(spark, str(d), glob="*.png", max_bytes=100)
+    rows = small.collect()
+    assert len(rows) == 1
+    assert rows[0]["path"].endswith("a.png")
+    assert bytes(rows[0]["content"]).startswith(b"\x89PNG")
+    # the size filter must reach the source as a pushed data filter
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "length" in plan and "binaryFile" in plan
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from pubg_data_pipeline_spark.sources import io as sio
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double")
+    p = str(tmp_path / "t.orc")
+    sio.write_orc(df, p)
+    back = sio.read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == [(1, "a", 1.5), (2, "b", 2.5)]
+    assert dict(back.dtypes) == dict(df.dtypes)
