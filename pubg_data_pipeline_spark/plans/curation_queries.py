@@ -476,7 +476,68 @@ FROM documents GROUP BY source
 """
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, the CCNet/Gopher perplexity
+    signal in its exactly-reproducible unigram form: score every
+    document by its mean token log-probability under the corpus's own
+    unigram distribution (low = boilerplate-ish/rare-token soup, the
+    tails a perplexity filter trims). The top-level shape of KenLM
+    scoring with the n-gram model swapped for the oracle-checkable
+    unigram one.
+
+    Scale: one vocabulary aggregate (map-side partial), broadcast back
+    to the exploded token stream (the vocab is orders smaller than the
+    corpus), one per-doc aggregate. No UDF, no collect; at 100 TB the
+    vocab join is the textbook broadcast-dim pattern. avg of ln() is
+    agg-order noise ~1e-13, five orders under the 4dp rounding (the
+    base.py stddev rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("c").cast("double") / F.col("n"))).alias("__lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("__lp") / F.col("n_tokens"), 4).alias("avg_logprob"),
+        F.round(F.exp(-F.col("__lp") / F.col("n_tokens")), 2).alias("unigram_ppl"),
+    )
+
+
+_UNIGRAM_LP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), n AS (
+  SELECT COUNT(*) AS n FROM toks
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(LN(CAST(c AS DOUBLE) / n.n)) AS lp
+  FROM toks JOIN vocab USING (w) CROSS JOIN n
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(lp / n_tokens, 4) AS avg_logprob,
+       ROUND(EXP(-lp / n_tokens), 2) AS unigram_ppl
+FROM scored
+"""
+
+
 SPECS = [
+    QuerySpec("doc_unigram_logprob", doc_unigram_logprob, _UNIGRAM_LP_SQL, ("llm", "curation", "text")),
     QuerySpec("corpus_split_stats", corpus_split_stats, _SPLIT_SQL, ("curation",)),
     QuerySpec(
         "quality_weighted_sample", quality_weighted_sample, _WEIGHTED_SAMPLE_SQL, ("curation",)

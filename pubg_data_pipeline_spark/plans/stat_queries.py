@@ -347,6 +347,62 @@ FROM per_label JOIN cn ON per_label.label = cn.label
 """
 
 
+def embedding_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal outlier report: the 20 vectors farthest from their
+    own label centroid, joined back to their DOCUMENTS (vec_id is the
+    doc id in the synthetic corpus) for text-side context — the "show
+    me the weird members of this cluster, with their text stats"
+    triage view a curation run uses to decide between relabeling and
+    dropping. Ordering is on the ROUNDED distance with a vec_id
+    tie-break (plans/base.py determinism rules); the 20-row result
+    broadcasts into the documents join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source", "lang", "n_chars"
+    )
+    e = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = e.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    dist = (
+        e.join(cent, ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(F.round(F.sqrt(F.sum(F.pow(F.col("x") - F.col("c"), F.lit(2.0)))), 4).alias("dist"))
+    )
+    top = dist.orderBy(F.col("dist").desc(), F.col("vec_id").asc()).limit(20)
+    return top.join(F.broadcast(docs), "vec_id").select(
+        "vec_id", "label", "dist", "source", "lang", "n_chars"
+    )
+
+
+_OUTLIER_DOCS_SQL = """
+WITH v AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), x AS (
+  SELECT label, vec_id,
+         CAST(u['pos'] AS INT) AS pos, CAST(u['x'] AS DOUBLE) AS x
+  FROM (
+    SELECT label, vec_id,
+           unnest(list_transform(generate_series(1, len(v)),
+                                 i -> {'pos': i - 1, 'x': v[i]})) AS u
+    FROM v
+  )
+), cent AS (
+  SELECT label, pos, AVG(x) AS c FROM x GROUP BY label, pos
+), dist AS (
+  SELECT x.label, vec_id, ROUND(SQRT(SUM(POW(x - c, 2))), 4) AS dist
+  FROM x JOIN cent ON x.label = cent.label AND x.pos = cent.pos
+  GROUP BY x.label, vec_id
+), top AS (
+  SELECT * FROM dist ORDER BY dist DESC, vec_id LIMIT 20
+)
+SELECT vec_id, label, dist, source, lang, n_chars
+FROM top JOIN documents ON top.vec_id = documents.doc_id
+"""
+
+
 def user_value_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set-algebra kit (array_intersect / array_except /
     arrays_overlap) over per-user behavior profiles: event types seen
@@ -589,6 +645,9 @@ SPECS = [
     QuerySpec("embedding_quantization", embedding_quantization, _QUANTIZE_SQL, ("llm", "vector")),
     QuerySpec(
         "embedding_centroid_distance", embedding_centroid_distance, _CENTROID_SQL, ("llm", "vector")
+    ),
+    QuerySpec(
+        "embedding_outlier_docs", embedding_outlier_docs, _OUTLIER_DOCS_SQL, ("llm", "vector", "join")
     ),
     QuerySpec(
         "user_value_type_overlap", user_value_type_overlap, _OVERLAP_SQL, ("agg", "array")
