@@ -75,6 +75,8 @@ HEADLINE = [
     "neardup_triangles",
     "bigram_pmi_collocations",
     "events_column_profile",
+    "doc_unigram_logprob",
+    "event_user_skew_report",
 ]
 
 

@@ -55,6 +55,8 @@ def snapshot_diff(
     asserts nothing about duplicates; dedup upstream (e.g. with
     relational.upsert's order_key) if the source can re-emit keys.
     """
+    if not compare_cols:
+        raise ValueError("snapshot_diff needs at least one compare column")
     o = old.select(
         *[F.col(k) for k in keys],
         F.lit(True).alias("__in_old"),
@@ -141,7 +143,11 @@ def scd2_point_in_time(
     (a literal or Column): valid_from <= as_of < valid_to, open
     intervals included. A filter, not a join — partition pruning
     applies when history is stored partitioned by valid_from date."""
-    as_of_c = as_of if not isinstance(as_of, str) else F.lit(as_of).cast("timestamp")
+    from pyspark.sql import Column
+
+    as_of_c = (
+        as_of if isinstance(as_of, Column) else F.lit(as_of).cast("timestamp")
+    )
     return history.filter(
         (F.col(ts_from) <= as_of_c)
         & (F.col(ts_to).isNull() | (F.col(ts_to) > as_of_c))

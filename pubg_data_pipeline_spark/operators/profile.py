@@ -29,6 +29,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_safe_names(names) -> None:
+    """The stack() unpivot interpolates names into a SQL expression;
+    restrict to plain identifiers so an exotic column/rule name can't
+    break (or smuggle syntax into) the generated expression."""
+    import re
+
+    for n in names:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n):
+            raise ValueError(f"unsupported name for profiling: {n!r} (alias it first)")
+
+
 def profile_columns(
     df: DataFrame, cols: Sequence[str], exact_distinct: bool = True
 ) -> DataFrame:
@@ -40,6 +51,7 @@ def profile_columns(
     One aggregation job regardless of column count; the wide single
     row is then unpivoted driver-free via ``stack``.
     """
+    _check_safe_names(cols)
     nd = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
@@ -79,6 +91,7 @@ def expectations_report(
     All rules share a single scan + partial agg — adding a rule costs
     one projected expression, never another job.
     """
+    _check_safe_names([name for name, _ in rules])
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, cond in rules:
         aggs.append(

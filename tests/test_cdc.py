@@ -147,3 +147,21 @@ def test_scd2_single_shuffle_plan(spark):
     hist = cdc.scd2_from_changelog(ch, ["k"], "ts", ["v"], order_cols=["seq"])
     plan = hist._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_snapshot_diff_requires_compare_cols(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="compare column"):
+        cdc.snapshot_diff(df, df, ["k"], [])
+
+
+def test_point_in_time_accepts_datetime_literal(spark):
+    ch = spark.createDataFrame(
+        [("u", _ts("2024-01-01T00:00:00"), 1, "a")],
+        "k string, ts timestamp, seq int, v string",
+    )
+    hist = cdc.scd2_from_changelog(ch, ["k"], "ts", ["v"], order_cols=["seq"])
+    got = cdc.scd2_point_in_time(hist, ["k"], _ts("2024-06-01T00:00:00")).collect()
+    assert len(got) == 1 and got[0]["v"] == "a"

@@ -63,3 +63,13 @@ def test_expectations_all_pass(spark):
     df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
     out = profile.expectations_report(df, [("ok", F.col("v") > 0)]).collect()[0]
     assert out["passed"] and out["n_violations"] == 0
+
+
+def test_profile_rejects_unsafe_names(spark):
+    import pytest
+
+    df = spark.range(3).selectExpr("id AS `weird name`")
+    with pytest.raises(ValueError, match="alias it first"):
+        profile.profile_columns(df, ["weird name"])
+    with pytest.raises(ValueError, match="alias it first"):
+        profile.expectations_report(spark.range(3), [("bad'rule", F.col("id") > 0)])
