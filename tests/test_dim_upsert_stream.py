@@ -69,3 +69,46 @@ def test_dim_upsert_empty_batch_is_noop(spark, tmp_path):
     app.dim_upsert_epoch(batch, 1, str(dim), ["k"], "ver")
     app.dim_upsert_epoch(empty, 2, str(dim), ["k"], "ver")
     assert spark.read.parquet(str(dim)).count() == 1
+
+
+def test_stream_dim_equals_batch_scd2_current_slice(spark, tmp_path):
+    """Cross-layer invariant: maintaining a latest-per-key dim from a
+    change stream (streaming SCD1) must agree with batch-compacting
+    the SAME changelog into SCD2 history and slicing is_current."""
+    from pubg_data_pipeline_spark.operators import cdc
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    dim = tmp_path / "dim"
+    ckpt = tmp_path / "ckpt"
+    (src / "b1.jsonl").write_text(
+        '{"k": "a", "ver": 1, "v": "x", "ts": "2024-01-01 00:00:00"}\n'
+        '{"k": "b", "ver": 2, "v": "y", "ts": "2024-01-01 01:00:00"}\n'
+    )
+    stream_schema = "k string, ver long, v string, ts timestamp"
+    stream = spark.readStream.schema(stream_schema).json(str(src))
+    q = app.streaming_dim_upsert(
+        stream, str(dim), ["k"], "ver", available_now=True, checkpoint=str(ckpt)
+    )
+    q.awaitTermination(120)
+    q.stop()
+    (src / "b2.jsonl").write_text(
+        '{"k": "a", "ver": 3, "v": "x2", "ts": "2024-01-02 00:00:00"}\n'
+        '{"k": "c", "ver": 4, "v": "z", "ts": "2024-01-02 01:00:00"}\n'
+    )
+    stream = spark.readStream.schema(stream_schema).json(str(src))
+    q = app.streaming_dim_upsert(
+        stream, str(dim), ["k"], "ver", available_now=True, checkpoint=str(ckpt)
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    stream_latest = {
+        r["k"]: r["v"] for r in spark.read.parquet(str(dim)).collect()
+    }
+    changelog = spark.read.schema(stream_schema).json(str(src))
+    hist = cdc.scd2_from_changelog(changelog, ["k"], "ts", ["v"], order_cols=["ver"])
+    batch_current = {
+        r["k"]: r["v"] for r in hist.filter("is_current").collect()
+    }
+    assert stream_latest == batch_current == {"a": "x2", "b": "y", "c": "z"}
