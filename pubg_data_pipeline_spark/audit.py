@@ -58,7 +58,12 @@ class Finding:
     node: str      # the offending plan line (stripped), with context
 
 
-_TREE_PREFIX = re.compile(r"^[\s:+*()\d-]*")
+# tree-drawing characters ONLY (':  ', '+- ', ':- ') — the codegen
+# marker '*(n) ' is stripped from the TEXT, never counted as depth,
+# so a starred parent keeps a smaller depth than its children with
+# AQE disabled (plans under AQE print no stars pre-execution)
+_TREE_PREFIX = re.compile(r"^[\s:+\-]*")
+_CODEGEN_MARK = re.compile(r"^\*\(\d+\)\s*")
 # physical aggregates; keys=[] / key=[] marks the zero-key (scalar) form
 _AGG_NODE = re.compile(r"^(HashAggregate|SortAggregate|ObjectHashAggregate)\b")
 _SCALAR_AGG = re.compile(
@@ -75,7 +80,7 @@ def _parse(plan: str) -> list[tuple[int, str]]:
             continue
         m = _TREE_PREFIX.match(ln)
         prefix = m.group(0) if m else ""
-        text = ln[len(prefix):].strip()
+        text = _CODEGEN_MARK.sub("", ln[len(prefix):]).strip()
         if text:
             out.append((len(prefix), text))
     return out
@@ -126,19 +131,33 @@ def _build_side_is_bounded(lines: list[tuple[int, str]], idx: int) -> bool:
     kids = _children_idx(lines, idx)
     if len(kids) != 2:
         return False
-    build = kids[1] if "BuildRight" in text else kids[0]
-    nodes = [lines[build]] + _subtree(lines, build)
-    for _, t in nodes:
-        if _AGG_NODE.match(t):
-            return bool(_SCALAR_AGG.match(t))
-    # driver-local leaves (literal/parallelized data) vs real sources
-    has_local = any(
-        t.startswith(("LocalTableScan", "Scan ExistingRDD")) for _, t in nodes
-    )
-    has_source = any(
-        t.startswith(("FileScan", "Range (")) or "Scan parquet" in t for _, t in nodes
-    )
-    return has_local and not has_source
+    if "BuildRight" in text or "BuildLeft" in text:
+        sides = [kids[1] if "BuildRight" in text else kids[0]]
+    else:
+        # CartesianProduct has no build marker: either side being
+        # bounded makes the product O(n * small-constant)
+        sides = kids
+    for side in sides:
+        nodes = [lines[side]] + _subtree(lines, side)
+        agg_found = None
+        for _, t in nodes:
+            if _AGG_NODE.match(t):
+                agg_found = bool(_SCALAR_AGG.match(t))
+                break
+        if agg_found:
+            return True
+        if agg_found is None:
+            # driver-local leaves (literal/parallelized data) vs sources
+            has_local = any(
+                t.startswith(("LocalTableScan", "Scan ExistingRDD")) for _, t in nodes
+            )
+            has_source = any(
+                t.startswith(("FileScan", "Range (")) or "Scan parquet" in t
+                for _, t in nodes
+            )
+            if has_local and not has_source:
+                return True
+    return False
 
 
 def audit_plan(

@@ -137,12 +137,14 @@ def scd2_from_changelog(
 
 
 def scd2_point_in_time(
-    history: DataFrame, keys: Sequence[str], as_of, ts_from: str = "valid_from", ts_to: str = "valid_to"
+    history: DataFrame, as_of, ts_from: str = "valid_from", ts_to: str = "valid_to"
 ) -> DataFrame:
     """Slice a Type-2 history table to the version valid at ``as_of``
-    (a literal or Column): valid_from <= as_of < valid_to, open
-    intervals included. A filter, not a join — partition pruning
-    applies when history is stored partitioned by valid_from date."""
+    (a Column, string, or datetime literal): valid_from <= as_of <
+    valid_to, open intervals included. A pure filter — no key
+    argument, because interval disjointness per key is a property the
+    history already guarantees; partition pruning applies when the
+    history is stored partitioned by valid_from date."""
     from pyspark.sql import Column
 
     as_of_c = (

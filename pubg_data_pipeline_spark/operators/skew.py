@@ -111,7 +111,9 @@ def skew_report(
     from pyspark.sql import Window
 
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    # the total from the already-reduced counts frame — the raw table
+    # is scanned exactly once
+    total = counts.agg(F.sum("n_rows").alias("__total"))
     top = (
         counts.orderBy(F.col("n_rows").desc(), F.col(key).asc())
         .limit(top_n)

@@ -152,15 +152,27 @@ def as_of_join(
     it adds zero shuffles.
     """
     keys = list(keys)
-    carried = [f"__r_{c}" for c in right_cols]
+    # The matched right row is carried as ONE struct (its ts + the
+    # requested columns), so every emitted right_<c> value comes from
+    # the SAME matched row — per-column carries would let a NULL field
+    # on the nearest row fall through to an older row's value, mixing
+    # rows (and, with a tolerance, emitting values staler than the
+    # bound). Struct nullability also makes the carry well-defined:
+    # the struct itself is non-null for every right row even when all
+    # its fields are null.
+    rstruct_src = F.struct(
+        F.col(right_ts).alias("__rmt"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
     lhs = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.lit(None).cast("long").alias("__tie"),
         F.struct(*left.columns).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(rc) for c, rc in zip(right_cols, carried)],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rmt"),
+        F.lit(None).cast(
+            right.select(rstruct_src.alias("__r")).schema["__r"].dataType
+        ).alias("__rrow"),
     )
     tie = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
     rhs = right.select(
@@ -169,8 +181,7 @@ def as_of_join(
         F.lit(1).alias("__side"),
         tie.alias("__tie"),
         F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
-        F.col(right_ts).alias("__rmt"),
+        rstruct_src.alias("__rrow"),
     )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -184,40 +195,35 @@ def as_of_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tie").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        picked = [F.last(rc, ignorenulls=True).over(w).alias(rc) for rc in carried + ["__rmt"]]
+        picked = F.last("__rrow", ignorenulls=True).over(w).alias("__rrow")
     else:
         # Forward: look DOWN the timeline — right rows sort AFTER left
         # rows at equal ts (side asc, still inclusive) and the first
-        # non-null right value in the following frame wins; among
-        # equal-ts right rows the smallest tiebreak is first.
+        # right row in the following frame wins; among equal-ts right
+        # rows the smallest tiebreak is first.
         w = (
             Window.partitionBy(*keys)
             .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc_nulls_first())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        picked = [F.first(rc, ignorenulls=True).over(w).alias(rc) for rc in carried + ["__rmt"]]
-    filled = unioned.select(
-        "__side",
-        "__ts",
-        "__lrow",
-        *picked,
+        picked = F.first("__rrow", ignorenulls=True).over(w).alias("__rrow")
+    lefts = unioned.select("__side", "__ts", "__lrow", picked).filter(
+        F.col("__side") == 0
     )
-    lefts = filled.filter(F.col("__side") == 0)
     if tolerance_seconds is not None:
+        matched_ts = F.col("__rrow.__rmt")
         delta = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__rmt"))
+            F.unix_micros(F.col("__ts")) - F.unix_micros(matched_ts)
             if direction == "backward"
-            else F.unix_micros(F.col("__rmt")) - F.unix_micros(F.col("__ts"))
+            else F.unix_micros(matched_ts) - F.unix_micros(F.col("__ts"))
         )
         within = delta <= F.lit(int(tolerance_seconds * 1_000_000))
         lefts = lefts.select(
-            "__side",
-            "__ts",
-            "__lrow",
-            *[F.when(within, F.col(rc)).alias(rc) for rc in carried],
+            "__side", "__ts", "__lrow", F.when(within, F.col("__rrow")).alias("__rrow")
         )
     out = lefts.select(
-        "__lrow.*", *[F.col(rc).alias(f"right_{c}") for c, rc in zip(right_cols, carried)]
+        "__lrow.*",
+        *[F.col(f"__rrow.__r_{c}").alias(f"right_{c}") for c in right_cols],
     )
     return out
 

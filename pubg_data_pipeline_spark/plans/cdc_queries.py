@@ -218,7 +218,7 @@ def purchase_band_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = cdc.scd2_from_changelog(
         ch, ["user_id"], "ts", ["value_band"], order_cols=["event_id"]
     )
-    sliced = cdc.scd2_point_in_time(hist, ["user_id"], "2024-01-15 00:00:00")
+    sliced = cdc.scd2_point_in_time(hist, "2024-01-15 00:00:00")
     return sliced.select("user_id", "value_band", "version")
 
 

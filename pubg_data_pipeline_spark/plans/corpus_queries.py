@@ -426,10 +426,23 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c12",
+            # cast to double BEFORE multiplying: n1² alone is ~4e14 at
+            # a 20M-token corpus, so the integer product c12*n1*n1
+            # would silently wrap long; the double product is exact
+            # here (inputs < 2^53) and overflow-free, and the
+            # left-assoc multiply order matches the oracle bit-for-bit
             F.round(
                 F.log(
-                    (F.col("c12") * F.col("n1") * F.col("n1")).cast("double")
-                    / (F.col("n2") * F.col("c1") * F.col("c2")).cast("double")
+                    (
+                        F.col("c12").cast("double")
+                        * F.col("n1").cast("double")
+                        * F.col("n1").cast("double")
+                    )
+                    / (
+                        F.col("n2").cast("double")
+                        * F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
                 ),
                 4,
             ).alias("pmi"),
@@ -456,8 +469,8 @@ WITH toks AS (
   SELECT SUM(c12) AS n2 FROM bi
 )
 SELECT w1, w2, c12,
-       ROUND(LN(CAST(c12 * n1.n1 * n1.n1 AS DOUBLE)
-                / CAST(n2.n2 * u1.c * u2.c AS DOUBLE)), 4) AS pmi
+       ROUND(LN((CAST(c12 AS DOUBLE) * CAST(n1.n1 AS DOUBLE) * CAST(n1.n1 AS DOUBLE))
+                / (CAST(n2.n2 AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi
 FROM bi
 JOIN uni u1 ON u1.w = bi.w1
 JOIN uni u2 ON u2.w = bi.w2

@@ -372,7 +372,9 @@ def embedding_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sqrt(F.sum(F.pow(F.col("x") - F.col("c"), F.lit(2.0)))), 4).alias("dist"))
     )
     top = dist.orderBy(F.col("dist").desc(), F.col("vec_id").asc()).limit(20)
-    return top.join(F.broadcast(docs), "vec_id").select(
+    # broadcast the 20-row TOP side into the (big) documents table —
+    # never the other way around
+    return F.broadcast(top).join(docs, "vec_id").select(
         "vec_id", "label", "dist", "source", "lang", "n_chars"
     )
 

@@ -20,6 +20,35 @@ from pubg_data_pipeline_spark.plans import analytics
 from pubg_data_pipeline_spark.streaming import etl, sinks
 
 
+def _require_local_path(path: str, what: str) -> None:
+    """The state-swapping epoch bodies below use driver-side
+    filesystem operations (isdir / rename / rmtree), which silently
+    do the wrong thing against hdfs://, s3a://, etc. (isdir is always
+    False -> history checks skip, renames fail). Fail loudly instead:
+    on a cluster these sinks target a transactional table format
+    (Delta/Iceberg MERGE INTO / epoch-partitioned commits) — the
+    Spark plan inside each epoch is identical, only the commit
+    mechanism changes."""
+    if "://" in path:
+        raise ValueError(
+            f"{what} maintains state with local-filesystem swaps; got a remote "
+            f"URI {path!r}. Deploy against a transactional table format for "
+            "object-store/HDFS paths."
+        )
+
+
+def _recover_renamed_aside(path: str) -> None:
+    """Crash recovery for the rename-aside swap protocol: if a crash
+    landed between `path -> path.old` and `tmp -> path`, the previous
+    state survives at ``path.old`` — restore it before this epoch
+    reads. A valid ``path`` is never overwritten."""
+    import os
+
+    old = f"{path}.old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+
+
 def streaming_etl(
     raw_stream: DataFrame,
     players_path: str,
@@ -127,16 +156,26 @@ def rollup_merge_epoch(
 
     spark = batch_df.sparkSession
     partial = incremental.partial_hourly_state(batch_df, ts_col, value_col)
+    _require_local_path(state_path, "rollup_merge_epoch")
+    _recover_renamed_aside(state_path)
     if os.path.isdir(state_path):
-        old = spark.read.parquet(state_path)
-        merged = incremental.merge_hourly_states(old, partial)
+        prev = spark.read.parquet(state_path)
+        merged = incremental.merge_hourly_states(prev, partial)
     else:
         merged = partial
     tmp = f"{state_path}.tmp-{epoch_id}"
+    aside = f"{state_path}.old"
     merged.write.mode("overwrite").parquet(tmp)
+    # rename-aside swap: at no instant is the only copy of the state
+    # deleted; _recover_renamed_aside restores `.old` after a crash
+    # between the two renames.
     if os.path.isdir(state_path):
-        shutil.rmtree(state_path)
+        if os.path.isdir(aside):
+            shutil.rmtree(aside)
+        os.rename(state_path, aside)
     os.rename(tmp, state_path)
+    if os.path.isdir(aside):
+        shutil.rmtree(aside)
 
 
 def incremental_rollup_stream(
@@ -249,6 +288,8 @@ def ingest_dedup_epoch(
     from pubg_data_pipeline_spark.functions.text import doc_fingerprint
     from pubg_data_pipeline_spark.operators.dedup import exact_dedup
 
+    _require_local_path(index_path, "ingest_dedup_epoch")
+    _require_local_path(corpus_path, "ingest_dedup_epoch")
     spark = batch_df.sparkSession
     batch = batch_df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
     # Bare-directory guard: an empty epoch creates the directory but no
@@ -330,39 +371,58 @@ def dim_upsert_epoch(
     spark_apps/pubg_streaming.py:252-262, so its "dimension" grows
     without bound and every reader re-derives latest-per-key).
 
-    Epoch cost is O(batch + dim); the swap is write-new-then-rename
-    (on a lake deployment: MERGE INTO, same plan shape). Retry-safe
-    without epoch partitioning because MERGE is IDEMPOTENT: replaying
-    the same micro-batch re-merges identical rows into an identical
-    table — unlike append sinks, at-least-once delivery needs no extra
-    bookkeeping here. The merged state is materialized (eager
-    localCheckpoint) before the tmp write so the rename never races a
-    recomputation against the directory being replaced.
+    Epoch cost is O(batch + dim). Latest-per-key is decided on
+    ``order_key`` ACROSS base and batch (update wins ties), so a late
+    or replayed change with a lower version than the stored row can
+    never regress the dimension — which also makes the epoch
+    idempotent under foreachBatch's at-least-once replays. The merged
+    state is materialized (eager localCheckpoint) before the tmp
+    write so the swap never races a recomputation against the
+    directory being replaced, and the swap itself is the rename-aside
+    protocol (dim -> dim.old, tmp -> dim, drop dim.old) with crash
+    recovery at epoch start — no window in which the only copy of the
+    dimension is deleted. Local filesystem only (see
+    ``_require_local_path``); a cluster deployment targets a
+    transactional table format's MERGE INTO with the identical plan.
     """
     import os
     import shutil
 
-    from pubg_data_pipeline_spark.operators import relational
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
+    _require_local_path(dim_path, "dim_upsert_epoch")
     spark = batch_df.sparkSession
+    _recover_renamed_aside(dim_path)
     if batch_df.isEmpty():
         # nothing to merge; also avoids materializing a fileless empty
         # table on the very first epoch (unreadable by schema inference)
         return
+    upd = batch_df.withColumn("__src", F.lit(1))
     if os.path.isdir(dim_path):
-        base = spark.read.parquet(dim_path)
-        merged = relational.upsert(base, batch_df, keys, order_key=order_key)
+        base = spark.read.parquet(dim_path).withColumn("__src", F.lit(0))
+        unioned = base.unionByName(upd)
     else:
-        # within-batch duplicate keys still resolve latest-wins
-        merged = relational.upsert(
-            batch_df.limit(0), batch_df, keys, order_key=order_key
-        )
+        unioned = upd
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_key).desc(), F.col("__src").desc()
+    )
+    merged = (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
     merged = merged.localCheckpoint()
     tmp = f"{dim_path}.tmp-{epoch_id}"
+    old = f"{dim_path}.old"
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(dim_path):
-        shutil.rmtree(dim_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(dim_path, old)
     os.rename(tmp, dim_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def streaming_dim_upsert(

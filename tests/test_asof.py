@@ -134,3 +134,24 @@ def test_asof_forward_tolerance(spark):
         direction="forward", tolerance_seconds=60,
     ).collect()[0]
     assert miss["right_rid"] is None
+
+
+def test_asof_null_field_on_matched_row_stays_null(spark):
+    """Row-wise semantics: the matched row's NULL field must come
+    through as NULL — not fall through to an older row's value (the
+    per-column forward-fill bug; pandas merge_asof matches rows)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T00:10:00"))], "event_id int, user_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, _ts("2024-01-01T00:00:00"), "old-value"),
+            (102, 10, _ts("2024-01-01T00:09:00"), None),  # nearest match, NULL payload
+        ],
+        "rid int, user_id int, ts timestamp, payload string",
+    )
+    row = as_of_join(
+        left, right, keys=["user_id"], right_cols=["rid", "payload"]
+    ).collect()[0]
+    assert row["right_rid"] == 102          # matched the nearest row...
+    assert row["right_payload"] is None     # ...and kept ITS null, not 'old-value'

@@ -118,3 +118,38 @@ def test_every_registered_query_plan_is_scale_safe(spark):
         if unexpected:
             bad[name] = sorted(unexpected)
     assert not bad, f"scale-unsafe plans: {bad}"
+
+
+def test_audit_handles_codegen_markers_with_aqe_off(spark):
+    """With AQE disabled, plans print '*(n) ' codegen markers; depth
+    must come from the tree prefix only, or a starred Sort parent
+    would swallow its Exchange child and the funnel rule would miss."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.range(1000).select(F.col("id").alias("x"))
+        ranked = df.withColumn("r", F.row_number().over(Window.orderBy("x")))
+        assert _crit(ranked) == {"single_partition_funnel"}
+        a = spark.range(100).select(F.col("id").alias("x"))
+        stats = a.agg(F.avg("x").alias("mu"))
+        assert _crit(a.crossJoin(F.broadcast(stats))) == set()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_audit_cartesian_with_bounded_right_side_is_clean(spark):
+    """A true CartesianProduct (no Build marker) whose RIGHT child is
+    a scalar aggregate must not be flagged — boundedness of either
+    side makes the product O(n)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(F.col("id").alias("x"))
+        stats = a.agg(F.avg("x").alias("mu"))
+        joined = a.crossJoin(stats)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            assert _crit(joined) == set()
+        # two real row sets stay critical even under this config
+        b = spark.range(1000).select(F.col("id").alias("y"))
+        assert _crit(a.crossJoin(b)) == {"nested_loop_join"}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -124,17 +124,17 @@ def test_point_in_time_slices_open_and_closed_intervals(spark):
     hist = cdc.scd2_from_changelog(ch, ["k"], "ts", ["v"], order_cols=["seq"])
     at = {
         r["k"]: r["v"]
-        for r in cdc.scd2_point_in_time(hist, ["k"], "2024-01-09 00:00:00").collect()
+        for r in cdc.scd2_point_in_time(hist, "2024-01-09 00:00:00").collect()
     }
     assert at == {"u1": "a", "u2": "z"}
     # exactly on a boundary: the NEW version wins (valid_from <= t < valid_to)
     at_boundary = {
         r["k"]: r["v"]
-        for r in cdc.scd2_point_in_time(hist, ["k"], "2024-01-10 00:00:00").collect()
+        for r in cdc.scd2_point_in_time(hist, "2024-01-10 00:00:00").collect()
     }
     assert at_boundary["u1"] == "b"
     # before any history: empty for that key
-    before = cdc.scd2_point_in_time(hist, ["k"], "2023-12-31 00:00:00")
+    before = cdc.scd2_point_in_time(hist, "2023-12-31 00:00:00")
     assert before.count() == 0
 
 
@@ -163,5 +163,5 @@ def test_point_in_time_accepts_datetime_literal(spark):
         "k string, ts timestamp, seq int, v string",
     )
     hist = cdc.scd2_from_changelog(ch, ["k"], "ts", ["v"], order_cols=["seq"])
-    got = cdc.scd2_point_in_time(hist, ["k"], _ts("2024-06-01T00:00:00")).collect()
+    got = cdc.scd2_point_in_time(hist, _ts("2024-06-01T00:00:00")).collect()
     assert len(got) == 1 and got[0]["v"] == "a"

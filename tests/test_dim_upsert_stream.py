@@ -112,3 +112,65 @@ def test_stream_dim_equals_batch_scd2_current_slice(spark, tmp_path):
         r["k"]: r["v"] for r in hist.filter("is_current").collect()
     }
     assert stream_latest == batch_current == {"a": "x2", "b": "y", "c": "z"}
+
+
+def test_dim_upsert_late_change_cannot_regress(spark, tmp_path):
+    """Cross-batch monotonicity: an out-of-order change with a LOWER
+    order_key than the stored row must not replace it (at-least-once
+    upstreams deliver these routinely)."""
+    dim = tmp_path / "dim"
+    app.dim_upsert_epoch(
+        spark.createDataFrame([("a", 5, "new")], "k string, ver long, v string"),
+        0, str(dim), ["k"], "ver",
+    )
+    app.dim_upsert_epoch(
+        spark.createDataFrame([("a", 4, "stale")], "k string, ver long, v string"),
+        1, str(dim), ["k"], "ver",
+    )
+    out = spark.read.parquet(str(dim)).collect()
+    assert [(r["k"], r["ver"], r["v"]) for r in out] == [("a", 5, "new")]
+    # equal order_key: the incoming update wins the tie
+    app.dim_upsert_epoch(
+        spark.createDataFrame([("a", 5, "retagged")], "k string, ver long, v string"),
+        2, str(dim), ["k"], "ver",
+    )
+    assert spark.read.parquet(str(dim)).collect()[0]["v"] == "retagged"
+
+
+def test_dim_upsert_recovers_from_crash_between_renames(spark, tmp_path):
+    """Simulate a crash after `dim -> dim.old` but before
+    `tmp -> dim`: the next epoch must restore the previous state, not
+    rebuild from the micro-batch alone."""
+    import os
+
+    dim = tmp_path / "dim"
+    app.dim_upsert_epoch(
+        spark.createDataFrame([("a", 1, "x"), ("b", 1, "y")], "k string, ver long, v string"),
+        0, str(dim), ["k"], "ver",
+    )
+    os.rename(str(dim), str(dim) + ".old")  # the crash window
+    app.dim_upsert_epoch(
+        spark.createDataFrame([("c", 1, "z")], "k string, ver long, v string"),
+        1, str(dim), ["k"], "ver",
+    )
+    out = {r["k"]: r["v"] for r in spark.read.parquet(str(dim)).collect()}
+    assert out == {"a": "x", "b": "y", "c": "z"}  # nothing lost
+    assert not os.path.isdir(str(dim) + ".old")   # aside cleaned up
+
+
+def test_epoch_sinks_reject_remote_uris(spark):
+    import pytest
+
+    batch = spark.createDataFrame([("a", 1, 1.0)], "k string, ver long, v double")
+    with pytest.raises(ValueError, match="local-filesystem"):
+        app.dim_upsert_epoch(batch, 0, "s3a://bucket/dim", ["k"], "ver")
+    with pytest.raises(ValueError, match="local-filesystem"):
+        app.rollup_merge_epoch(
+            spark.createDataFrame([], "ts timestamp, value double"),
+            0, "hdfs://nn/state",
+        )
+    with pytest.raises(ValueError, match="local-filesystem"):
+        app.ingest_dedup_epoch(
+            spark.createDataFrame([], "doc_id long, text string"),
+            0, "s3a://b/idx", "s3a://b/corpus",
+        )
