@@ -263,3 +263,49 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         sorted_ids[1].alias("id_b"),
         sorted_ids[2].alias("id_c"),
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: 2*T(v) / (deg(v) *
+    (deg(v)-1)) where T(v) counts triangles through v — THE density
+    diagnostic for near-dup clusters (a clique of true duplicates has
+    coefficient 1.0 everywhere; chance shingle collisions produce
+    star-ish subgraphs near 0.0), and the standard social-graph
+    metric.
+
+    Reuses the degree-oriented ``triangles`` wedge join, explodes each
+    triangle to its three members (3 rows per triangle — bounded), and
+    joins counts back onto the degree table: one extra shuffle over
+    the TRIANGLE list, never the corpus. Nodes on no triangle get 0.0;
+    degree-1 nodes have an undefined denominator and report 0.0.
+    """
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    tri_nodes = (
+        triangles(edges, src=src, dst=dst)
+        .select(F.explode(F.array("id_a", "id_b", "id_c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    joined = deg.join(tri_nodes, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.coalesce(F.col("n_triangles"), F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coef"),
+    )
+    return joined

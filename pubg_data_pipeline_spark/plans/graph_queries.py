@@ -283,9 +283,76 @@ JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
 """
 
 
+def neardup_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the near-dup graph
+    (operators/graph.clustering_coefficients on the same capped
+    0.02-threshold pair set as `neardup_triangles`): coefficient ~1.0
+    marks true duplicate cliques, ~0.0 marks chance-collision stars —
+    the per-document density score behind cluster-quality triage."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.02, max_doc_freq=8
+    )
+    return graph.clustering_coefficients(pairs, src="id_a", dst="id_b")
+
+
+_CLUSTERING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(arr) - 2, 0)),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks
+), ex_all AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), ex AS (
+  SELECT doc_id, shingle FROM ex_all QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 8
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+), und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), deg AS (
+  SELECT u AS node, COUNT(*) AS degree FROM und GROUP BY u
+), tri AS (
+  SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p1.id_b = p2.id_a
+  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+), tn AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node, degree,
+       COALESCE(n_triangles, 0) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN ROUND(COALESCE(n_triangles, 0) * 2.0 / (degree * (degree - 1)), 4)
+            ELSE 0.0 END AS clustering_coef
+FROM deg LEFT JOIN tn ON deg.node = tn.node
+"""
+
+
 SPECS = [
     QuerySpec("doc_dup_clusters", doc_dup_clusters, _CLUSTERS_SQL, ("llm", "dedup", "graph")),
     QuerySpec("neardup_triangles", neardup_triangles, _TRIANGLES_SQL, ("llm", "dedup", "graph")),
+    QuerySpec(
+        "neardup_clustering_coefficients",
+        neardup_clustering_coefficients,
+        _CLUSTERING_SQL,
+        ("llm", "dedup", "graph"),
+    ),
     QuerySpec(
         "doc_corpus_after_dedup", doc_corpus_after_dedup, _AFTER_DEDUP_SQL, ("llm", "dedup", "graph")
     ),

@@ -101,3 +101,19 @@ def test_triangles_star_has_none(spark):
     # hub, so the hub has no out-wedges) — the skew property under test.
     hub = spark.createDataFrame([(0, i) for i in range(1, 30)], "src long, dst long")
     assert graph.triangles(hub).count() == 0
+
+
+def test_clustering_coefficients(spark):
+    # triangle {1,2,3} + pendant 4 off node 3, isolated edge (10,11)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    rows = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coef"])
+        for r in graph.clustering_coefficients(edges).collect()
+    }
+    assert rows[1] == (2, 1, 1.0)       # both neighbors connected
+    assert rows[2] == (2, 1, 1.0)
+    assert rows[3] == (3, 1, round(2 / 6, 4))  # one of three neighbor pairs closed
+    assert rows[4] == (1, 0, 0.0)       # degree-1: undefined -> 0
+    assert rows[10] == (1, 0, 0.0) and rows[11] == (1, 0, 0.0)
