@@ -128,3 +128,71 @@ def finalize_daily(state: DataFrame, digits: int = 2) -> DataFrame:
         F.round(F.col("scaled_sum") / denom, 2).alias("total_value"),
         F.round(F.col("scaled_sum") / denom / F.col("n"), 4).alias("avg_value"),
     )
+
+
+def partial_value_histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int = 64
+) -> DataFrame:
+    """Reduce raw rows to a mergeable fixed-range histogram state:
+    (bin, n) with equal-width bins over [lo, hi), out-of-range values
+    clamped into the edge bins. Bin counts are integers, so states
+    merge exactly and order-independently — the quantile-sketch
+    counterpart of the count+sum states above, with a deterministic
+    (oracle-reproducible) estimator instead of a probabilistic
+    t-digest; at 100 TB the state is n_bins rows regardless of input."""
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def merge_histogram_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of histogram states: union + re-sum. Exact and
+    associative (integer counts)."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    state: DataFrame,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram state: for each q,
+    locate the bin containing rank q*N on the cumulative counts and
+    interpolate linearly inside it. Fully deterministic — both the bin
+    walk and the interpolation are exact-arithmetic over integer
+    counts, so an oracle reproduces it bit-for-bit (unlike t-digest).
+
+    The cumulative window runs over the n_bins-row state (a deliberate
+    single-partition window over dimension-sized post-agg data)."""
+    from pyspark.sql import Window
+
+    spark = state.sparkSession
+    width = (hi - lo) / n_bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = state.withColumn("cum", F.sum("n").over(w))
+    total = state.agg(F.sum("n").alias("total"))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    joined = (
+        qdf.crossJoin(F.broadcast(total))
+        .withColumn("target", F.col("q") * F.col("total"))
+        .join(
+            F.broadcast(cum),
+            # the bin whose cumulative range [cum-n, cum) covers the
+            # target rank; q=1.0 lands exactly on the last bin's cum
+            (F.col("cum") >= F.col("target"))
+            & ((F.col("cum") - F.col("n")) < F.col("target")),
+        )
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin")
+        + (F.col("target") - (F.col("cum") - F.col("n"))) / F.col("n")
+    )
+    return joined.select("q", F.round(est, 4).alias("estimate"))

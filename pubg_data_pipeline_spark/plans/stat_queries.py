@@ -405,6 +405,40 @@ FROM top JOIN documents ON top.vec_id = documents.doc_id
 """
 
 
+def event_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from a MERGEABLE histogram state
+    (operators/incremental.partial_value_histogram): p50/p90/p99 of
+    event values via a 50-bin fixed-range histogram — the
+    deterministic, oracle-reproducible stand-in for a t-digest rollup.
+    The state is 50 rows however large the input; estimates come from
+    an exact cumulative walk + linear interpolation, reproduced
+    bit-for-bit by the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    state = incremental.partial_value_histogram(ev, "value", lo=0.0, hi=500.0, n_bins=50)
+    return incremental.histogram_quantiles(
+        state, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_bins=50
+    )
+
+
+_HIST_QUANTILES_SQL = """
+WITH h AS (
+  SELECT LEAST(49, GREATEST(0, CAST(FLOOR((value - 0.0) / 10.0) AS INT))) AS bin,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+), c AS (
+  SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum FROM h
+), t AS (
+  SELECT SUM(n) AS total FROM h
+), qs AS (
+  SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(q)
+)
+SELECT q,
+       ROUND(0.0 + 10.0 * (bin + (q * total - (cum - n)) / n), 4) AS estimate
+FROM qs CROSS JOIN t
+JOIN c ON cum >= q * total AND (cum - n) < q * total
+"""
+
+
 def user_value_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set-algebra kit (array_intersect / array_except /
     arrays_overlap) over per-user behavior profiles: event types seen
@@ -650,6 +684,12 @@ SPECS = [
     ),
     QuerySpec(
         "embedding_outlier_docs", embedding_outlier_docs, _OUTLIER_DOCS_SQL, ("llm", "vector", "join")
+    ),
+    QuerySpec(
+        "event_value_histogram_quantiles",
+        event_value_histogram_quantiles,
+        _HIST_QUANTILES_SQL,
+        ("agg", "stats", "incremental", "sketch"),
     ),
     QuerySpec(
         "user_value_type_overlap", user_value_type_overlap, _OVERLAP_SQL, ("agg", "array")

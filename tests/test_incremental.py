@@ -90,3 +90,34 @@ def test_daily_rollup_from_hourly_matches_direct(spark):
         ).collect()
     }
     assert via_hourly == direct
+
+
+def test_histogram_states_merge_exactly(spark):
+    from pubg_data_pipeline_spark.operators import incremental as inc
+
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "v double")
+    whole = inc.partial_value_histogram(df, "v", lo=0.0, hi=100.0, n_bins=10)
+    parts = [
+        inc.partial_value_histogram(df.filter(f"v % 3 = {i}"), "v", lo=0.0, hi=100.0, n_bins=10)
+        for i in range(3)
+    ]
+    merged = inc.merge_histogram_states(*parts)
+    w = {r["bin"]: r["n"] for r in whole.collect()}
+    m = {r["bin"]: r["n"] for r in merged.collect()}
+    assert w == m == {b: 10 for b in range(10)}
+
+
+def test_histogram_quantiles_interpolate_and_clamp(spark):
+    from pubg_data_pipeline_spark.operators import incremental as inc
+
+    # uniform 0..99: p50 ≈ 50, p90 ≈ 90; out-of-range values clamp
+    df = spark.createDataFrame([(float(v),) for v in range(100)] + [(-5.0,), (1e9,)], "v double")
+    state = inc.partial_value_histogram(df, "v", lo=0.0, hi=100.0, n_bins=10)
+    bins = {r["bin"]: r["n"] for r in state.collect()}
+    assert bins[0] == 11 and bins[9] == 11  # clamped edges
+    qs = {
+        r["q"]: r["estimate"]
+        for r in inc.histogram_quantiles(state, [0.5, 1.0], lo=0.0, hi=100.0, n_bins=10).collect()
+    }
+    assert 40.0 <= qs[0.5] <= 60.0
+    assert qs[1.0] == 100.0  # q=1 lands exactly on the top of the last bin
