@@ -45,6 +45,12 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:IMAGE_FEATURE_DIM]]
 
 
+def _id_dtype(df: DataFrame, id_col: str) -> str:
+    """The operators' output schemas carry the caller's id column
+    unchanged — file-path ids are strings, synthetic ids are longs."""
+    return df.schema[id_col].dataType.simpleString()
+
+
 def decode_image_features(
     df: DataFrame, id_col: str, payload_col: str, real_decoder=None
 ) -> DataFrame:
@@ -78,7 +84,7 @@ def decode_image_features(
             )
 
     out = spread.select(id_col, payload_col).mapInPandas(
-        extract, "id long, byte_size long, features array<double>"
+        extract, f"id {_id_dtype(df, id_col)}, byte_size long, features array<double>"
     )
     return out.withColumnRenamed("id", id_col)
 
@@ -118,7 +124,7 @@ def resize_image(
             )
 
     out = spread.select(id_col, payload_col).mapInPandas(
-        run, "id long, orig_bytes long, payload_resized binary, resized_bytes long"
+        run, f"id {_id_dtype(df, id_col)}, orig_bytes long, payload_resized binary, resized_bytes long"
     )
     return out.withColumnRenamed("id", id_col)
 
@@ -151,7 +157,7 @@ def audio_features(
             )
 
     out = spread.select(id_col, payload_col).mapInPandas(
-        run, "id long, byte_size long, coeffs array<double>"
+        run, f"id {_id_dtype(df, id_col)}, byte_size long, coeffs array<double>"
     )
     return out.withColumnRenamed("id", id_col)
 
@@ -196,7 +202,7 @@ def frame_sample(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "features": feats})
 
     out = spread.select(id_col, payload_col).mapInPandas(
-        run, "id long, frame_idx int, features array<double>"
+        run, f"id {_id_dtype(df, id_col)}, frame_idx int, features array<double>"
     )
     return out.withColumnRenamed("id", id_col)
 

@@ -80,3 +80,34 @@ def test_frame_sample_rows_per_frame(spark):
     assert sorted(r["frame_idx"] for r in out) == [0, 2]
     assert all(r["media_id"] == 7 for r in out)
     assert all(len(r["features"]) == multimodal.IMAGE_FEATURE_DIM for r in out)
+
+
+def test_binary_file_ingestion_feeds_decode_pipeline(spark, tmp_path):
+    """End-to-end multimodal ingestion edge: files on disk ->
+    read_binary_files -> metadata attach -> mapInPandas feature
+    extraction. The source's (path, content) shape is exactly what the
+    decode operators consume."""
+    from pubg_data_pipeline_spark.functions import multimodal as mm
+    from pubg_data_pipeline_spark.sources import io as sio
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-payload-a" * 3)
+    (d / "b.png").write_bytes(b"\x89PNG-payload-bb" * 3)
+    (d / "huge.png").write_bytes(b"x" * 10_000)
+
+    files = sio.read_binary_files(spark, str(d), glob="*.png", max_bytes=1000)
+    docs = mm.attach_metadata(
+        files.select(F.col("path").alias("img_id"), F.col("content").alias("payload")),
+        "payload", "image", "image/png",
+    )
+    feats = mm.decode_image_features(docs, "img_id", "payload")
+    rows = feats.collect()
+    assert len(rows) == 2  # huge.png filtered at the source
+    by_id = {r["img_id"].rsplit("/", 1)[-1]: r for r in rows}
+    assert set(by_id) == {"a.png", "b.png"}
+    # deterministic fake decode: same payload -> same features
+    again = {r["img_id"].rsplit("/", 1)[-1]: r for r in feats.collect()}
+    for k in by_id:
+        assert list(by_id[k]["features"]) == list(again[k]["features"])
