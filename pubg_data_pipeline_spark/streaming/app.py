@@ -446,3 +446,40 @@ def streaming_dim_upsert(
         available_now=available_now,
         checkpoint=checkpoint,
     )
+
+
+def rest_streaming_etl(
+    spark,
+    url: str,
+    players_path: str,
+    matches_path: str,
+    checkpoint_root: str,
+    shards: int = 1,
+    trigger_seconds: int = 60,
+    watermark: str = "1 hour",
+) -> list[StreamingQuery]:
+    """The reference's ENTIRE ingest chain (REST-poll daemon -> Kafka
+    -> Spark job, reference producer/producer.py + docker-compose
+    wiring) as one Spark-managed pipeline: the in-engine
+    ``rest_envelope`` source (sources/rest_source.py) polls the API
+    with checkpointed offsets, and the same parse -> flatten ->
+    watermarked-dedup -> parquet topology as ``streaming_etl`` runs
+    downstream. Restart resumes from the committed poll; no daemon, no
+    broker hop."""
+    from pubg_data_pipeline_spark.sources import rest_source
+
+    rest_source.register(spark)
+    raw = (
+        spark.readStream.format("rest_envelope")
+        .option("url", url)
+        .option("shards", shards)
+        .load()
+    )
+    return streaming_etl(
+        raw,
+        players_path,
+        matches_path,
+        checkpoint_root,
+        trigger_seconds=trigger_seconds,
+        watermark=watermark,
+    )

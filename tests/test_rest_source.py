@@ -118,3 +118,38 @@ def test_source_feeds_parse_envelope(spark, http_url):
     parsed = etl.parse_envelope(raw)
     players = etl.extract_players(parsed)
     assert players.filter("account_id IS NOT NULL").count() == 2
+
+
+def test_rest_streaming_etl_end_to_end(spark, http_url, tmp_path):
+    """REST endpoint -> rest_envelope stream -> parse/flatten/dedup ->
+    parquet tables: the reference's full ingest chain, one pipeline."""
+    from pubg_data_pipeline_spark.streaming import app
+
+    queries = app.rest_streaming_etl(
+        spark,
+        http_url,
+        str(tmp_path / "players"),
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        shards=2,
+        trigger_seconds=1,
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+        ok = False
+        while time.time() < deadline and not ok:
+            try:
+                p = spark.read.parquet(str(tmp_path / "players"))
+                m = spark.read.parquet(str(tmp_path / "matches"))
+                ok = p.count() >= 4 and m.count() >= 4
+            except Exception:
+                pass
+            time.sleep(1)
+        assert ok, "ETL did not land rows from the REST stream in time"
+    finally:
+        for q in queries:
+            q.stop()
+    p = spark.read.parquet(str(tmp_path / "players"))
+    assert "account_id" in p.columns
