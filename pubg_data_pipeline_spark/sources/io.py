@@ -216,3 +216,77 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def propagate_deletes(
+    spark: SparkSession,
+    table_path: str,
+    delete_keys: DataFrame,
+    key_col: str,
+    partition_col: str,
+) -> dict:
+    """Right-to-be-forgotten propagation into a partitioned parquet
+    table: remove every row whose ``key_col`` appears in
+    ``delete_keys``, rewriting ONLY the partitions that contain such
+    rows — the surgical form of the delete a 100 TB corpus needs
+    (a naive anti-join-and-rewrite touches every byte of the table;
+    this touches O(affected partitions)).
+
+    Protocol:
+    1. locate affected partitions with a column-pruned scan of
+       (key, partition) + a broadcast semi-join on the delete keys;
+    2. rewrite those partitions via dynamic partition overwrite with
+       the deletes anti-joined out;
+    3. partitions whose every row died produce no output under dynamic
+       overwrite, so their directories are removed explicitly.
+
+    Untouched partitions are never read (partition pruning on the
+    rewrite scan) and never written. Returns
+    ``{"affected_partitions", "deleted_rows"}``. Local filesystem for
+    step 3's directory removal; on a lake format this whole function
+    is ``DELETE WHERE`` and the table format does the same pruning.
+
+    (Reference contrast: its HDFS tables are append-only with no
+    delete story at all — spark_apps/pubg_streaming.py:252-262.)
+    """
+    import os
+    import shutil
+
+    if "://" in table_path:
+        raise ValueError(
+            "propagate_deletes removes emptied partition directories via the "
+            f"local filesystem; got remote URI {table_path!r} — use a table "
+            "format's DELETE on object stores."
+        )
+    table = spark.read.parquet(table_path)
+    keys = delete_keys.select(F.col(key_col)).distinct()
+    affected = [
+        r[0]
+        for r in table.select(key_col, partition_col)
+        .join(F.broadcast(keys), key_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return {"affected_partitions": 0, "deleted_rows": 0}
+    sub = table.filter(F.col(partition_col).isin(affected))
+    pre = sub.count()
+    survivors = sub.join(F.broadcast(keys), key_col, "left_anti")
+    # localCheckpoint: the rewrite must not recompute its input from
+    # the directories being overwritten mid-write
+    survivors = survivors.localCheckpoint()
+    post = survivors.count()
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_path)
+    )
+    kept_parts = {r[0] for r in survivors.select(partition_col).distinct().collect()}
+    for p in affected:
+        if p not in kept_parts:
+            d = os.path.join(table_path, f"{partition_col}={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    return {"affected_partitions": len(affected), "deleted_rows": pre - post}

@@ -266,3 +266,69 @@ def test_orc_roundtrip(spark, tmp_path):
     back = sio.read_orc(spark, p)
     assert sorted(map(tuple, back.collect())) == [(1, "a", 1.5), (2, "b", 2.5)]
     assert dict(back.dtypes) == dict(df.dtypes)
+
+
+def test_propagate_deletes_touches_only_affected_partitions(spark, tmp_path):
+    import os
+
+    from pubg_data_pipeline_spark.sources import io as sio
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 3, f"v{k}") for k in range(30)], "user_id long, day int, v string"
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    # snapshot file states of the partition that will NOT be touched
+    untouched_dir = os.path.join(path, "day=2")
+    before = {
+        f: os.stat(os.path.join(untouched_dir, f)).st_mtime_ns
+        for f in os.listdir(untouched_dir)
+    }
+
+    # delete keys living in day=0 and day=1 only (all multiples of 3 and
+    # key 1); wipe day=0 entirely (all user_id % 3 == 0 live there)
+    kill = spark.createDataFrame(
+        [(k,) for k in range(0, 30, 3)] + [(1,)], "user_id long"
+    )
+    stats = sio.propagate_deletes(spark, path, kill, "user_id", "day")
+    assert stats == {"affected_partitions": 2, "deleted_rows": 11}
+
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id") % 3 == 0).count() == 0
+    assert back.filter("user_id = 1").count() == 0
+    assert back.count() == 19
+    # day=0 died entirely -> directory removed
+    assert not os.path.isdir(os.path.join(path, "day=0"))
+    # day=2's files are byte-identical (never read for rewrite, never written)
+    after = {
+        f: os.stat(os.path.join(untouched_dir, f)).st_mtime_ns
+        for f in os.listdir(untouched_dir)
+    }
+    assert after == before
+
+
+def test_propagate_deletes_no_matches_is_noop(spark, tmp_path):
+    from pubg_data_pipeline_spark.sources import io as sio
+
+    path = str(tmp_path / "t2")
+    spark.createDataFrame([(1, 0)], "user_id long, day int").write.partitionBy(
+        "day"
+    ).parquet(path)
+    kill = spark.createDataFrame([(999,)], "user_id long")
+    assert sio.propagate_deletes(spark, path, kill, "user_id", "day") == {
+        "affected_partitions": 0,
+        "deleted_rows": 0,
+    }
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_propagate_deletes_rejects_remote_uri(spark):
+    import pytest
+
+    from pubg_data_pipeline_spark.sources import io as sio
+
+    kill = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="DELETE"):
+        sio.propagate_deletes(spark, "s3a://b/t", kill, "user_id", "day")
