@@ -18,7 +18,7 @@ not just the results.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -290,3 +290,61 @@ def propagate_deletes(
             if os.path.isdir(d):
                 shutil.rmtree(d)
     return {"affected_partitions": len(affected), "deleted_rows": pre - post}
+
+
+def expire_partitions(
+    spark: SparkSession,
+    table_path: str,
+    partition_col: str,
+    keep: Callable[[str], bool],
+) -> list[str]:
+    """Retention sweep: drop every partition of a partitioned parquet
+    table whose VALUE fails ``keep`` (e.g. ``lambda d: d >=
+    "2024-01-15"`` for a date-partitioned table). Pure directory-level
+    metadata operation — no partition is ever read, which is the whole
+    point of time-partitioned layout at 100 TB (the reference's
+    append-only HDFS tables grow forever; this is the missing expiry
+    half). Returns the dropped partition values."""
+    import os
+    import shutil
+
+    if "://" in table_path:
+        raise ValueError(
+            f"expire_partitions removes directories via the local filesystem; "
+            f"got remote URI {table_path!r} — use the table format's "
+            "retention/expire-snapshots on object stores."
+        )
+    dropped = []
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, entry)
+        if not (os.path.isdir(full) and entry.startswith(prefix)):
+            continue
+        value = entry[len(prefix):]
+        if not keep(value):
+            shutil.rmtree(full)
+            dropped.append(value)
+    return dropped
+
+
+def vacuum_state_artifacts(state_path: str) -> list[str]:
+    """Remove leftover ``<path>.tmp-*`` / ``<path>.old`` directories a
+    crashed epoch swap may have stranded (streaming/app.py's
+    rename-aside protocol). Safe any time the owning stream is
+    stopped: ``.old`` is only meaningful when the main path is MISSING
+    (that recovery runs inside the epoch itself), and tmp dirs are
+    always replaceable. Returns removed paths."""
+    import glob
+    import os
+    import shutil
+
+    removed = []
+    for d in glob.glob(f"{state_path}.tmp-*"):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed.append(d)
+    old = f"{state_path}.old"
+    if os.path.isdir(state_path) and os.path.isdir(old):
+        shutil.rmtree(old)
+        removed.append(old)
+    return removed

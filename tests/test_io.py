@@ -332,3 +332,38 @@ def test_propagate_deletes_rejects_remote_uri(spark):
     kill = spark.createDataFrame([(1,)], "user_id long")
     with pytest.raises(ValueError, match="DELETE"):
         sio.propagate_deletes(spark, "s3a://b/t", kill, "user_id", "day")
+
+
+def test_expire_partitions_drops_old_without_reading(spark, tmp_path):
+    from pubg_data_pipeline_spark.sources import io as sio
+
+    path = str(tmp_path / "t3")
+    spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-15"), (3, "2024-01-20")], "id long, day string"
+    ).write.partitionBy("day").parquet(path)
+    dropped = sio.expire_partitions(spark, path, "day", keep=lambda d: d >= "2024-01-15")
+    assert dropped == ["2024-01-10"]
+    back = spark.read.parquet(path)
+    # (partition values type-infer to dates on read)
+    assert sorted(str(r["day"]) for r in back.collect()) == ["2024-01-15", "2024-01-20"]
+
+
+def test_vacuum_state_artifacts(spark, tmp_path):
+    import os
+
+    from pubg_data_pipeline_spark.sources import io as sio
+
+    state = tmp_path / "state"
+    state.mkdir()
+    (state / "x").write_text("live")
+    tmp1 = tmp_path / "state.tmp-7"
+    tmp1.mkdir()
+    old = tmp_path / "state.old"
+    old.mkdir()
+    removed = sio.vacuum_state_artifacts(str(state))
+    assert len(removed) == 2
+    assert os.path.isdir(str(state)) and not os.path.isdir(str(tmp1)) and not os.path.isdir(str(old))
+    # .old is PRESERVED when the main path is missing (recovery needs it)
+    os.rename(str(state), str(tmp_path / "state.old"))
+    assert sio.vacuum_state_artifacts(str(state)) == []
+    assert os.path.isdir(str(tmp_path / "state.old"))
