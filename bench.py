@@ -77,6 +77,8 @@ HEADLINE = [
     "events_column_profile",
     "doc_unigram_logprob",
     "event_user_skew_report",
+    "event_value_histogram_quantiles",
+    "customer_merge_upsert",
 ]
 
 

@@ -384,3 +384,33 @@ def lsh_bucketed_top_k(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def merge_topk_states(*states: DataFrame, k: int = 5) -> DataFrame:
+    """Merge per-batch top-k search results into the global top-k:
+    union then re-rank per query. Top-k is a MERGEABLE aggregate
+    (top-k of a union == top-k of per-part top-ks), so a continuously
+    growing corpus never needs re-scoring against history — each new
+    batch contributes its own k candidates per query and this merge
+    keeps the winners. State per query is k rows, forever.
+
+    (The incremental-top-k maintenance pattern of interactive
+    similarity-search systems, e.g. EDBT'20 "Incremental Based
+    Framework for Efficient Top-K Similarity Search"; here it is the
+    streaming twin of ``brute_force_top_k``.)"""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    # a neighbor may appear in several states (replayed epoch, vector
+    # re-emitted across batches): collapse to one row per (query,
+    # neighbor) first, or duplicates would occupy multiple ranks —
+    # this is also what makes the epoch merge replay-IDEMPOTENT
+    out = out.groupBy("query_id", "neighbor_id").agg(F.max("cos_sim").alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("__r").alias("rank"))
+    )

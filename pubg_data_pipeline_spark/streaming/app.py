@@ -483,3 +483,72 @@ def rest_streaming_etl(
         trigger_seconds=trigger_seconds,
         watermark=watermark,
     )
+
+
+def topk_search_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    queries_df: DataFrame,
+    state_path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One epoch of continuous top-k similarity search over a GROWING
+    corpus: score only the new micro-batch against the (broadcast)
+    query set, then merge with the stored per-query top-k — the
+    incremental-maintenance form of ``similarity.brute_force_top_k``.
+    Epoch cost is O(batch x queries); history is never re-scored, and
+    the stored state is k rows per query regardless of corpus size.
+    Same rename-aside swap + recovery as the other state sinks."""
+    import os
+    import shutil
+
+    from pubg_data_pipeline_spark.operators import similarity
+
+    _require_local_path(state_path, "topk_search_epoch")
+    spark = batch_df.sparkSession
+    _recover_renamed_aside(state_path)
+    if batch_df.isEmpty():
+        return
+    batch_topk = similarity.brute_force_top_k(
+        batch_df, queries_df, id_col=id_col, vec_col=vec_col, k=k, round_digits=6
+    )
+    if os.path.isdir(state_path):
+        prev = spark.read.parquet(state_path)
+        merged = similarity.merge_topk_states(prev, batch_topk, k=k)
+    else:
+        merged = batch_topk
+    merged = merged.localCheckpoint()
+    tmp = f"{state_path}.tmp-{epoch_id}"
+    aside = f"{state_path}.old"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(state_path):
+        if os.path.isdir(aside):
+            shutil.rmtree(aside)
+        os.rename(state_path, aside)
+    os.rename(tmp, state_path)
+    if os.path.isdir(aside):
+        shutil.rmtree(aside)
+
+
+def streaming_topk_search(
+    vector_stream: DataFrame,
+    queries_df: DataFrame,
+    state_path: str,
+    k: int = 5,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Vector stream -> continuously-maintained exact top-k neighbor
+    table for a fixed query set. Readers see plain parquet
+    (query_id, neighbor_id, cos_sim, rank)."""
+    return sinks.foreach_batch_sink(
+        vector_stream,
+        lambda df, eid: topk_search_epoch(df, eid, queries_df, state_path, k=k),
+        trigger_seconds,
+        output_mode="update",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )
