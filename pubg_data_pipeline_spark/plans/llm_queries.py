@@ -283,6 +283,32 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def embedding_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-maintenance twin of `embedding_topk_cosine`:
+    the corpus is scored in THREE independent slices (vec_id % 3) and
+    the per-slice top-k states are merged
+    (operators/similarity.merge_topk_states) — the oracle is the same
+    full-scan SQL, so a green row proves top-k's merge algebra exactly
+    (the property a continuously-growing corpus search relies on; the
+    streaming form is streaming/app.streaming_topk_search)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    slices = [
+        similarity.brute_force_top_k(
+            emb.filter(F.col("vec_id") % 3 == i),
+            queries,
+            id_col="vec_id",
+            vec_col="embedding",
+            k=5,
+            round_digits=6,
+        )
+        for i in range(3)
+    ]
+    merged = similarity.merge_topk_states(*slices, k=5)
+    return merged.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation flow in ONE Catalyst plan:
     quality/language filter -> exact dedup (keep min doc_id per
@@ -647,6 +673,9 @@ SPECS = [
         ("llm", "dedup"),
     ),
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, _TOPK_SQL, ("llm", "ann")),
+    QuerySpec(
+        "embedding_incremental_topk", embedding_incremental_topk, _TOPK_SQL, ("llm", "ann", "incremental")
+    ),
     QuerySpec("minhash_near_dups", minhash_near_dups, None, ("llm", "dedup")),
     QuerySpec("simhash_near_dups", simhash_near_dups, None, ("llm", "dedup")),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("llm", "ann")),
