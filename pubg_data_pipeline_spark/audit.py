@@ -13,11 +13,12 @@ one call before it reaches a cluster.
 Rules (findings carry severity ``critical`` or ``info``):
 
 - ``nested_loop_join``: CartesianProduct / BroadcastNestedLoopJoin,
-  UNLESS the build side is bounded by construction — it reduces to a
+  UNLESS either side is bounded by construction — it reduces to a
   scalar (zero-key aggregate: the "broadcast one aggregate row and
-  compare everything against it" pattern) or is a driver-literal
-  LocalTableScan (hand-declared band/dim list). A genuine nested loop
-  between row sets is the O(n*m) killer. Critical.
+  compare everything against it" pattern) or is driver-literal data
+  (LocalTableScan / parallelized collection — hand-declared band/dim
+  lists, quantile probes). A genuine nested loop between two row SETS
+  is the O(n*m) killer. Critical.
 - ``single_partition_funnel``: an ``Exchange SinglePartition``
   feeding a Sort or Window with NO aggregate anywhere below the
   exchange — i.e., RAW rows are being funneled through one task (the
@@ -127,17 +128,14 @@ def _build_side_is_bounded(lines: list[tuple[int, str]], idx: int) -> bool:
     it" idiom) or it is a driver-literal table (LocalTableScan with no
     file/range source below — e.g. a hand-declared band/dimension
     list). Both make the 'nested loop' O(n * small-constant)."""
-    text = lines[idx][1]
     kids = _children_idx(lines, idx)
     if len(kids) != 2:
         return False
-    if "BuildRight" in text or "BuildLeft" in text:
-        sides = [kids[1] if "BuildRight" in text else kids[0]]
-    else:
-        # CartesianProduct has no build marker: either side being
-        # bounded makes the product O(n * small-constant)
-        sides = kids
-    for side in sides:
+    # EITHER side being bounded caps the product at O(n * small-const),
+    # regardless of which side the planner chose to build/broadcast
+    # (e.g. a 3-row literal probe side against a dimension-sized
+    # aggregate build side is fine in both orientations)
+    for side in kids:
         nodes = [lines[side]] + _subtree(lines, side)
         agg_found = None
         for _, t in nodes:

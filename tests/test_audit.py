@@ -104,6 +104,7 @@ def test_allow_suppresses_rule(spark):
 _ALLOWED_CRITICAL = {
     "embedding_cosine_near_dups": {"nested_loop_join"},  # guarded exact baseline; twin: embedding_lsh_topk
     "embedding_topk_cosine": {"nested_loop_join"},       # brute-force ANN baseline; twins: IVF/LSH
+    "embedding_incremental_topk": {"nested_loop_join"},  # same brute-force scorer, sliced+merged
 }
 
 
