@@ -68,16 +68,23 @@ class _ShardPartition(InputPartition):
 
 
 class RestEnvelopeBatchReader(DataSourceReader):
-    """Batch form: one poll (offset 0) across all shards — the
-    "snapshot now" read used for backfills and tests."""
+    """Batch form: ``polls`` consecutive pages (default 1 — the
+    "snapshot now" read) across all shards; a historical backfill sets
+    ``polls=N`` and gets one task per (shard, poll) page — the batch
+    counterpart of the stream reader's offset walk."""
 
     def __init__(self, options):
         self.url = options["url"]
         self.shards = int(options.get("shards", 1))
+        self.polls = int(options.get("polls", 1))
         self.timeout = float(options.get("timeout_sec", 10))
 
     def partitions(self):
-        return [_ShardPartition(s, [0]) for s in range(self.shards)]
+        return [
+            _ShardPartition(s, [p])
+            for s in range(self.shards)
+            for p in range(self.polls)
+        ]
 
     def read(self, partition):
         for poll in partition.polls:

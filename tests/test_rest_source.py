@@ -153,3 +153,20 @@ def test_rest_streaming_etl_end_to_end(spark, http_url, tmp_path):
             q.stop()
     p = spark.read.parquet(str(tmp_path / "players"))
     assert "account_id" in p.columns
+
+
+def test_batch_backfill_polls_multiple_pages(spark, http_url):
+    rest_source.register(spark)
+    df = (
+        spark.read.format("rest_envelope")
+        .option("url", http_url)
+        .option("shards", 2)
+        .option("polls", 3)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 12  # 2 shards x 3 polls x 2 envelopes
+    assert {(r["shard"], r["poll"]) for r in rows} == {
+        (s, p) for s in range(2) for p in range(3)
+    }
+    assert df.rdd.getNumPartitions() == 6  # one task per page
