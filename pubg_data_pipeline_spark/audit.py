@@ -212,3 +212,45 @@ def assert_scale_safe(
     if critical:
         detail = "\n".join(f"  [{f.rule}] {f.node}" for f in critical)
         raise AssertionError(f"plan is not scale-safe:\n{detail}")
+
+
+def _main(argv: list[str]) -> int:
+    """CLI: ``python -m pubg_data_pipeline_spark.audit <query> [...]``
+    audits registered queries (default sf dir: /root/testdata/sf0.001)
+    and prints findings; exits 1 if any non-allowlisted critical is
+    found. ``--all`` sweeps the whole registry."""
+    import os
+
+    from pubg_data_pipeline_spark.plans import all_specs
+    from pubg_data_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    specs = all_specs()
+    names = sorted(specs) if "--all" in argv else [a for a in argv if not a.startswith("-")]
+    if not names:
+        print("usage: python -m pubg_data_pipeline_spark.audit <query>... | --all")
+        return 2
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
+    spark = get_spark(app_name="plan-audit", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    rc = 0
+    for name in names:
+        findings = audit_plan(specs[name].fn(spark, sf_dir))
+        status = "clean" if not findings else (
+            "CRITICAL" if any(f.severity == "critical" for f in findings) else "info"
+        )
+        print(f"{name}: {status}")
+        for f in findings:
+            print(f"  [{f.severity}] {f.rule}: {f.node[:160]}")
+        if any(f.severity == "critical" for f in findings):
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(_main(sys.argv[1:]))
