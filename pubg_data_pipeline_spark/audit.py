@@ -52,6 +52,17 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 
+# Documented exceptions: exact all-pairs oracle baselines whose
+# docstrings name the bucketed/LSH scale twin as the production path.
+# Shared by the registry sweep test and the CLI so "known baseline"
+# and "new regression" stay distinguishable everywhere.
+KNOWN_EXACT_BASELINES: dict[str, frozenset[str]] = {
+    "embedding_cosine_near_dups": frozenset({"nested_loop_join"}),
+    "embedding_topk_cosine": frozenset({"nested_loop_join"}),
+    "embedding_incremental_topk": frozenset({"nested_loop_join"}),
+}
+
+
 @dataclass(frozen=True)
 class Finding:
     rule: str
@@ -121,41 +132,39 @@ def _children_idx(lines: list[tuple[int, str]], idx: int) -> list[int]:
     return [k for k in sub if lines[k][0] == min_d]
 
 
-def _build_side_is_bounded(lines: list[tuple[int, str]], idx: int) -> bool:
-    """True if the BNLJ/Cartesian build side is bounded by
-    construction: it reduces to one row (its shallowest aggregate is
-    zero-key — the "broadcast a scalar and compare everything against
-    it" idiom) or it is a driver-literal table (LocalTableScan with no
-    file/range source below — e.g. a hand-declared band/dimension
-    list). Both make the 'nested loop' O(n * small-constant)."""
+def _side_bounded(lines: list[tuple[int, str]], side: int) -> bool:
+    """A join child is bounded by construction when it reduces to one
+    row (shallowest aggregate is zero-key — the "broadcast a scalar
+    and compare everything against it" idiom) or is driver-literal
+    data (LocalTableScan / parallelized collection with no file/range
+    source below — hand-declared band/dim lists, quantile probes)."""
+    nodes = [lines[side]] + _subtree(lines, side)
+    for _, t in nodes:
+        if _AGG_NODE.match(t):
+            return bool(_SCALAR_AGG.match(t))
+    has_local = any(
+        t.startswith(("LocalTableScan", "Scan ExistingRDD")) for _, t in nodes
+    )
+    has_source = any(
+        t.startswith(("FileScan", "Range (")) or "Scan parquet" in t for _, t in nodes
+    )
+    return has_local and not has_source
+
+
+def _join_boundedness(lines: list[tuple[int, str]], idx: int) -> tuple[bool, bool]:
+    """(any side bounded, BUILD side bounded-or-absent). The first
+    caps the loop's output; the second also rules out materializing an
+    unbounded broadcast side."""
+    text = lines[idx][1]
     kids = _children_idx(lines, idx)
     if len(kids) != 2:
-        return False
-    # EITHER side being bounded caps the product at O(n * small-const),
-    # regardless of which side the planner chose to build/broadcast
-    # (e.g. a 3-row literal probe side against a dimension-sized
-    # aggregate build side is fine in both orientations)
-    for side in kids:
-        nodes = [lines[side]] + _subtree(lines, side)
-        agg_found = None
-        for _, t in nodes:
-            if _AGG_NODE.match(t):
-                agg_found = bool(_SCALAR_AGG.match(t))
-                break
-        if agg_found:
-            return True
-        if agg_found is None:
-            # driver-local leaves (literal/parallelized data) vs sources
-            has_local = any(
-                t.startswith(("LocalTableScan", "Scan ExistingRDD")) for _, t in nodes
-            )
-            has_source = any(
-                t.startswith(("FileScan", "Range (")) or "Scan parquet" in t
-                for _, t in nodes
-            )
-            if has_local and not has_source:
-                return True
-    return False
+        return False, False
+    bounded = [_side_bounded(lines, k) for k in kids]
+    if "BuildRight" in text or "BuildLeft" in text:
+        build_ok = bounded[1] if "BuildRight" in text else bounded[0]
+    else:
+        build_ok = True  # CartesianProduct materializes neither side
+    return any(bounded), build_ok
 
 
 def audit_plan(
@@ -175,8 +184,14 @@ def audit_plan(
 
     for i, (_, text) in enumerate(lines):
         if text.startswith(("CartesianProduct", "BroadcastNestedLoopJoin")):
-            if not _build_side_is_bounded(lines, i):
+            any_bounded, build_ok = _join_boundedness(lines, i)
+            if not any_bounded:
                 findings.append(Finding("nested_loop_join", "critical", text))
+            elif not build_ok:
+                # loop output is bounded, but the plan still
+                # materializes an UNBOUNDED broadcast/build side —
+                # fine at dim scale, an executor-memory hazard at 100TB
+                findings.append(Finding("unbounded_broadcast_build", "info", text))
         elif text.startswith("Exchange SinglePartition"):
             parent = _parent(lines, i)
             if parent.startswith(("Sort [", "Window ")):
@@ -238,7 +253,10 @@ def _main(argv: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     rc = 0
     for name in names:
-        findings = audit_plan(specs[name].fn(spark, sf_dir))
+        findings = audit_plan(
+            specs[name].fn(spark, sf_dir),
+            allow=KNOWN_EXACT_BASELINES.get(name, frozenset()),
+        )
         status = "clean" if not findings else (
             "CRITICAL" if any(f.severity == "critical" for f in findings) else "info"
         )

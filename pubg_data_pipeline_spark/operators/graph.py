@@ -281,13 +281,19 @@ def clustering_coefficients(
     the TRIANGLE list, never the corpus. Nodes on no triangle get 0.0;
     degree-1 nodes have an undefined denominator and report 0.0.
     """
-    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
+    # one eager checkpoint serves BOTH the degree table and the
+    # triangle join's four references — without it an expensive
+    # upstream pair pipeline would re-execute per consumer (the same
+    # hazard triangles() guards internally; see its comment)
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
     )
     und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
     tri_nodes = (
-        triangles(edges, src=src, dst=dst)
+        triangles(e0, src="u", dst="v")
         .select(F.explode(F.array("id_a", "id_b", "id_c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))

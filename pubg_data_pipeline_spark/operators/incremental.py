@@ -145,7 +145,14 @@ def partial_value_histogram(
         F.lit(n_bins - 1),
         F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")),
     )
-    return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+    # NULLs are excluded, not clamped: Spark's greatest/least IGNORE
+    # null arguments, so an unfiltered NULL value would silently land
+    # in bin 0 and drag every quantile estimate down
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def merge_histogram_states(*states: DataFrame) -> DataFrame:
@@ -182,7 +189,12 @@ def histogram_quantiles(
     qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
     joined = (
         qdf.crossJoin(F.broadcast(total))
-        .withColumn("target", F.col("q") * F.col("total"))
+        # q=0 would give target rank 0, matching no bin's (cum-n, cum]
+        # range and silently dropping the row; the epsilon floor makes
+        # it resolve to the low edge of the first non-empty bin
+        .withColumn(
+            "target", F.greatest(F.col("q") * F.col("total"), F.lit(1e-12))
+        )
         .join(
             F.broadcast(cum),
             # the bin whose cumulative range [cum-n, cum) covers the

@@ -283,30 +283,40 @@ def propagate_deletes(
         .partitionBy(partition_col)
         .parquet(table_path)
     )
-    kept_parts = {r[0] for r in survivors.select(partition_col).distinct().collect()}
-    for p in affected:
-        if p not in kept_parts:
-            d = os.path.join(table_path, f"{partition_col}={p}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+    kept = {str(r[0]) for r in survivors.select(partition_col).distinct().collect()}
+    doomed = {str(p) for p in affected} - kept
+    # match against the ACTUAL on-disk directory names, Hive-unescaped:
+    # Spark percent-encodes special chars (':' -> '%3A', ...) in
+    # partition paths, so constructing the name from the raw value
+    # would silently miss (and strand) exactly the rows being deleted
+    from urllib.parse import unquote
+
+    prefix = f"{partition_col}="
+    for entry in os.listdir(table_path):
+        full = os.path.join(table_path, entry)
+        if not (os.path.isdir(full) and entry.startswith(prefix)):
+            continue
+        if unquote(entry[len(prefix):]) in doomed:
+            shutil.rmtree(full)
     return {"affected_partitions": len(affected), "deleted_rows": pre - post}
 
 
 def expire_partitions(
-    spark: SparkSession,
     table_path: str,
     partition_col: str,
     keep: Callable[[str], bool],
 ) -> list[str]:
     """Retention sweep: drop every partition of a partitioned parquet
     table whose VALUE fails ``keep`` (e.g. ``lambda d: d >=
-    "2024-01-15"`` for a date-partitioned table). Pure directory-level
-    metadata operation — no partition is ever read, which is the whole
-    point of time-partitioned layout at 100 TB (the reference's
+    "2024-01-15"`` for a date-partitioned table; the value is passed
+    Hive-UNESCAPED). Pure directory-level metadata operation — no
+    partition is ever read and no SparkSession is needed, which is the
+    whole point of time-partitioned layout at 100 TB (the reference's
     append-only HDFS tables grow forever; this is the missing expiry
     half). Returns the dropped partition values."""
     import os
     import shutil
+    from urllib.parse import unquote
 
     if "://" in table_path:
         raise ValueError(
@@ -320,7 +330,7 @@ def expire_partitions(
         full = os.path.join(table_path, entry)
         if not (os.path.isdir(full) and entry.startswith(prefix)):
             continue
-        value = entry[len(prefix):]
+        value = unquote(entry[len(prefix):])
         if not keep(value):
             shutil.rmtree(full)
             dropped.append(value)

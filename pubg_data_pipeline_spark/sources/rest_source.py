@@ -23,12 +23,14 @@ re-partitions freely; the source layer never needs wide parallelism
 because the network is the bottleneck (same reasoning as one Kafka
 partition per consumer).
 
-Streaming offsets: the stream reader's offset is the POLL NUMBER.
-``latestOffset`` advances by exactly one poll per micro-batch, each
-(poll, shard) pair becomes one task, and Spark's checkpoint persists
-the committed poll — restart resumes from the last committed poll
-with no duplicate fetch (the endpoint is expected to serve a stable
-page per (shard, offset), like any cursor-paginated export API).
+Streaming offsets: the stream reader's offset is the POLL NUMBER —
+one poll per micro-batch via the simple-stream-reader contract
+(``read(start)`` gets the checkpoint-restored offset and returns
+``start + 1``), so restart resumes from the last committed poll with
+no duplicate fetch and no reader-side counter to lose (the endpoint
+is expected to serve a stable page per (shard, offset), like any
+cursor-paginated export API; ``readBetweenOffsets`` replays a planned
+page deterministically after a crash).
 
 Options: ``url`` (required), ``shards`` (int, default 1),
 ``timeout_sec`` (HTTP timeout, default 10).
@@ -42,8 +44,8 @@ from urllib.request import urlopen
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 SCHEMA = "value string, shard int, poll int"
@@ -91,30 +93,42 @@ class RestEnvelopeBatchReader(DataSourceReader):
             yield from _fetch(self.url, partition.shard, poll, self.timeout)
 
 
-class RestEnvelopeStreamReader(DataSourceStreamReader):
-    """Streaming form: offset = poll number, one poll per micro-batch
-    per shard, checkpoint-resumable."""
+class RestEnvelopeStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: offset = poll number, one poll per micro-batch,
+    checkpoint-resumable BY CONSTRUCTION — ``read(start)`` receives
+    the restored offset from Spark's checkpoint and fetches exactly
+    page ``start``, returning ``end = start + 1``. (The stateful
+    ``DataSourceStreamReader.latestOffset`` variant would need its own
+    counter, which resets on driver restart and regresses the offset
+    log — a class of bug the simple-reader contract cannot express.)
+    ``readBetweenOffsets`` replays committed-but-unprocessed pages
+    deterministically after a crash: pages are immutable cursor reads.
+
+    All shards of one poll are fetched in this driver-side reader —
+    matching the reference producer's single poll loop
+    (producer/producer.py:232-270) and the bandwidth-bound nature of
+    one API endpoint; wide parallelism belongs downstream (the
+    DataFrame repartitions freely after the source)."""
 
     def __init__(self, options):
         self.url = options["url"]
         self.shards = int(options.get("shards", 1))
         self.timeout = float(options.get("timeout_sec", 10))
-        self._latest = 0
 
     def initialOffset(self):
         return {"poll": 0}
 
-    def latestOffset(self):
-        self._latest += 1
-        return {"poll": self._latest}
+    def _page(self, poll: int):
+        for shard in range(self.shards):
+            yield from _fetch(self.url, shard, poll, self.timeout)
 
-    def partitions(self, start, end):
-        polls = list(range(int(start["poll"]), int(end["poll"])))
-        return [_ShardPartition(s, polls) for s in range(self.shards)]
+    def read(self, start):
+        poll = int(start["poll"])
+        return iter(list(self._page(poll))), {"poll": poll + 1}
 
-    def read(self, partition):
-        for poll in partition.polls:
-            yield from _fetch(self.url, partition.shard, poll, self.timeout)
+    def readBetweenOffsets(self, start, end):
+        for poll in range(int(start["poll"]), int(end["poll"])):
+            yield from self._page(poll)
 
     def commit(self, end):
         # nothing external to acknowledge: pages are immutable cursor
@@ -133,7 +147,7 @@ class RestEnvelopeSource(DataSource):
     def reader(self, schema):
         return RestEnvelopeBatchReader(self.options)
 
-    def streamReader(self, schema):
+    def simpleStreamReader(self, schema):
         return RestEnvelopeStreamReader(self.options)
 
 

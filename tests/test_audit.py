@@ -98,14 +98,9 @@ def test_allow_suppresses_rule(spark):
     assert_scale_safe(a.crossJoin(b), allow={"nested_loop_join"})
 
 
-# Documented exceptions: exact all-pairs oracle baselines whose
-# docstrings name the bucketed scale twin as the production path.
-# Anything else showing a critical finding fails the sweep.
-_ALLOWED_CRITICAL = {
-    "embedding_cosine_near_dups": {"nested_loop_join"},  # guarded exact baseline; twin: embedding_lsh_topk
-    "embedding_topk_cosine": {"nested_loop_join"},       # brute-force ANN baseline; twins: IVF/LSH
-    "embedding_incremental_topk": {"nested_loop_join"},  # same brute-force scorer, sliced+merged
-}
+# Documented exceptions live in audit.KNOWN_EXACT_BASELINES (shared
+# with the CLI); anything else showing a critical finding fails the sweep.
+from pubg_data_pipeline_spark.audit import KNOWN_EXACT_BASELINES as _ALLOWED_CRITICAL
 
 
 def test_every_registered_query_plan_is_scale_safe(spark):

@@ -121,3 +121,19 @@ def test_histogram_quantiles_interpolate_and_clamp(spark):
     }
     assert 40.0 <= qs[0.5] <= 60.0
     assert qs[1.0] == 100.0  # q=1 lands exactly on the top of the last bin
+
+
+def test_histogram_excludes_nulls_and_serves_q0(spark):
+    from pubg_data_pipeline_spark.operators import incremental as inc
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(10, 110)] + [(None,)] * 20, "v double"
+    )
+    state = inc.partial_value_histogram(df, "v", lo=0.0, hi=200.0, n_bins=20)
+    assert sum(r["n"] for r in state.collect()) == 100  # nulls excluded, not bin 0
+    qs = {
+        r["q"]: r["estimate"]
+        for r in inc.histogram_quantiles(state, [0.0, 0.5], lo=0.0, hi=200.0, n_bins=20).collect()
+    }
+    assert 0.0 in qs  # q=0 row present
+    assert qs[0.0] == 10.0  # low edge of the first non-empty bin

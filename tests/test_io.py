@@ -341,7 +341,7 @@ def test_expire_partitions_drops_old_without_reading(spark, tmp_path):
     spark.createDataFrame(
         [(1, "2024-01-10"), (2, "2024-01-15"), (3, "2024-01-20")], "id long, day string"
     ).write.partitionBy("day").parquet(path)
-    dropped = sio.expire_partitions(spark, path, "day", keep=lambda d: d >= "2024-01-15")
+    dropped = sio.expire_partitions(path, "day", keep=lambda d: d >= "2024-01-15")
     assert dropped == ["2024-01-10"]
     back = spark.read.parquet(path)
     # (partition values type-infer to dates on read)
@@ -367,3 +367,24 @@ def test_vacuum_state_artifacts(spark, tmp_path):
     os.rename(str(state), str(tmp_path / "state.old"))
     assert sio.vacuum_state_artifacts(str(state)) == []
     assert os.path.isdir(str(tmp_path / "state.old"))
+
+
+def test_propagate_deletes_removes_escaped_partition_dirs(spark, tmp_path):
+    """Hive-escaped partition values (':' -> '%3A' on disk): a fully
+    deleted partition must still be found and removed."""
+    import os
+
+    from pubg_data_pipeline_spark.sources import io as sio
+
+    path = str(tmp_path / "t4")
+    spark.createDataFrame(
+        [(1, "2024:A"), (2, "2024:A"), (3, "plain")], "user_id long, tag string"
+    ).write.partitionBy("tag").parquet(path)
+    escaped = [d for d in os.listdir(path) if d.startswith("tag=") and "%3A" in d]
+    assert escaped, "precondition: the partition dir is percent-encoded"
+
+    kill = spark.createDataFrame([(1,), (2,)], "user_id long")
+    stats = sio.propagate_deletes(spark, path, kill, "user_id", "tag")
+    assert stats["deleted_rows"] == 2
+    assert not any("%3A" in d for d in os.listdir(path))  # emptied dir gone
+    assert spark.read.parquet(path).count() == 1

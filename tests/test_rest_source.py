@@ -170,3 +170,62 @@ def test_batch_backfill_polls_multiple_pages(spark, http_url):
         (s, p) for s in range(2) for p in range(3)
     }
     assert df.rdd.getNumPartitions() == 6  # one task per page
+
+
+def test_stream_restart_resumes_from_committed_poll(spark, http_url, tmp_path):
+    """Restart with the same checkpoint must CONTINUE the poll
+    sequence, not reset it (the offset regression a counter-based
+    latestOffset reader exhibits)."""
+    import time
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    rest_source.register(spark)
+
+    def polls_on_disk():
+        try:
+            return {r["poll"] for r in spark.read.parquet(out).select("poll").distinct().collect()}
+        except Exception:
+            return set()
+
+    def run_until(pred):
+        stream = (
+            spark.readStream.format("rest_envelope")
+            .option("url", http_url)
+            .option("shards", 1)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if pred(polls_on_disk()):
+                    return polls_on_disk()
+                time.sleep(0.5)
+            raise AssertionError("stream made no progress")
+        finally:
+            q.stop()
+
+    first = run_until(lambda ps: len(ps) >= 2)
+    resumed = run_until(lambda ps: len(ps - first) >= 1)
+    new_polls = resumed - first
+    assert new_polls and min(new_polls) > max(first), (
+        f"restart re-fetched polls: before {sorted(first)}, after {sorted(resumed)}"
+    )
+    # and nothing was fetched twice: parquet rows per (poll, shard) unique
+    from pyspark.sql import functions as F
+
+    dup = (
+        spark.read.parquet(out)
+        .groupBy("poll", "shard", "value")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
