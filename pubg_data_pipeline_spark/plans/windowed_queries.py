@@ -154,6 +154,53 @@ def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sessions_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window with a PER-EVENT gap expression (clicks
+    close after 10 minutes, everything else after 30) — the dynamic-
+    gap form Spark 4 supports and the fixed-gap oracle model can't
+    describe. The oracle is the interval-union formulation from first
+    principles: an event starts a new session iff its time is >= the
+    running MAX of all previous events' (ts + their own gap) — which
+    is exactly the union-of-intervals semantics session_window
+    implements, and degenerates to the lag-based break for a constant
+    gap. window.end is the max interval end of the session."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agged = ev.groupBy(
+        F.session_window("ts", gap).alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agged.select(
+        "user_id",
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+_SESSIONS_DYNAMIC_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'click' THEN 600000000 ELSE 1800000000 END AS gap_us
+  FROM events
+), m AS (
+  SELECT *, MAX(t + gap_us) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM g
+), s AS (
+  SELECT *, SUM(CASE WHEN prev_end IS NULL OR t >= prev_end THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(make_timestamp(MAX(t + gap_us)), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 _SESSIONS_NATIVE_SQL = """
 WITH o AS (
   SELECT user_id, event_id, ts,
@@ -467,6 +514,9 @@ SPECS = [
     QuerySpec("order_price_distribution", order_price_distribution, _DISTRIBUTION_SQL, ("window",)),
     QuerySpec("sliding_hourly_counts", sliding_hourly_counts, _SLIDING_SQL, ("time", "window")),
     QuerySpec("user_sessions", user_sessions, _SESSIONS_SQL, ("time", "window")),
+    QuerySpec(
+        "user_sessions_dynamic_gap", user_sessions_dynamic_gap, _SESSIONS_DYNAMIC_SQL, ("window", "session", "time")
+    ),
     QuerySpec("user_sessions_native", user_sessions_native, _SESSIONS_NATIVE_SQL, ("time", "window")),
     QuerySpec("user_trailing_hour_sum", user_trailing_hour_sum, _RANGE_WINDOW_SQL, ("window", "time")),
     QuerySpec("alert_suppression_15min", alert_suppression_15min, _SUPPRESSION_SQL, ("dedup", "time")),

@@ -54,3 +54,20 @@ def test_recursive_union_distinct_unsupported_documented(spark):
             "WITH RECURSIVE r(n) AS (SELECT a FROM e2 UNION SELECT b FROM e2 JOIN r ON a = n) "
             "SELECT * FROM r"
         ).collect()
+
+
+def test_parameterized_sql(spark):
+    """Spark 4 parameterized SQL — named and positional binding (the
+    injection-safe front-end for user-supplied literals)."""
+    spark.range(10).createOrReplaceTempView("pt")
+    named = spark.sql(
+        "SELECT COUNT(*) AS n FROM pt WHERE id >= :lo AND id < :hi",
+        args={"lo": 2, "hi": 7},
+    ).collect()[0]
+    assert named["n"] == 5
+    positional = spark.sql(
+        "SELECT COUNT(*) AS n FROM pt WHERE id BETWEEN ? AND ?", args=[1, 3]
+    ).collect()[0]
+    assert positional["n"] == 3
+    # a string arg binds as a VALUE, not as SQL text
+    spark.sql("SELECT :s AS s", args={"s": "x' OR '1'='1"}).collect()
