@@ -80,3 +80,48 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         if r["user_id"] != 999
     }
     assert got_batch == got
+
+
+def test_streaming_dynamic_gap_session_window(spark, tmp_path):
+    """Per-event gap expression under streaming + watermark: a click
+    closes after 10 minutes, a view after 30 — the 12-minute pause
+    below splits the click-led session but not the view-led one."""
+    src = tmp_path / "events_dyn"
+    src.mkdir()
+    rows = [
+        # user 1: click at 10:00 (10m gap), next event at 10:12 -> SPLIT
+        (1, "2024-01-01T10:00:00", 1, "click"),
+        (2, "2024-01-01T10:12:00", 1, "click"),
+        # user 2: view at 10:00 (30m gap), next at 10:12 -> same session
+        (3, "2024-01-01T10:00:00", 2, "view"),
+        (4, "2024-01-01T10:12:00", 2, "view"),
+        (99, "2024-01-02T12:00:00", 999, "view"),  # watermark sentinel
+    ]
+    with open(src / "b0.json", "w") as f:
+        for eid, ts, uid, et in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid, "event_type": et}) + "\n")
+
+    stream = sources.json_file_stream(spark, str(src), SCHEMA)
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_dyn")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_dyn").collect()
+        if r["user_id"] != 999
+    )
+    assert got == [(1, 1), (1, 1), (2, 2)]  # clicks split, views merged
