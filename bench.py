@@ -79,6 +79,7 @@ HEADLINE = [
     "event_user_skew_report",
     "event_value_histogram_quantiles",
     "customer_merge_upsert",
+    "user_sessions_dynamic_gap",
 ]
 
 
