@@ -358,3 +358,24 @@ def vacuum_state_artifacts(state_path: str) -> list[str]:
         shutil.rmtree(old)
         removed.append(old)
     return removed
+
+
+def read_parquet_resilient(
+    spark: SparkSession, path: str, schema: str, ignore_corrupt: bool = True
+) -> DataFrame:
+    """Parquet read that survives partially-written/corrupt files
+    (crashed writers, truncated uploads): corrupt FILES are skipped
+    with a warning instead of failing the whole 100 TB scan. The
+    schema is REQUIRED: a truncated footer breaks schema inference
+    before ignoreCorruptFiles can apply, and a production reader at
+    this scale declares its schema anyway (schema-on-read, like every
+    other source in this module). Options are scoped to this read —
+    never set globally, so correctness-critical reads elsewhere still
+    fail loudly on corruption. Missing files (compaction races) are
+    tolerated the same way."""
+    return (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", str(ignore_corrupt).lower())
+        .option("ignoreMissingFiles", "true")
+        .parquet(path)
+    )

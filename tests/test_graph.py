@@ -117,3 +117,29 @@ def test_clustering_coefficients(spark):
     assert rows[3] == (3, 1, round(2 / 6, 4))  # one of three neighbor pairs closed
     assert rows[4] == (1, 0, 0.0)       # degree-1: undefined -> 0
     assert rows[10] == (1, 0, 0.0) and rows[11] == (1, 0, 0.0)
+
+
+def test_connected_components_worst_case_chain(spark):
+    """A 200-node path graph is the diameter worst case for label
+    propagation; pointer jumping must still converge (O(log d) rounds
+    within the max_iter budget) to a single component."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src long, dst long"
+    )
+    comp = graph.connected_components(edges)
+    rows = comp.collect()
+    assert len(rows) == 200
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_two_cliques_and_bridge(spark):
+    # two 20-cliques joined by one bridge edge -> one component;
+    # remove the bridge -> two
+    c1 = [(a, b) for a in range(20) for b in range(a + 1, 20)]
+    c2 = [(a, b) for a in range(100, 120) for b in range(a + 1, 120)]
+    bridged = spark.createDataFrame(c1 + c2 + [(19, 100)], "src long, dst long")
+    comps = {r["component"] for r in graph.connected_components(bridged).collect()}
+    assert comps == {0}
+    split = spark.createDataFrame(c1 + c2, "src long, dst long")
+    comps2 = {r["component"] for r in graph.connected_components(split).collect()}
+    assert comps2 == {0, 100}

@@ -388,3 +388,24 @@ def test_propagate_deletes_removes_escaped_partition_dirs(spark, tmp_path):
     assert stats["deleted_rows"] == 2
     assert not any("%3A" in d for d in os.listdir(path))  # emptied dir gone
     assert spark.read.parquet(path).count() == 1
+
+
+def test_resilient_read_skips_corrupt_file(spark, tmp_path):
+    import glob
+
+    from pubg_data_pipeline_spark.sources import io as sio
+
+    p = str(tmp_path / "t5")
+    spark.range(100).repartition(4).write.parquet(p)
+    # truncate one data file mid-footer: a plain read must fail, the
+    # resilient read must return the other files' rows
+    victim = sorted(glob.glob(f"{p}/part-*.parquet"))[0]
+    data = open(victim, "rb").read()
+    open(victim, "wb").write(data[: len(data) // 2])
+
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.read.parquet(p).count()
+    n = sio.read_parquet_resilient(spark, p, schema="id long").count()
+    assert 0 < n < 100  # survivors only, no crash
