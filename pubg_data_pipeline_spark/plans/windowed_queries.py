@@ -134,40 +134,10 @@ FROM s GROUP BY user_id, session_id
 """
 
 
-def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's NATIVE session_window aggregation (the streaming-capable
-    session operator), pinned cross-engine against a first-principles
-    gaps-and-islands oracle. Semantics note: session_window merges an
-    event into the session when it starts strictly inside
-    [prev_ts, prev_ts + gap), so a gap of exactly 30 min starts a NEW
-    session — the oracle's break condition is therefore >= 1800, and
-    window.end is last_event + gap, not last_event."""
-    ev = load_table(spark, sf_dir, "events")
-    agged = ev.groupBy(
-        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    return agged.select(
-        "user_id",
-        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-        "n_events",
-    )
 
-
-def user_sessions_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window with a PER-EVENT gap expression (clicks
-    close after 10 minutes, everything else after 30) — the dynamic-
-    gap form Spark 4 supports and the fixed-gap oracle model can't
-    describe. The oracle is the interval-union formulation from first
-    principles: an event starts a new session iff its time is >= the
-    running MAX of all previous events' (ts + their own gap) — which
-    is exactly the union-of-intervals semantics session_window
-    implements, and degenerates to the lag-based break for a constant
-    gap. window.end is the max interval end of the session."""
-    ev = load_table(spark, sf_dir, "events")
-    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
-        F.lit("30 minutes")
-    )
+def _session_agg(ev, gap):
+    """Shared session aggregation shape: gap may be a fixed duration
+    string or a per-event Column expression."""
     agged = ev.groupBy(
         F.session_window("ts", gap).alias("sw"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -177,6 +147,35 @@ def user_sessions_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the streaming-capable
+    session operator), pinned cross-engine against a first-principles
+    gaps-and-islands oracle. Semantics note (probed on Spark 4.1):
+    session_window merges an event arriving anywhere in
+    [prev_ts, prev_ts + gap] INCLUSIVE — an event at exactly the
+    session end still merges — so the oracle's break condition is
+    strictly > 1800, and window.end is last_event + gap, not
+    last_event."""
+    return _session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+def user_sessions_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window with a PER-EVENT gap expression (clicks
+    close after 10 minutes, everything else after 30) — the dynamic-
+    gap form Spark 4 supports and the fixed-gap oracle model can't
+    describe. The oracle is the interval-union formulation from first
+    principles: an event starts a new session iff its time is
+    STRICTLY AFTER the running MAX of all previous events'
+    (ts + their own gap) — boundary probed on Spark 4.1: an event at
+    exactly the session end still merges, matching the fixed-gap
+    oracle's strict break. window.end is the max interval end of the
+    session."""
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return _session_agg(load_table(spark, sf_dir, "events"), gap)
 
 
 _SESSIONS_DYNAMIC_SQL = """
@@ -205,7 +204,7 @@ _SESSIONS_NATIVE_SQL = """
 WITH o AS (
   SELECT user_id, event_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS is_new
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_new
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,

@@ -361,7 +361,11 @@ def vacuum_state_artifacts(state_path: str) -> list[str]:
 
 
 def read_parquet_resilient(
-    spark: SparkSession, path: str, schema: str, ignore_corrupt: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    ignore_corrupt: bool = True,
+    ignore_missing: bool = True,
 ) -> DataFrame:
     """Parquet read that survives partially-written/corrupt files
     (crashed writers, truncated uploads): corrupt FILES are skipped
@@ -372,10 +376,10 @@ def read_parquet_resilient(
     other source in this module). Options are scoped to this read —
     never set globally, so correctness-critical reads elsewhere still
     fail loudly on corruption. Missing files (compaction races) are
-    tolerated the same way."""
+    tolerated under their own flag."""
     return (
         spark.read.schema(schema)
         .option("ignoreCorruptFiles", str(ignore_corrupt).lower())
-        .option("ignoreMissingFiles", "true")
+        .option("ignoreMissingFiles", str(ignore_missing).lower())
         .parquet(path)
     )

@@ -69,5 +69,6 @@ def test_parameterized_sql(spark):
         "SELECT COUNT(*) AS n FROM pt WHERE id BETWEEN ? AND ?", args=[1, 3]
     ).collect()[0]
     assert positional["n"] == 3
-    # a string arg binds as a VALUE, not as SQL text
-    spark.sql("SELECT :s AS s", args={"s": "x' OR '1'='1"}).collect()
+    # a string arg binds as a VALUE, not as SQL text — it round-trips
+    bound = spark.sql("SELECT :s AS s", args={"s": "x' OR '1'='1"}).collect()[0]["s"]
+    assert bound == "x' OR '1'='1"

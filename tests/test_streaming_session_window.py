@@ -125,3 +125,42 @@ def test_streaming_dynamic_gap_session_window(spark, tmp_path):
         if r["user_id"] != 999
     )
     assert got == [(1, 1), (1, 1), (2, 2)]  # clicks split, views merged
+
+
+def test_session_window_exact_boundary_merges(spark, duck):
+    """Spark 4.1 semantics probe pinned as a test: an event arriving
+    at EXACTLY the previous session's end (prev_ts + gap) MERGES into
+    it — the oracle break condition must therefore be strictly >, not
+    >=. Synthetic testdata has microsecond-random timestamps that
+    never hit the boundary, so this hand-built case is the only guard
+    against the inclusive/exclusive drift."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:30:00"),  # exactly prev + 30m -> merges
+            (1, "2024-01-01 11:00:01"),  # 1s past the new end -> splits
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = sorted(
+        r["n_events"]
+        for r in df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert got == [1, 2]  # first two merge, third splits
+    # and the corrected oracle rule (> gap splits) agrees
+    rows = duck.sql("""
+        WITH e AS (
+          SELECT * FROM (VALUES
+            (TIMESTAMP '2024-01-01 10:00:00'),
+            (TIMESTAMP '2024-01-01 10:30:00'),
+            (TIMESTAMP '2024-01-01 11:00:01')) v(ts)
+        ), o AS (
+          SELECT ts, CASE WHEN LAG(ts) OVER (ORDER BY ts) IS NULL
+                 OR epoch(ts) - epoch(LAG(ts) OVER (ORDER BY ts)) > 1800.0
+                 THEN 1 ELSE 0 END AS is_new FROM e
+        )
+        SELECT SUM(is_new) AS n_sessions FROM o
+    """).fetchall()
+    assert rows[0][0] == 2
