@@ -299,3 +299,87 @@ def interval_join(
     for c in drop_dups:
         out = out.drop(c)
     return out
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.3,
+    span: int = 10,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per series, the smoothing
+    the reference's Grafana panels apply client-side (SURVEY.md §2.8 —
+    e.g. monitoring/grafana dashboards smooth avg_kills series); here
+    it is computed engine-side so alerts/queries can use it.
+
+    Uses the finite-span exact form: a weighted sum of the trailing
+    ``span`` observations with weights alpha*(1-alpha)^k, normalized
+    over the weights actually present (series head has fewer rows).
+    Truncating at ``span`` bounds the error by (1-alpha)^span (<3% of
+    a unit-scale signal at alpha=.3, span=10) and keeps the whole
+    computation a fixed expression over ``lag`` columns — one window
+    sort per series, JVM-side, no UDF, no recursive state. The
+    infinite-horizon recurrence would need sequential per-row state
+    (arbitrary-precision running products overflow); bounded-span lag
+    composition is the scale-correct distributed form.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    decay = 1.0 - alpha
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(span):
+        v_k = F.lag(F.col(value_col), k).over(w)
+        w_k = F.lit(alpha * decay**k)
+        num = num + F.when(v_k.isNotNull(), w_k * v_k).otherwise(F.lit(0.0))
+        den = den + F.when(v_k.isNotNull(), w_k).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, num / den)
+
+
+def linear_interpolate(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Grafana ``fill(linear)`` analog (the third fill mode next to
+    spine_filled_agg's fill(null) and forward_fill's fill(previous)):
+    missing samples are linearly interpolated between the nearest
+    non-null neighbors on each side, ordered by a NUMERIC order column
+    (epoch seconds / bucket index) so the slope is well-defined.
+
+    Rows before the first or after the last observation fall back to
+    the one-sided neighbor (LOCF / NOCB) — same edge rule DuckDB's
+    window form produces, so oracle parity holds. Two value windows
+    over ONE partition ordering: Catalyst plans a single sort+exchange
+    per series; nothing here shuffles twice.
+    """
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    known_o = F.when(v.isNotNull(), F.col(order_col))
+    pv = F.last(v, ignorenulls=True).over(w_prev)
+    po = F.last(known_o, ignorenulls=True).over(w_prev)
+    nv = F.first(v, ignorenulls=True).over(w_next)
+    no = F.first(known_o, ignorenulls=True).over(w_next)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            pv.isNotNull() & nv.isNotNull() & (no != po),
+            pv + (nv - pv) * (F.col(order_col) - po) / (no - po),
+        )
+        .when(pv.isNotNull(), pv)
+        .otherwise(nv)
+    )
+    return df.withColumn(out_col or f"{value_col}_interp", interp)

@@ -81,6 +81,7 @@ def all_specs() -> dict[str, QuerySpec]:
     __spark_entry__ can call it without side effects)."""
     from pubg_data_pipeline_spark.plans import (
         analytic_queries,
+        behavior_queries,
         cdc_queries,
         corpus_queries,
         quality_queries,
@@ -112,6 +113,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytic_queries,
         cdc_queries,
         quality_queries,
+        behavior_queries,
     ):
         for spec in module.SPECS:
             if spec.name in specs:

@@ -1,0 +1,286 @@
+"""User-behavior analytics over the events stream: funnels, retention
+cohorts, and engine-side series smoothing/repair.
+
+The reference's dashboards chart per-user activity (kills/damage
+series, monitoring/grafana/.../pubg_analytics_dashboard.json) but do
+every cross-event correlation client-side in Grafana; these queries
+move the three classic product-analytics shapes into the engine where
+they can run over the full history instead of a panel's time range:
+
+- ordered funnel (view -> click -> purchase): chained min-timestamp
+  aggregations, each stage a hash agg + a broadcast-size join on the
+  per-user stage table — never a self-join of the raw fact table
+  against itself on an inequality (which would be a range-join
+  blow-up at 100 TB).
+- weekly retention cohorts: one tiny first-seen-per-user aggregate
+  joined back to the facts (broadcast at any realistic user count),
+  then a distinct-count — the standard two-shuffle plan.
+- EWMA smoothing and fill(linear) interpolation: per-series window
+  expressions (operators/timeseries.py) — Grafana-side smoothing and
+  the third InfluxQL fill mode, engine-side.
+
+All oracles are exact: counts are integers, and the float formulas
+(EWMA weights, interpolation slopes) are written with the identical
+literal constants and evaluation order on both engines, then rounded
+to 4dp (see plans/base.py determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.plans.base import QuerySpec, exact_scaled, sql_scaled
+from pubg_data_pipeline_spark.sources.tables import load_table
+
+
+# ------------------------------------------------------------- funnel
+
+def user_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked at or
+    after their FIRST view, then purchased at or after their first
+    qualifying click. Each stage is min-timestamp per user (hash agg
+    with map-side combine), and the next stage joins the raw facts to
+    that per-user table — which has at most one row per user, so Spark
+    broadcasts it; the fact table is never self-joined on a time
+    inequality. Three stages -> three rows of stage counts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(views), "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(clicks), "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .select("user_id")
+        .distinct()
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        )
+
+    return (
+        stage("1_view", views)
+        .unionAll(stage("2_click_after_view", clicks))
+        .unionAll(stage("3_purchase_after_click", purchases))
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.t1
+  GROUP BY 1
+), p AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_click_after_view', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p
+"""
+
+
+# ---------------------------------------------------------- retention
+
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the ISO week of their first
+    event; for each (cohort_week, week_offset) the count of cohort
+    members active that week. The first-seen table is one row per
+    user (broadcast); offsets come from epoch-second arithmetic so
+    both engines bucket identically."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    joined = ev.join(F.broadcast(first_seen), "user_id")
+    return (
+        joined.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp(F.col("cohort"))
+                )
+                / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY 1
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort)) / 604800 AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ EWMA smoothing
+
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 10
+_EWMA_WEIGHTS = [_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_SPAN)]
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of the value series (finite-span exact form, see
+    operators/timeseries.py:ewma): the engine-side version of the
+    smoothing the reference's Grafana panels do client-side. Ordering
+    is (ts, event_id) — tie-free across engines."""
+    from pubg_data_pipeline_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = timeseries.ewma(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        "value",
+        alpha=_EWMA_ALPHA,
+        span=_EWMA_SPAN,
+        out_col="ewma_value",
+    )
+    return out.select(
+        "user_id", "event_id", F.round("ewma_value", 4).alias("ewma_value")
+    )
+
+
+def _ewma_sql() -> str:
+    # Identical literal weights (repr round-trips the exact double) and
+    # identical left-to-right accumulation order as the Spark expression.
+    lags = ",\n         ".join(
+        f"lag(value, {k}) OVER w AS v{k}" for k in range(_EWMA_SPAN)
+    )
+    num = " + ".join(
+        f"CASE WHEN v{k} IS NOT NULL THEN {w!r} * v{k} ELSE 0.0 END"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"CASE WHEN v{k} IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return f"""
+WITH l AS (
+  SELECT user_id, event_id,
+         {lags}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       ROUND((0.0 + {num}) / (0.0 + {den}), 4) AS ewma_value
+FROM l
+"""
+
+
+# ------------------------------------------------ fill(linear) repair
+
+def hourly_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana ``fill(linear)`` engine-side: per event type, the hourly
+    mean value on a complete hour spine, with empty hours linearly
+    interpolated between the nearest observed hours (edges carry the
+    one-sided neighbor). The spine is bounds-derived (tiny) crossed
+    with the 5 distinct types — both broadcast; interpolation is one
+    window sort per series (operators/timeseries.py:linear_interpolate).
+    """
+    from pubg_data_pipeline_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    agged = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("t")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(exact_scaled(F.col("value"))).alias("cents"),
+    ).withColumn("v", (F.col("cents") / 100.0) / F.col("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine_t = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("t")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_t.crossJoin(F.broadcast(types))
+    j = (
+        spine.join(F.broadcast(agged.select("event_type", "t", "v")), ["event_type", "t"], "left")
+        .withColumn("h", F.unix_timestamp("t"))
+    )
+    filled = timeseries.linear_interpolate(j, ["event_type"], "h", "v", out_col="v_interp")
+    # No engine-side rounding: every double here is produced by the
+    # identical op sequence on both engines (bit-identical), and a 4dp
+    # round would REINTRODUCE drift whenever the true value sits on a
+    # rounding boundary (engines disagree on half-up vs binary-half).
+    return filled.select(
+        "event_type",
+        F.date_format("t", "yyyy-MM-dd HH").alias("hour"),
+        F.col("v_interp").alias("filled_value"),
+    )
+
+
+_INTERP_SQL = f"""
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS t, COUNT(*) AS n,
+         CAST(SUM({sql_scaled("value", 2)}) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t FROM b
+), grid AS (
+  SELECT ty.event_type, spine.t,
+         CAST(epoch(spine.t) AS BIGINT) AS h,
+         (agg.cents / 100.0) / agg.n AS v
+  FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
+  LEFT JOIN agg ON agg.event_type = ty.event_type AND agg.t = spine.t
+), f AS (
+  SELECT event_type, t, h, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS po,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS no
+  FROM grid
+  WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(t, '%Y-%m-%d %H') AS hour,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL AND no <> po
+                 THEN pv + (nv - pv) * (h - po) / (no - po)
+            WHEN pv IS NOT NULL THEN pv
+            ELSE nv END AS filled_value
+FROM f
+"""
+
+
+SPECS = [
+    QuerySpec("user_purchase_funnel", user_purchase_funnel, _FUNNEL_SQL, ("behavior", "agg")),
+    QuerySpec(
+        "weekly_retention_cohorts", weekly_retention_cohorts, _RETENTION_SQL, ("behavior", "agg")
+    ),
+    QuerySpec("user_value_ewma", user_value_ewma, _ewma_sql(), ("behavior", "time", "window")),
+    QuerySpec("hourly_linear_interp", hourly_linear_interp, _INTERP_SQL, ("behavior", "time")),
+]
