@@ -208,3 +208,70 @@ def histogram_quantiles(
         + (F.col("target") - (F.col("cum") - F.col("n"))) / F.col("n")
     )
     return joined.select("q", F.round(est, 4).alias("estimate"))
+
+
+def frequent_items(
+    df: DataFrame,
+    key_cols: list[str],
+    support: float,
+    counters: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters (all keys with frequency >= support * N)
+    without shuffling every distinct key.
+
+    A plain GROUP BY + HAVING is exact but shuffles the full distinct
+    key set — at 100 TB with billions of distinct keys that is the
+    dominant cost for a query whose answer is a handful of rows. This
+    is the two-phase sketch-then-verify plan instead:
+
+    1. Per-partition Misra-Gries summaries via ``mapInPandas`` (bounded
+       memory: at most ``counters`` keys per partition, reduced once
+       per Arrow batch with the mergeable-summaries offset rule —
+       subtract the (k+1)-th largest count, drop non-positives).
+       Any key with partition count > N_p/(k+1) survives its
+       partition's summary; a globally support-heavy key is at least
+       support-heavy in SOME partition, so with k >= 2/support the
+       union of summaries is a PROVABLE superset of the true answer.
+    2. Exact recount restricted to candidates: broadcast semi-join
+       filter, then an ordinary hash aggregation over only candidate
+       rows. False positives from phase 1 are eliminated exactly.
+
+    Result is bit-identical to GROUP BY/HAVING (the oracle form); the
+    sketch only prunes the shuffle, never the answer.
+    """
+    import math
+
+    import pandas as pd
+
+    if not 0.0 < support <= 1.0:
+        raise ValueError(f"support must be in (0, 1], got {support}")
+    k = max(counters or 0, int(math.ceil(2.0 / support)), 8)
+    keys = list(key_cols)
+    keys_schema = df.select(*keys).schema
+
+    def mg(batches):
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for pdf in batches:
+            grouped = pdf.groupby(keys, dropna=False).size()
+            for tup, c in grouped.items():
+                if not isinstance(tup, tuple):
+                    tup = (tup,)
+                cnt[tup] += int(c)
+            if len(cnt) > k:
+                offset = sorted(cnt.values(), reverse=True)[k]
+                cnt = Counter(
+                    {t: c - offset for t, c in cnt.items() if c > offset}
+                )
+        if cnt:
+            yield pd.DataFrame(list(cnt.keys()), columns=keys)
+
+    candidates = df.select(*keys).mapInPandas(mg, keys_schema).distinct()
+    total = df.count()
+    counted = (
+        df.join(F.broadcast(candidates), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counted.filter(F.col("cnt") >= F.lit(float(support)) * F.lit(total))

@@ -656,7 +656,30 @@ FROM events GROUP BY 1
 """
 
 
+def event_user_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-item mining: every user contributing >= 0.7% of
+    all events, via the Misra-Gries sketch-then-verify plan
+    (operators/incremental.py:frequent_items) — candidate summaries
+    bound the shuffle to O(counters) keys per partition, then an exact
+    recount makes the result identical to plain GROUP BY / HAVING
+    (which is exactly what the oracle runs)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = incremental.frequent_items(ev, ["user_id"], support=0.007)
+    return out.select("user_id", F.col("cnt").alias("n_events"))
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+HAVING COUNT(*) >= 0.007 * (SELECT COUNT(*) FROM events)
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "event_user_heavy_hitters", event_user_heavy_hitters, _HEAVY_HITTERS_SQL, ("agg", "sketch", "pandas")
+    ),
     QuerySpec(
         "doc_length_global_rank", doc_length_global_rank, _GLOBAL_RANK_SQL, ("window", "stats")
     ),

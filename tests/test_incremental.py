@@ -137,3 +137,37 @@ def test_histogram_excludes_nulls_and_serves_q0(spark):
     }
     assert 0.0 in qs  # q=0 row present
     assert qs[0.0] == 10.0  # low edge of the first non-empty bin
+
+
+def test_frequent_items_exact_on_adversarial_skew(spark):
+    """MG sketch-then-verify must equal plain GROUP BY/HAVING even when
+    the distinct-key count vastly exceeds the counter budget and the
+    heavy keys are concentrated in a single partition."""
+    from pubg_data_pipeline_spark.operators import incremental as inc
+
+    # 3 planted heavy keys (>=5% each) drowned in 5000 singleton keys,
+    # deliberately packed into few partitions so per-partition MG
+    # reductions actually trigger.
+    rows = [(f"heavy{i}",) for i in range(3) for _ in range(400)]
+    rows += [(f"noise{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    got = {
+        (r["k"], r["cnt"]) for r in inc.frequent_items(df, ["k"], support=0.05).collect()
+    }
+    total = len(rows)
+    expect = {("heavy0", 400), ("heavy1", 400), ("heavy2", 400)}
+    assert 400 >= 0.05 * total  # sanity: planted keys really qualify
+    assert got == expect
+
+
+def test_frequent_items_boundary_and_validation(spark):
+    from pubg_data_pipeline_spark.operators import incremental as inc
+
+    df = spark.createDataFrame([("a",)] * 10 + [("b",)] * 5 + [("c",)] * 4, "k string")
+    # support*N = 0.25*19 = 4.75: c (4) is out, b (5) is in.
+    got = {r["k"] for r in inc.frequent_items(df, ["k"], support=0.25).collect()}
+    assert got == {"a", "b"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        inc.frequent_items(df, ["k"], support=0.0)
