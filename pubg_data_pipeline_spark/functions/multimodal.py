@@ -214,3 +214,75 @@ def frame_sample_stub(df: DataFrame, id_col: str, payload_col: str, every_n: int
         "video decode unavailable here; use frame_sample (real mapInPandas "
         "plumbing, deterministic fake extractor) or plug a codec in"
     )
+
+
+PHASH_BITS = 48
+
+
+def perceptual_hash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    bits: int = PHASH_BITS,
+    real_hasher=None,
+) -> DataFrame:
+    """Perceptual hash of a binary media payload -> ``bits``-bit integer
+    signature whose Hamming distance tracks content similarity (the
+    image analog of SimHash; pair with operators.dedup.hamming_near_dups
+    for image near-dup mining at O(n x chunks) instead of O(n^2)).
+
+    The real algorithm (decode -> grayscale -> DCT -> sign bits) needs
+    an image codec, absent here, so the default is a DETERMINISTIC
+    LOCALITY-SENSITIVE FAKE with the same shape: the payload is split
+    into ``bits`` byte blocks (block of byte p = p*bits//L) and bit k
+    is set iff block k's mean byte value exceeds the whole payload's
+    mean — block means over sign-vs-global-mean is exactly the
+    structure of blockhash/pHash, so small payload edits flip few
+    bits. All arithmetic is exact-integer sums with one final float
+    division, making the fake SQL-expressible for oracle parity.
+    ``bits`` stays below 63 so signatures fit a signed long on every
+    engine. Pass ``real_hasher(payload: bytes) -> int`` to plug in a
+    real pHash; ``real_hasher="real"`` raises NotImplementedError like
+    the decode stubs."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0 < bits < 63:
+        raise ValueError(f"bits must be in (0, 63), got {bits}")
+    if real_hasher == "real":
+        raise NotImplementedError(
+            "no image codec available in this environment; pass a callable "
+            "hasher or use the deterministic locality-sensitive fake (default)"
+        )
+
+    def _fake_phash(payload: bytes) -> int:
+        b = np.frombuffer(bytes(payload), dtype=np.uint8)
+        length = len(b)
+        if length == 0:
+            return 0
+        blk = (np.arange(length, dtype=np.int64) * bits) // length
+        sums = np.bincount(blk, weights=b, minlength=bits)  # exact int sums
+        counts = np.bincount(blk, minlength=bits)
+        doc_mean = int(b.sum(dtype=np.int64)) / length
+        sig = 0
+        for k in range(bits):
+            if counts[k] and (sums[k] / counts[k]) > doc_mean:
+                sig |= 1 << k
+        return sig
+
+    hasher = real_hasher or _fake_phash
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "phash": pdf[payload_col].map(lambda p: hasher(bytes(p))),
+                }
+            )
+
+    out = spread.select(id_col, payload_col).mapInPandas(
+        run, f"id {_id_dtype(df, id_col)}, phash long"
+    )
+    return out.withColumnRenamed("id", id_col)

@@ -359,12 +359,23 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, LSH-style: split the
-    signature into (max_hamming+1) chunks — two docs within the Hamming
-    radius must agree on at least one chunk exactly (pigeonhole), so an
-    equi-join on (chunk_idx, chunk_value) finds all candidates without
-    a cross join."""
+    """Near-dup pairs by SimHash Hamming distance, LSH-style (see
+    hamming_near_dups for the pigeonhole chunk-join)."""
     sigs = simhash(df, text_col, id_col, bits)
+    return hamming_near_dups(sigs, id_col, "simhash", bits, max_hamming)
+
+
+def hamming_near_dups(
+    sigs: DataFrame, id_col: str, sig_col: str, bits: int, max_hamming: int = 3
+) -> DataFrame:
+    """All pairs within a Hamming radius over any integer signature
+    column (SimHash text fingerprints, perceptual image hashes, ...),
+    without a cross join: split the signature into (max_hamming+1)
+    chunks — two signatures within the radius must agree on at least
+    one chunk exactly (pigeonhole), so an equi-join on
+    (chunk_idx, chunk_value) finds every true pair; the exact
+    ``bit_count(xor)`` filter then drops false candidates. Exact
+    result, O(n x chunks) shuffled rows instead of O(n^2)."""
     chunks = max_hamming + 1
     width = bits // chunks
     # When bits % chunks != 0, the last chunk takes the remainder bits so
@@ -375,13 +386,13 @@ def simhash_near_dups(
     offsets = [width * i for i in range(chunks)]
     chunk_cols = F.array(
         *[
-            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+            F.shiftright(F.col(sig_col), off).bitwiseAND(F.lit((1 << w) - 1))
             for off, w in zip(offsets, widths)
         ]
     )
     banded = sigs.select(
         F.col(id_col).alias("doc"),
-        F.col("simhash"),
+        F.col(sig_col).alias("__sig"),
         F.posexplode(chunk_cols).alias("chunk_idx", "chunk_val"),
     )
     cand = (
@@ -395,8 +406,8 @@ def simhash_near_dups(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
         )
         .distinct()
     )

@@ -515,7 +515,96 @@ HAVING COUNT(*) >= 5
 """
 
 
+# -------------------------------------------------- BM25 retrieval
+
+_BM25_TERMS = ("spark", "window", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed keyword query — the relevance
+    scoring a corpus-curation pipeline uses to pull topic-matched
+    training documents (and the engine-side form of full-text search
+    the reference's dashboards lack entirely).
+
+    Scale shape: tokens are FILTERED to the query terms before any
+    aggregation (the per-(doc,term) tf agg sees only matching tokens,
+    not the corpus vocabulary), document-frequency and corpus stats
+    are tiny aggregates broadcast back, and the final top-20 is a
+    TakeOrderedAndProject on the rounded score with doc_id tie-break.
+    Lucene-style IDF: ln(1 + (N - df + 0.5)/(df + 0.5)).
+    """
+    from pubg_data_pipeline_spark.functions.text import token_count, word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    ranked = (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    return ranked
+
+
+_BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl FROM documents
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY 1, 2
+), df_t AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+         * (tf.tf * ({_BM25_K1} + 1.0))
+         / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           AS term_score
+  FROM tf JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, ROUND(SUM(term_score), 4) AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
 SPECS = [
+    QuerySpec("doc_bm25_search", doc_bm25_search, _BM25_SQL, ("llm", "search", "window")),
     QuerySpec(
         "bigram_pmi_collocations", bigram_pmi_collocations, _PMI_SQL, ("curation", "text")
     ),

@@ -507,7 +507,56 @@ FROM f WHERE v_masked IS NULL
 """
 
 
+def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate mining on the multimodal lane: binary
+    payloads -> perceptual hash (functions.multimodal.perceptual_hash,
+    deterministic block-mean fake with real pHash structure) -> all
+    pairs within Hamming radius 10 via the pigeonhole chunk equi-join
+    (operators.dedup.hamming_near_dups) — never an O(n^2) cross join.
+    The fake hasher is exact-integer arithmetic, so the DuckDB oracle
+    recomputes the identical signatures character-wise and verifies
+    the pair set bit-for-bit (the oracle's cross-join pair scan is
+    fine at oracle scale; the engine path is the bucketed one)."""
+    from pubg_data_pipeline_spark.functions.multimodal import perceptual_hash
+    from pubg_data_pipeline_spark.operators.dedup import hamming_near_dups
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    sigs = perceptual_hash(payloads, "doc_id", "payload", bits=48)
+    return hamming_near_dups(sigs, "doc_id", "phash", bits=48, max_hamming=10)
+
+
+_PHASH_SQL = """
+WITH codes AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         ascii(substr(text, CAST(i AS INT), 1)) AS code,
+         CAST(length(text) AS BIGINT) AS L
+  FROM documents, unnest(generate_series(1, length(text))) t(i)
+  WHERE length(text) > 0
+), blocks AS (
+  SELECT doc_id, (pos * 48) // L AS blk, code FROM codes
+), blkmean AS (
+  SELECT doc_id, blk, SUM(code) / COUNT(*) AS bm FROM blocks GROUP BY 1, 2
+), docmean AS (
+  SELECT doc_id, SUM(code) / COUNT(*) AS dm FROM codes GROUP BY 1
+), sig AS (
+  SELECT b.doc_id,
+         CAST(SUM(CASE WHEN b.bm > d.dm
+                       THEN (CAST(1 AS BIGINT) << CAST(b.blk AS INT))
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM blkmean b JOIN docmean d USING (doc_id) GROUP BY 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 10
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "image_phash_near_dups", image_phash_near_dups, _PHASH_SQL, ("llm", "pandas", "dedup", "multimodal")
+    ),
     QuerySpec("tumbling_10min_counts", tumbling_10min_counts, _TUMBLING_SQL, ("time", "window")),
     QuerySpec("user_value_locf", user_value_locf, _LOCF_SQL, ("time", "window")),
     QuerySpec("order_price_distribution", order_price_distribution, _DISTRIBUTION_SQL, ("window",)),

@@ -111,3 +111,43 @@ def test_binary_file_ingestion_feeds_decode_pipeline(spark, tmp_path):
     again = {r["img_id"].rsplit("/", 1)[-1]: r for r in feats.collect()}
     for k in by_id:
         assert list(by_id[k]["features"]) == list(again[k]["features"])
+
+
+def test_perceptual_hash_locality_and_near_dup_join(spark):
+    """The fake pHash must be locality-sensitive (a few flipped bytes ->
+    small Hamming distance) so the Hamming chunk-join finds planted
+    image near-dups, while unrelated payloads stay far."""
+    from pubg_data_pipeline_spark.functions.multimodal import perceptual_hash
+    from pubg_data_pipeline_spark.operators.dedup import hamming_near_dups
+
+    base = bytes(range(200, 0, -1)) * 40  # structured 8000-byte "image"
+    edited = bytearray(base)
+    for i in range(0, 40):  # corrupt one small region
+        edited[i] = 255
+    other = bytes((i * 37 + 11) % 251 for i in range(8000))
+    rows = [(1, base), (2, bytes(edited)), (3, other)]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+
+    sigs = perceptual_hash(df, "img_id", "payload", bits=48)
+    by_id = {r["img_id"]: r["phash"] for r in sigs.collect()}
+    ham = lambda a, b: bin(by_id[a] ^ by_id[b]).count("1")
+    assert ham(1, 2) <= 6, f"near-identical payloads too far: {ham(1, 2)}"
+    assert ham(1, 3) > 6, f"unrelated payloads too close: {ham(1, 3)}"
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_dups(sigs, "img_id", "phash", 48, max_hamming=6).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_perceptual_hash_edge_payloads(spark):
+    from pubg_data_pipeline_spark.functions.multimodal import perceptual_hash
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"\x05"), (3, b"\x00" * 100)], "img_id long, payload binary"
+    )
+    got = {r["img_id"]: r["phash"] for r in perceptual_hash(df, "img_id", "payload").collect()}
+    assert got[1] == 0  # empty payload -> zero signature, no crash
+    assert got[2] == 0  # single byte: block mean == doc mean, strict > fails
+    assert got[3] == 0  # constant payload -> no block above the mean
