@@ -275,3 +275,57 @@ def frequent_items(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return counted.filter(F.col("cnt") >= F.lit(float(support)) * F.lit(total))
+
+
+def maintain_join_view(
+    view: DataFrame,
+    left_old: DataFrame,
+    delta_left: DataFrame,
+    right_old: DataFrame,
+    delta_right: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an INNER equi-join materialized view
+    under insert-only deltas — the delta-algebra rule
+
+        Δ(A ⋈ B) = ΔA ⋈ (B ∪ ΔB)  ∪  A_old ⋈ ΔB
+
+    (the ΔA⋈ΔB cross term lands in the first join, exactly once).
+    Both incremental joins carry a small delta side, so Catalyst plans
+    them as broadcast hash joins: maintaining the view costs two scans
+    and ZERO shuffles, vs a full shuffle join to recompute — on a
+    bucketed/bloom-pruned base table even the scans prune to matching
+    buckets. Result is row-identical to rejoining the updated bases.
+    """
+    inc = delta_left.join(right_old.unionByName(delta_right), on).unionByName(
+        left_old.join(delta_right, on)
+    )
+    return view.unionByName(inc)
+
+
+def maintain_agg_view(
+    state: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of a grouped COUNT/SUM view under
+    inserts AND deletes — the counting algorithm: the changelog carries
+    op = +1 (insert) / -1 (retract); the delta reduces to per-group
+    (sum(op), sum(op * value)) and merges into the stored state with a
+    tiny groupBy over the touched keys. Groups whose support count
+    reaches zero are dropped (a stored avg could never do this — only
+    count+sum states are retractable). State schema matches
+    partial_hourly_state's count/sum convention: (keys..., n, total).
+    """
+    delta = changelog.groupBy(*keys).agg(
+        F.sum(F.col(op_col)).cast("long").alias("n"),
+        F.sum(F.col(op_col) * F.col(value_col)).alias("total"),
+    )
+    merged = (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+    return merged.filter(F.col("n") > 0)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubg_data_pipeline_spark.operators import incremental
-from pubg_data_pipeline_spark.plans.base import QuerySpec
+from pubg_data_pipeline_spark.plans.base import QuerySpec, exact_scaled, sql_scaled
 from pubg_data_pipeline_spark.sources.tables import load_table
 
 
@@ -676,7 +676,83 @@ HAVING COUNT(*) >= 0.007 * (SELECT COUNT(*) FROM events)
 """
 
 
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-join-view maintenance (delta algebra): the stored
+    view holds old-orders x old-customers; insert deltas (every 10th
+    order, every 20th customer) are folded in via
+    operators/incremental.py:maintain_join_view — two broadcast joins,
+    zero shuffles — and the result must be row-identical to rejoining
+    the full updated tables, which is exactly what the oracle does."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        exact_scaled(F.col("o_totalprice")).alias("price_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    o_old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    o_delta = orders.filter(F.col("o_orderkey") % 10 == 0)
+    c_old = cust.filter(F.col("custkey") % 20 != 0)
+    c_delta = cust.filter(F.col("custkey") % 20 == 0)
+    view = o_old.join(c_old, "custkey")
+    maintained = incremental.maintain_join_view(
+        view, o_old, o_delta, c_old, c_delta, ["custkey"]
+    )
+    return maintained.select("o_orderkey", "custkey", "c_mktsegment", "price_cents")
+
+
+_JOIN_VIEW_SQL = f"""
+SELECT o_orderkey, o_custkey AS custkey, c_mktsegment,
+       {sql_scaled("o_totalprice", 2)} AS price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def event_agg_view_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-view maintenance under DELETES (the counting
+    algorithm, operators/incremental.py:maintain_agg_view): the stored
+    per-type count/sum state absorbs a changelog that retracts every
+    7th event and re-inserts every 5th; the merged state must equal
+    recomputing the aggregate over the logically-updated multiset
+    (the oracle's arithmetic form)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", exact_scaled(F.col("value")).alias("cents")
+    )
+    state = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    retracts = ev.filter(F.col("event_id") % 7 == 0).withColumn("op", F.lit(-1))
+    inserts = ev.filter(F.col("event_id") % 5 == 0).withColumn("op", F.lit(1))
+    changelog = retracts.unionByName(inserts)
+    out = incremental.maintain_agg_view(state, changelog, ["event_type"], "cents")
+    return out.select("event_type", "n", F.col("total").cast("long").alias("total"))
+
+
+_AGG_VIEW_SQL = f"""
+WITH c AS (
+  SELECT event_id, event_type, {sql_scaled("value", 2)} AS cents FROM events
+)
+SELECT event_type,
+       COUNT(*) - COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END)
+                + COUNT(CASE WHEN event_id % 5 = 0 THEN 1 END) AS n,
+       CAST(SUM(cents) - SUM(CASE WHEN event_id % 7 = 0 THEN cents ELSE 0 END)
+                       + SUM(CASE WHEN event_id % 5 = 0 THEN cents ELSE 0 END)
+            AS BIGINT) AS total
+FROM c
+GROUP BY 1
+HAVING COUNT(*) - COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END)
+                + COUNT(CASE WHEN event_id % 5 = 0 THEN 1 END) > 0
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "incremental_join_view", incremental_join_view, _JOIN_VIEW_SQL, ("incremental", "join")
+    ),
+    QuerySpec(
+        "event_agg_view_retractions", event_agg_view_retractions, _AGG_VIEW_SQL, ("incremental", "agg")
+    ),
     QuerySpec(
         "event_user_heavy_hitters", event_user_heavy_hitters, _HEAVY_HITTERS_SQL, ("agg", "sketch", "pandas")
     ),

@@ -171,3 +171,40 @@ def test_frequent_items_boundary_and_validation(spark):
 
     with _pytest.raises(ValueError):
         inc.frequent_items(df, ["k"], support=0.0)
+
+
+def test_maintain_join_view_counts_cross_term_once(spark):
+    """The ΔA⋈ΔB cross term must appear exactly once (it hides in
+    ΔA⋈(B ∪ ΔB)); keys present only in the deltas prove it."""
+    from pubg_data_pipeline_spark.operators import incremental as inc
+
+    a_old = spark.createDataFrame([(1, "a1")], "k long, av string")
+    a_new = spark.createDataFrame([(2, "a2"), (9, "a9")], "k long, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (2, "b2old")], "k long, bv string")
+    b_new = spark.createDataFrame([(2, "b2new"), (9, "b9")], "k long, bv string")
+
+    view = a_old.join(b_old, "k")
+    maintained = inc.maintain_join_view(view, a_old, a_new, b_old, b_new, ["k"])
+    direct = a_old.unionByName(a_new).join(b_old.unionByName(b_new), "k")
+    got = sorted(tuple(r) for r in maintained.collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want
+    # the delta-only key 9 joined exactly once
+    assert sum(1 for r in got if r[0] == 9) == 1
+
+
+def test_maintain_agg_view_drops_and_resurrects_groups(spark):
+    from pubg_data_pipeline_spark.operators import incremental as inc
+
+    state = spark.createDataFrame(
+        [("x", 2, 10.0), ("y", 1, 5.0)], "g string, n long, total double"
+    )
+    # retract all of y (group disappears); brand-new group z appears
+    changelog = spark.createDataFrame(
+        [("y", 5.0, -1), ("z", 7.0, 1), ("z", 3.0, 1)], "g string, v double, op int"
+    )
+    out = {r["g"]: (r["n"], r["total"]) for r in
+           inc.maintain_agg_view(state, changelog, ["g"], "v").collect()}
+    assert "y" not in out
+    assert out["x"] == (2, 10.0)
+    assert out["z"] == (2, 10.0)
