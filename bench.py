@@ -80,6 +80,15 @@ HEADLINE = [
     "event_value_histogram_quantiles",
     "customer_merge_upsert",
     "user_sessions_dynamic_gap",
+    "user_purchase_funnel",
+    "weekly_retention_cohorts",
+    "user_value_ewma",
+    "hourly_linear_interp",
+    "event_user_heavy_hitters",
+    "doc_bm25_search",
+    "image_phash_near_dups",
+    "incremental_join_view",
+    "event_agg_view_retractions",
 ]
 
 

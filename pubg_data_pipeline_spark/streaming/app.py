@@ -552,3 +552,118 @@ def streaming_topk_search(
         available_now=available_now,
         checkpoint=checkpoint,
     )
+
+
+def _epoch_table(spark, path: str, before_epoch: int, template: DataFrame) -> DataFrame:
+    """Stored epoch-partitioned table restricted to epochs BEFORE the
+    one being (re)processed — the replay-safety read: a retried epoch
+    must never see its own previous partial output as base state. The
+    ``__epoch < N`` predicate prunes on the partition column, so a
+    replay reads exactly the directories it would have seen the first
+    time. Missing/fileless dir -> empty frame with the template's
+    schema (parquet schema inference cannot handle a bare dir)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    has_files = os.path.isdir(path) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    )
+    if not has_files:
+        return template.limit(0)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("__epoch") < F.lit(int(before_epoch)))
+        .drop("__epoch")
+    )
+
+
+def join_view_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    left_path: str,
+    right_path: str,
+    view_path: str,
+    on: list[str],
+    left_cols: list[str],
+    right_cols: list[str],
+    side_col: str = "side",
+) -> None:
+    """One epoch of STREAMING incremental join-view maintenance: the
+    micro-batch is a tagged changelog carrying insert rows for either
+    side of an inner equi-join (``side_col`` in {'left','right'}), and
+    the epoch folds them into a continuously-materialized join view
+    using the same delta algebra as the batch operator
+    (operators/incremental.py:maintain_join_view):
+
+        Δview = ΔL ⋈ (R_old ∪ ΔR)  ∪  L_old ⋈ ΔR
+
+    Epoch cost is O(Δ x matches + base scan) with both joins
+    broadcast-small on the delta side — the view is NEVER rejoined
+    from scratch. All three outputs (left base, right base, view
+    delta) are epoch-partitioned with dynamic partition overwrite, and
+    base reads filter ``__epoch < N``, so an at-least-once replay of
+    epoch N recomputes exactly the same rows and overwrites exactly
+    its own partitions: exactly-once effective semantics without a
+    transactional table format. Local filesystem only (see
+    ``_require_local_path``); on a cluster the same plan targets a
+    lakehouse table's dynamic overwrite."""
+    from pyspark.sql import functions as F
+
+    for p in (left_path, right_path, view_path):
+        _require_local_path(p, "join_view_epoch")
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    dl = batch_df.filter(F.col(side_col) == "left").select(*left_cols)
+    dr = batch_df.filter(F.col(side_col) == "right").select(*right_cols)
+    l_old = _epoch_table(spark, left_path, epoch_id, dl)
+    r_old = _epoch_table(spark, right_path, epoch_id, dr)
+    inc = (
+        dl.join(r_old.unionByName(dr), on)
+        .unionByName(l_old.join(dr, on))
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+    )
+    # View first, bases after: a crash in between replays the epoch,
+    # which re-reads bases `< N` (unchanged) and overwrites the same
+    # view partition deterministically.
+    for out, path in ((inc, view_path), (dl, left_path), (dr, right_path)):
+        if out is not inc:
+            out = out.withColumn("__epoch", F.lit(int(epoch_id)))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
+
+def streaming_join_view(
+    change_stream: DataFrame,
+    left_path: str,
+    right_path: str,
+    view_path: str,
+    on: list[str],
+    left_cols: list[str],
+    right_cols: list[str],
+    side_col: str = "side",
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Tagged two-sided changelog stream -> continuously-maintained
+    inner-join materialized view (plus both base tables), the
+    streaming twin of operators.incremental.maintain_join_view.
+    Readers see plain parquet; ``view = union of all __epoch
+    partitions`` is always consistent with the bases ingested so
+    far."""
+    return sinks.foreach_batch_sink(
+        change_stream,
+        lambda df, eid: join_view_epoch(
+            df, eid, left_path, right_path, view_path, on, left_cols, right_cols, side_col
+        ),
+        trigger_seconds,
+        output_mode="update",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )
