@@ -315,3 +315,67 @@ def clustering_coefficients(
         .alias("clustering_coef"),
     )
     return joined
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected graph — the
+    centrality score that picks the most-representative member of a
+    near-dup cluster (the "canonical doc" refinement over min-id /
+    max-quality keepers) and completes the graph kit's iterative-
+    dataflow trio (connected components, triangles, PageRank).
+
+    Scale shape mirrors connected_components: the edge projection is
+    checkpointed ONCE (an expensive upstream pair pipeline must not
+    re-execute per iteration or per join leg), source degrees are
+    attached once to that same cached edge list, and each iteration is
+    a single equi-join on the source node + one aggregation keyed on
+    the destination — O(m) per round, no growing lineage on the data
+    path. Fixed iteration count keeps the plan finite (rank deltas
+    converge geometrically at ``damping``^k; 5 rounds is the classic
+    cluster-triage setting). The node count is one scalar driver agg,
+    same justification as CC's convergence check.
+
+    Nodes are the graph's vertices (isolated docs never enter the
+    edge list); undirected edges contribute in both directions, so
+    there are no dangling nodes and total rank mass stays 1.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    edges_deg = und.join(deg, "u").localCheckpoint(eager=True)
+    nodes = edges_deg.select(F.col("u").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            edges_deg.join(ranks, edges_deg["u"] == ranks["node"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("degree")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks

@@ -344,7 +344,83 @@ FROM deg LEFT JOIN tn ON deg.node = tn.node
 """
 
 
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the same capped 0.02-threshold near-dup
+    graph as `neardup_triangles`: high-rank members are the canonical
+    representatives of dense duplicate cliques
+    (operators/graph.pagerank, 5 fixed iterations, damping 0.85).
+    Rank sums are rounded to 6dp — neighbor-contribution addition
+    order is the only cross-engine difference (noise ~1e-15)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.02, max_doc_freq=8
+    )
+    out = graph.pagerank(pairs, src="id_a", dst="id_b", iterations=5, damping=0.85)
+    return out.select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    prefix = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(arr) - 2, 0)),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks
+), ex_all AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), ex AS (
+  SELECT doc_id, shingle FROM ex_all QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 8
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+), und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs WHERE id_a <> id_b
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs WHERE id_a <> id_b
+), deg AS (
+  SELECT u AS node, COUNT(*) AS degree FROM und GROUP BY u
+), nn AS (
+  SELECT COUNT(*) AS n FROM deg
+), r0 AS (
+  SELECT node, 1.0 / nn.n AS rank FROM deg, nn
+)"""
+    parts = [prefix]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""", c{k} AS (
+  SELECT e.v AS node, SUM(r.rank / dg.degree) AS c
+  FROM und e
+  JOIN r{k - 1} r ON r.node = e.u
+  JOIN deg dg ON dg.node = e.u
+  GROUP BY e.v
+), r{k} AS (
+  SELECT d.node,
+         (1.0 - {damping}) / nn.n + {damping} * COALESCE(c{k}.c, 0.0) AS rank
+  FROM deg d CROSS JOIN nn LEFT JOIN c{k} ON c{k}.node = d.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS doc_id, ROUND(rank, 6) AS rank FROM r{iterations}
+"""
+    )
+    return "".join(parts)
+
+
 SPECS = [
+    QuerySpec(
+        "neardup_pagerank", neardup_pagerank, _pagerank_sql(), ("llm", "graph", "dedup")
+    ),
     QuerySpec("doc_dup_clusters", doc_dup_clusters, _CLUSTERS_SQL, ("llm", "dedup", "graph")),
     QuerySpec("neardup_triangles", neardup_triangles, _TRIANGLES_SQL, ("llm", "dedup", "graph")),
     QuerySpec(

@@ -143,3 +143,27 @@ def test_connected_components_two_cliques_and_bridge(spark):
     split = spark.createDataFrame(c1 + c2, "src long, dst long")
     comps2 = {r["component"] for r in graph.connected_components(split).collect()}
     assert comps2 == {0, 100}
+
+
+def test_pagerank_invariants_star_and_symmetry(spark):
+    from pubg_data_pipeline_spark.operators import graph
+
+    # star: hub 0 connected to 1..5, plus a symmetric pair (10, 11)
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(df).collect()}
+    # mass conservation over the 8 graph nodes
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # hub outranks every leaf; leaves are symmetric-equal
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))
+    leaf = ranks[1]
+    assert all(abs(ranks[i] - leaf) < 1e-12 for i in range(2, 6))
+    # detached symmetric pair: equal ranks
+    assert abs(ranks[10] - ranks[11]) < 1e-12
+
+
+def test_pagerank_empty_graph(spark):
+    from pubg_data_pipeline_spark.operators import graph
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(df).count() == 0
