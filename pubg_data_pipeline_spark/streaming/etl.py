@@ -209,16 +209,28 @@ def stream_stream_interval_join(
     right_ts: str,
     watermark: str = "10 minutes",
     tolerance: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join with a time-interval bound:
-    rows pair when keys match and the right event time is within
+    """Watermarked stream-stream join with a time-interval bound: rows
+    pair when keys match and the right event time is within
     ``tolerance`` AFTER the left event time (left-then-right causality,
     e.g. impression -> click attribution).
 
     Both sides carry watermarks and the join condition bounds
     right_ts relative to left_ts from BOTH directions, so Spark can
     evict join state — the requirement for a non-growing state store
-    in a 24/7 job. Column names other than ``key`` must be disjoint."""
+    in a 24/7 job. Column names other than ``key`` must be disjoint.
+
+    ``how="left_outer"`` emits unmatched left rows null-extended — but
+    only once the watermark has passed their join window (left_ts +
+    tolerance + watermark), because until then a matching right row
+    could still arrive; the unmatched-impression report is therefore
+    watermark-delayed by construction, not a bug. Outer emission
+    REQUIRES the interval bound + both watermarks (Spark rejects an
+    unbounded outer stream-stream join: state could never be declared
+    complete)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -226,5 +238,5 @@ def stream_stream_interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"interval {tolerance}"))
     )
-    joined = lw.join(rw, cond, "inner")
+    joined = lw.join(rw, cond, how)
     return joined.drop(F.col(f"r.{key}"))

@@ -80,3 +80,52 @@ def test_join_view_epoch_replay_is_idempotent(spark, tmp_path):
     first = _view_rows(spark, paths["view"])
     app.join_view_epoch(batch, 0, *args)  # at-least-once replay
     assert _view_rows(spark, paths["view"]) == first == [(1, "l1", "r1")]
+
+
+def test_join_view_epoch_crash_between_view_and_base_writes(spark, tmp_path):
+    """The documented crash window: epoch N dies after the view write
+    but before the base writes. The replay must re-read bases < N
+    (unchanged), recompute the identical delta, overwrite epoch N's
+    view partition, and leave view == full rejoin."""
+    import pytest
+    import pyspark.sql.readwriter as rw
+
+    paths = {n: tmp_path / n for n in ("left", "right", "view")}
+    args = (str(paths["left"]), str(paths["right"]), str(paths["view"]),
+            ["k"], ["k", "lv"], ["k", "rv"])
+    b0 = spark.createDataFrame(
+        [("left", 1, "l1", None), ("right", 1, None, "r1")],
+        "side string, k long, lv string, rv string",
+    )
+    app.join_view_epoch(b0, 0, *args)
+
+    b1 = spark.createDataFrame(
+        [("right", 1, None, "r1b"), ("left", 3, "l3", None), ("right", 3, None, "r3")],
+        "side string, k long, lv string, rv string",
+    )
+    orig = rw.DataFrameWriter.parquet
+    calls = {"n": 0}
+
+    def flaky(self, path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # view written; crash before the left base write
+            raise RuntimeError("injected crash")
+        return orig(self, path, **kw)
+
+    rw.DataFrameWriter.parquet = flaky
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            app.join_view_epoch(b1, 1, *args)
+    finally:
+        rw.DataFrameWriter.parquet = orig
+    assert calls["n"] == 2  # the crash really hit the window
+
+    app.join_view_epoch(b1, 1, *args)  # foreachBatch replay
+    got = _view_rows(spark, paths["view"])
+    left_all = spark.read.parquet(str(paths["left"])).drop("__epoch")
+    right_all = spark.read.parquet(str(paths["right"])).drop("__epoch")
+    want = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in left_all.join(right_all, "k").collect()
+    )
+    assert got == want
+    assert (1, "l1", "r1b") in got and (3, "l3", "r3") in got

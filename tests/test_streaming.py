@@ -377,3 +377,68 @@ def test_stream_stream_interval_join(spark, tmp_path):
         q.stop()
     rows = spark.sql("SELECT ad FROM attrib_t").collect()
     assert [r["ad"] for r in rows] == [1]
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: the unmatched impression is
+    null-extended once the watermark passes its join window; a later
+    micro-batch's far-future row advances the watermark to force the
+    emission deterministically."""
+    imp_dir, clk_dir = tmp_path / "impL", tmp_path / "clkL"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    (imp_dir / "i1.jsonl").write_text(
+        json.dumps({"ad": 1, "its": "2024-03-01 10:00:00"})
+        + "\n"
+        + json.dumps({"ad": 2, "its": "2024-03-01 10:00:00"})
+    )
+    (clk_dir / "c1.jsonl").write_text(
+        json.dumps({"ad": 1, "cts": "2024-03-01 10:02:00"})  # ad 2 never clicks
+    )
+    imps = sources.text_stream(spark, str(imp_dir)).select(
+        F.get_json_object("value", "$.ad").cast("int").alias("ad"),
+        F.get_json_object("value", "$.its").cast("timestamp").alias("its"),
+    )
+    clicks = sources.text_stream(spark, str(clk_dir)).select(
+        F.get_json_object("value", "$.ad").cast("int").alias("ad"),
+        F.get_json_object("value", "$.cts").cast("timestamp").alias("cts"),
+    )
+    joined = etl.stream_stream_interval_join(
+        imps,
+        clicks,
+        key="ad",
+        left_ts="its",
+        right_ts="cts",
+        watermark="1 minute",
+        tolerance="5 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_lo")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark-advancing batch: far-future rows on BOTH sides
+        (imp_dir / "i2.jsonl").write_text(
+            json.dumps({"ad": 99, "its": "2024-03-01 12:00:00"})
+        )
+        (clk_dir / "c2.jsonl").write_text(
+            json.dumps({"ad": 98, "cts": "2024-03-01 12:00:00"})
+        )
+        q.processAllAvailable()
+        # one more empty-ish cycle lets the state-store eviction emit
+        (imp_dir / "i3.jsonl").write_text(
+            json.dumps({"ad": 97, "its": "2024-03-01 13:00:00"})
+        )
+        (clk_dir / "c3.jsonl").write_text(
+            json.dumps({"ad": 96, "cts": "2024-03-01 13:00:00"})
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["ad"], r["cts"] is None) for r in spark.sql("SELECT ad, cts FROM attrib_lo").collect()}
+    assert (1, False) in rows  # matched pair joined normally
+    assert (2, True) in rows  # unmatched left emitted null-extended post-watermark
