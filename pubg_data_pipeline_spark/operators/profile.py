@@ -107,3 +107,49 @@ def expectations_report(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def distribution_drift(
+    base: DataFrame,
+    current: DataFrame,
+    key: Column,
+    key_name: str = "bucket",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-Stability-Index drift report between a baseline and a
+    current dataset over any discretization ``key`` (a ``width_bucket``
+    expression for numeric columns, the raw column for categoricals):
+
+        PSI contribution per key = (p_cur - p_base) * ln(p_cur / p_base)
+
+    with ``eps`` additive smoothing so keys present on only one side
+    contribute a large-but-finite score instead of infinity. The
+    classic model/data-monitoring gate (PSI > 0.2 = population shift)
+    the reference's dashboards approximate by eyeballing overlaid
+    histograms — here it is an engine-side query over full history.
+
+    Shape: one count aggregation per side, a tiny full-outer join on
+    the key (bucket/category cardinality, not data size), totals via
+    one-row broadcast — O(data) scan, O(keys) everything after;
+    proportions derive from exact integer counts so both engines see
+    bit-identical doubles into the log.
+    """
+    b = base.groupBy(key.alias(key_name)).agg(F.count(F.lit(1)).alias("n_base"))
+    c = current.groupBy(key.alias(key_name)).agg(F.count(F.lit(1)).alias("n_cur"))
+    joined = b.join(c, key_name, "full_outer").select(
+        key_name,
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = joined.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    out = joined.crossJoin(F.broadcast(tot))
+    p_base = F.col("n_base") / F.col("t_base") + F.lit(eps)
+    p_cur = F.col("n_cur") / F.col("t_cur") + F.lit(eps)
+    return out.select(
+        key_name,
+        "n_base",
+        "n_cur",
+        ((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi_contrib"),
+    )

@@ -105,7 +105,88 @@ FROM r
 """
 
 
+_DRIFT_SPLIT = "2024-01-08 00:00:00"
+
+
+def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric distribution drift (Population Stability Index) of the
+    event value between the first week (baseline) and the rest of the
+    month (current), binned with width_bucket(0..500, 10) — the
+    model-monitoring gate (PSI > 0.2 = shift) engine-side
+    (operators/profile.py:distribution_drift). Proportions derive from
+    exact integer counts; only the final ln is float, rounded 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts") < _DRIFT_SPLIT)
+    cur = ev.filter(F.col("ts") >= _DRIFT_SPLIT)
+    bucket = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(10)).cast(
+        "long"
+    )
+    out = profile.distribution_drift(base, cur, bucket, key_name="bucket")
+    return out.select(
+        "bucket", "n_base", "n_cur", F.round("psi_contrib", 6).alias("psi_contrib")
+    )
+
+
+_VALUE_PSI_SQL = f"""
+WITH tagged AS (
+  SELECT CASE WHEN value < 0 THEN 0
+              WHEN value >= 500 THEN 11
+              ELSE CAST(FLOOR(value / 50.0) AS BIGINT) + 1 END AS bucket,
+         (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS is_base
+  FROM events
+), counts AS (
+  SELECT bucket,
+         COUNT(*) FILTER (WHERE is_base) AS n_base,
+         COUNT(*) FILTER (WHERE NOT is_base) AS n_cur
+  FROM tagged GROUP BY 1
+), tot AS (
+  SELECT SUM(n_base) AS t_base, SUM(n_cur) AS t_cur FROM counts
+)
+SELECT bucket, CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND((n_cur / t_cur + 1e-06 - (n_base / t_base + 1e-06))
+             * ln((n_cur / t_cur + 1e-06) / (n_base / t_base + 1e-06)), 6)
+         AS psi_contrib
+FROM counts, tot
+"""
+
+
+def event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift of the event-type mix between the first week
+    and the rest of the month — the same PSI formula over raw
+    categories (one-sided categories survive via eps smoothing)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts") < _DRIFT_SPLIT)
+    cur = ev.filter(F.col("ts") >= _DRIFT_SPLIT)
+    out = profile.distribution_drift(base, cur, F.col("event_type"), key_name="event_type")
+    return out.select(
+        "event_type", "n_base", "n_cur", F.round("psi_contrib", 6).alias("psi_contrib")
+    )
+
+
+_TYPE_DRIFT_SQL = f"""
+WITH counts AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}') AS n_base,
+         COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}') AS n_cur
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT SUM(n_base) AS t_base, SUM(n_cur) AS t_cur FROM counts
+)
+SELECT event_type, CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND((n_cur / t_cur + 1e-06 - (n_base / t_base + 1e-06))
+             * ln((n_cur / t_cur + 1e-06) / (n_base / t_base + 1e-06)), 6)
+         AS psi_contrib
+FROM counts, tot
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "event_value_psi_drift", event_value_psi_drift, _VALUE_PSI_SQL, ("quality", "stats", "drift")
+    ),
+    QuerySpec(
+        "event_type_drift", event_type_drift, _TYPE_DRIFT_SQL, ("quality", "stats", "drift")
+    ),
     QuerySpec("events_column_profile", events_column_profile, _PROFILE_SQL, ("quality", "agg")),
     QuerySpec("events_quality_checks", events_quality_checks, _CHECKS_SQL, ("quality", "agg")),
 ]

@@ -73,3 +73,30 @@ def test_profile_rejects_unsafe_names(spark):
         profile.profile_columns(df, ["weird name"])
     with pytest.raises(ValueError, match="alias it first"):
         profile.expectations_report(spark.range(3), [("bad'rule", F.col("id") > 0)])
+
+
+def test_distribution_drift_one_sided_category_and_reference_value(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import profile
+
+    base = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "c string")
+    cur = spark.createDataFrame([("a",)] * 5 + [("z",)] * 5, "c string")  # b gone, z new
+    out = {
+        r["c"]: (r["n_base"], r["n_cur"], r["psi_contrib"])
+        for r in profile.distribution_drift(base, cur, F.col("c"), key_name="c").collect()
+    }
+    assert set(out) == {"a", "b", "z"}
+    assert out["b"][:2] == (2, 0) and out["z"][:2] == (0, 5)
+    eps = 1e-6
+
+    def psi(nb, nc):
+        pb, pc = nb / 10 + eps, nc / 10 + eps
+        return (pc - pb) * math.log(pc / pb)
+
+    for c, (nb, nc, got) in out.items():
+        assert math.isclose(got, psi(nb, nc), rel_tol=1e-12), (c, got, psi(nb, nc))
+    # disappeared/new categories dominate the drift score, as PSI should
+    assert out["z"][2] > out["a"][2] and out["b"][2] > out["a"][2]
