@@ -44,6 +44,10 @@ EXPENSIVE = [
     "curriculum_shard_packing",
     "lineitem_running_totals",
     "doc_length_global_rank",
+    "image_phash_near_dups",
+    "neardup_pagerank",
+    "doc_bm25_search",
+    "event_user_heavy_hitters",
 ]
 NESTED_LOOP_OK = {"part_name_fuzzy_pairs", "incident_window_purchases"}
 
