@@ -810,7 +810,58 @@ FROM e JOIN d USING (event_type)
 """
 
 
+def alert_severity_sqlfn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The severity/KDA pipeline driven ENTIRELY through the SQL
+    front-end with the engine's SQL-UDF library
+    (functions/sql_udfs.py): severity() and kda() are Spark 4 SQL
+    UDFs — expression macros Catalyst inlines into codegen, proving a
+    SQL-only client gets metric parity with the Python API. Same
+    severity semantics as alert_severity_breakdown (reference:
+    monitoring/alert_manager.py:366-396)."""
+    from pubg_data_pipeline_spark.functions.sql_udfs import register_sql_functions
+    from pubg_data_pipeline_spark.sources.tables import load_table as _lt
+
+    register_sql_functions(spark)
+    _lt(spark, sf_dir, "events").createOrReplaceTempView("events_sqlfn")
+    return spark.sql(
+        f"""
+        WITH perf AS (
+          SELECT CAST(get_json_object(props, '$.k') AS INT) AS k,
+                 value, event_type
+          FROM events_sqlfn
+        )
+        SELECT severity(k, value * 20, value / 60.0) AS severity,
+               COUNT(*) AS n_alerts,
+               ROUND(SUM(kda(k, k div 2,
+                             CASE WHEN event_type = 'signup' THEN 'alive'
+                                  ELSE 'dead' END)) / COUNT(*), 4) AS avg_kda
+        FROM perf
+        GROUP BY 1
+        """
+    )
+
+
+_SEVERITY_SQLFN_SQL = f"""
+WITH perf AS (
+  SELECT CAST(regexp_extract(props, '{_K}', 1) AS INT) AS k, value, event_type
+  FROM events
+), scored AS (
+  SELECT CASE WHEN k >= 20 OR value * 20 >= 4000 OR value / 60.0 >= 4 THEN 'HIGH'
+              WHEN k >= 15 OR value * 20 >= 2500 OR value / 60.0 >= 3 THEN 'MEDIUM'
+              ELSE 'LOW' END AS severity,
+         (k + k // 2) / CAST(GREATEST(CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                                      1) AS DOUBLE) AS kda
+  FROM perf
+)
+SELECT severity, COUNT(*) AS n_alerts, ROUND(SUM(kda) / COUNT(*), 4) AS avg_kda
+FROM scored GROUP BY 1
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "alert_severity_sqlfn", alert_severity_sqlfn, _SEVERITY_SQLFN_SQL, ("expr", "sql")
+    ),
     QuerySpec("player_ranking_top10", player_ranking_top10, _RANKING_SQL, ("flagship", "agg", "window")),
     QuerySpec("incident_window_purchases", incident_window_purchases, _INTERVAL_JOIN_SQL, ("join", "time")),
     QuerySpec("event_type_salted_agg", event_type_salted_agg, _SALTED_AGG_SQL, ("agg", "skew")),
