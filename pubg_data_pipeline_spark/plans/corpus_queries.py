@@ -603,7 +603,56 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """
 
 
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner-loop aggregation of BPE tokenizer training: corpus-
+    weighted counts of adjacent symbol pairs (here: character bigrams
+    inside words, the iteration-0 state where every symbol is one
+    char). Distributed shape is the one that matters at 100 TB — the
+    corpus collapses to DISTINCT (word, count) first (vocabulary-sized,
+    orders smaller than the token stream), pairs explode off that tiny
+    table, and the candidate ranking is a count-weighted sum + top-20
+    TakeOrderedAndProject. An actual BPE trainer re-runs exactly this
+    agg per merge step over its evolving symbol table.
+    """
+    from pubg_data_pipeline_spark.functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    pairs = vocab.select(
+        "n_w",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_w").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+_BPE_SQL = r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS n_w FROM words WHERE length(w) >= 2 GROUP BY 1
+), pairs AS (
+  SELECT n_w, unnest(list_transform(generate_series(1, length(w) - 1),
+                                    i -> substr(w, CAST(i AS INT), 2))) AS pair
+  FROM vocab
+)
+SELECT pair, CAST(SUM(n_w) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY 1
+ORDER BY n_occurrences DESC, pair ASC LIMIT 20
+"""
+
+
 SPECS = [
+    QuerySpec("bpe_merge_candidates", bpe_merge_candidates, _BPE_SQL, ("llm", "tokenizer")),
     QuerySpec("doc_bm25_search", doc_bm25_search, _BM25_SQL, ("llm", "search", "window")),
     QuerySpec(
         "bigram_pmi_collocations", bigram_pmi_collocations, _PMI_SQL, ("curation", "text")

@@ -383,3 +383,16 @@ def read_parquet_resilient(
         .option("ignoreMissingFiles", str(ignore_missing).lower())
         .parquet(path)
     )
+
+
+def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table whose schema has EVOLVED across appends
+    (new nullable columns added by later batches — the normal life of
+    a long-lived ingest directory). Plain reads take the schema of an
+    arbitrary footer and silently DROP newer columns for every file;
+    ``mergeSchema`` unions all footers so old files surface the new
+    columns as nulls. Merge cost is one footer read per file at plan
+    time — at warehouse scale, prefer compacting old partitions or a
+    table format with tracked schema; this is the raw-directory
+    escape hatch."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -221,16 +221,18 @@ def stream_stream_interval_join(
     evict join state — the requirement for a non-growing state store
     in a 24/7 job. Column names other than ``key`` must be disjoint.
 
-    ``how="left_outer"`` emits unmatched left rows null-extended — but
-    only once the watermark has passed their join window (left_ts +
-    tolerance + watermark), because until then a matching right row
-    could still arrive; the unmatched-impression report is therefore
+    ``how="left_outer"`` / ``"full_outer"`` emit unmatched rows
+    null-extended — but only once the watermark has passed their join
+    window (ts + tolerance + watermark), because until then a matching
+    row could still arrive; the unmatched-row report is therefore
     watermark-delayed by construction, not a bug. Outer emission
     REQUIRES the interval bound + both watermarks (Spark rejects an
     unbounded outer stream-stream join: state could never be declared
     complete)."""
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(
+            f"how must be 'inner', 'left_outer' or 'full_outer', got {how!r}"
+        )
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -239,4 +241,14 @@ def stream_stream_interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"interval {tolerance}"))
     )
     joined = lw.join(rw, cond, how)
+    if how == "full_outer":
+        # unmatched RIGHT rows carry the key only on the right side;
+        # explicit select (withColumn would be ambiguous with two key
+        # attributes in scope)
+        others = [F.col(f"l.{c}") for c in left.columns if c != key] + [
+            F.col(f"r.{c}") for c in right.columns if c != key
+        ]
+        return joined.select(
+            F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key), *others
+        )
     return joined.drop(F.col(f"r.{key}"))

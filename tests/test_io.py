@@ -409,3 +409,18 @@ def test_resilient_read_skips_corrupt_file(spark, tmp_path):
         spark.read.parquet(p).count()
     n = sio.read_parquet_resilient(spark, p, schema="id long").count()
     assert 0 < n < 100  # survivors only, no crash
+
+
+def test_read_evolving_parquet_surfaces_late_columns(spark, tmp_path):
+    """Appends that ADD a column must not lose it (or crash) on read:
+    mergeSchema unions footers; old rows see the new column as null."""
+    from pubg_data_pipeline_spark.sources import io
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(2, "y", 7.5)], "id long, a string, score double"
+    ).write.mode("append").parquet(p)
+
+    out = {r["id"]: (r["a"], r["score"]) for r in io.read_evolving_parquet(spark, p).collect()}
+    assert out == {1: ("x", None), 2: ("y", 7.5)}

@@ -442,3 +442,64 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(spark, tm
     rows = {(r["ad"], r["cts"] is None) for r in spark.sql("SELECT ad, cts FROM attrib_lo").collect()}
     assert (1, False) in rows  # matched pair joined normally
     assert (2, True) in rows  # unmatched left emitted null-extended post-watermark
+
+
+def test_stream_stream_full_outer_join_emits_both_unmatched_sides(spark, tmp_path):
+    """Full-outer stream-stream join: an impression with no click AND a
+    click with no impression both null-extend after the watermark."""
+    imp_dir, clk_dir = tmp_path / "impF", tmp_path / "clkF"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    (imp_dir / "i1.jsonl").write_text(
+        json.dumps({"ad": 1, "its": "2024-03-01 10:00:00"})
+        + "\n"
+        + json.dumps({"ad": 2, "its": "2024-03-01 10:00:00"})  # never clicked
+    )
+    (clk_dir / "c1.jsonl").write_text(
+        json.dumps({"ad": 1, "cts": "2024-03-01 10:02:00"})
+        + "\n"
+        + json.dumps({"ad": 7, "cts": "2024-03-01 10:01:00"})  # click w/o impression
+    )
+    imps = sources.text_stream(spark, str(imp_dir)).select(
+        F.get_json_object("value", "$.ad").cast("int").alias("ad"),
+        F.get_json_object("value", "$.its").cast("timestamp").alias("its"),
+    )
+    clicks = sources.text_stream(spark, str(clk_dir)).select(
+        F.get_json_object("value", "$.ad").cast("int").alias("ad"),
+        F.get_json_object("value", "$.cts").cast("timestamp").alias("cts"),
+    )
+    joined = etl.stream_stream_interval_join(
+        imps,
+        clicks,
+        key="ad",
+        left_ts="its",
+        right_ts="cts",
+        watermark="1 minute",
+        tolerance="5 minutes",
+        how="full_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_fo")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, hour in enumerate(("12", "13")):  # advance watermark twice
+            (imp_dir / f"iw{i}.jsonl").write_text(
+                json.dumps({"ad": 90 + i, "its": f"2024-03-01 {hour}:00:00"})
+            )
+            (clk_dir / f"cw{i}.jsonl").write_text(
+                json.dumps({"ad": 80 + i, "cts": f"2024-03-01 {hour}:00:00"})
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["ad"], r["its"] is None, r["cts"] is None)
+        for r in spark.sql("SELECT ad, its, cts FROM attrib_fo").collect()
+    }
+    assert (1, False, False) in rows  # matched
+    assert (2, False, True) in rows  # unmatched impression
+    assert (7, True, False) in rows  # unmatched click
