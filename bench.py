@@ -89,6 +89,10 @@ HEADLINE = [
     "image_phash_near_dups",
     "incremental_join_view",
     "event_agg_view_retractions",
+    "bpe_merge_candidates",
+    "alert_severity_sqlfn",
+    "event_value_psi_drift",
+    "event_type_drift",
 ]
 
 

@@ -353,6 +353,10 @@ def pagerank(
     und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     edges_deg = und.join(deg, "u").localCheckpoint(eager=True)
+    # e0's blocks fed the eager edges_deg materialization and are dead
+    # weight afterwards — release them so repeated pagerank calls in
+    # one session don't accumulate checkpoint storage.
+    e0.unpersist()
     nodes = edges_deg.select(F.col("u").alias("node")).distinct()
     n = nodes.count()
     if n == 0:
