@@ -93,6 +93,11 @@ HEADLINE = [
     "alert_severity_sqlfn",
     "event_value_psi_drift",
     "event_type_drift",
+    "min_cost_supplier",
+    "nation_profit",
+    "important_stock",
+    "supplier_part_counts",
+    "excess_stock_suppliers",
 ]
 
 
