@@ -329,3 +329,83 @@ def maintain_agg_view(
         .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
     )
     return merged.filter(F.col("n") > 0)
+
+
+def partial_mg_state(
+    df: DataFrame, key_cols: list[str], counters: int
+) -> DataFrame:
+    """Misra-Gries summary of one dataset as a MERGEABLE state table
+    (keys..., weight), at most ``counters`` rows — the heavy-hitter
+    sibling of the HLL/histogram states above, for when the exact
+    recount pass of ``frequent_items`` isn't possible (streaming epochs
+    that never revisit the data).
+
+    Per-partition MG summaries (bounded memory, mapInPandas) merge via
+    counter-add, then one offset reduction — subtract the
+    (counters+1)-th largest weight from all, keep positives — which
+    preserves the mergeable-summaries guarantee: for any key,
+    true_count - weight <= (N - sum(weights)) / (counters + 1).
+    The reduction ranks the pre-reduced summary (<= counters x
+    partitions rows — bounded and tiny, so the single-partition window
+    is safe by construction, same justification as skew_report's
+    N-row window) and broadcasts the 1-row offset back.
+    """
+    import pandas as pd
+
+    keys = list(key_cols)
+    keys_schema = df.select(*keys).schema
+    out_schema = keys_schema.add("weight", "long")
+
+    def mg(batches):
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for pdf in batches:
+            grouped = pdf.groupby(keys, dropna=False).size()
+            for tup, c in grouped.items():
+                if not isinstance(tup, tuple):
+                    tup = (tup,)
+                cnt[tup] += int(c)
+            if len(cnt) > counters:
+                offset = sorted(cnt.values(), reverse=True)[counters]
+                cnt = Counter(
+                    {t: c - offset for t, c in cnt.items() if c > offset}
+                )
+        if cnt:
+            yield pd.DataFrame(
+                [list(t) + [c] for t, c in cnt.items()], columns=keys + ["weight"]
+            )
+
+    per_part = df.select(*keys).mapInPandas(mg, out_schema)
+    return _reduce_mg(per_part, keys, counters)
+
+
+def _reduce_mg(summary: DataFrame, keys: list[str], counters: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    merged = summary.groupBy(*keys).agg(F.sum("weight").alias("weight"))
+    w = Window.orderBy(F.col("weight").desc(), *[F.col(k) for k in keys])
+    ranked = merged.withColumn("__rn", F.row_number().over(w))
+    off = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == counters + 1, F.col("weight"))), F.lit(0)
+        ).alias("__off")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(off))
+        .withColumn("weight", F.col("weight") - F.col("__off"))
+        .filter(F.col("weight") > 0)
+        .drop("__rn", "__off")
+    )
+
+
+def merge_mg_states(states: list[DataFrame], counters: int) -> DataFrame:
+    """Merge any number of MG state tables into one bounded summary;
+    associative and commutative (counter-add then offset reduction),
+    so epoch states can be folded in any order or compacted
+    hierarchically."""
+    keys = [c for c in states[0].columns if c != "weight"]
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return _reduce_mg(unioned, keys, counters)

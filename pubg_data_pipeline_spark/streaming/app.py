@@ -667,3 +667,95 @@ def streaming_join_view(
         available_now=available_now,
         checkpoint=checkpoint,
     )
+
+
+def heavy_hitters_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    key_cols: list[str],
+    counters: int = 200,
+) -> None:
+    """One epoch of streaming heavy-hitter tracking: the micro-batch is
+    reduced to a bounded Misra-Gries summary
+    (operators/incremental.py:partial_mg_state) and stored as THIS
+    EPOCH's partition of the state table; batch row counts land beside
+    it so readers can report the MG error bound. Dynamic overwrite of
+    the ``__epoch=N`` partitions makes replays idempotent (same
+    recipe as join_view_epoch). Readers merge epoch summaries on
+    demand (read_heavy_hitters); states are associative, so a
+    maintenance job may compact old epochs into one without changing
+    answers."""
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import incremental
+
+    _require_local_path(state_path, "heavy_hitters_epoch")
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    partial = incremental.partial_mg_state(batch_df, key_cols, counters).withColumn(
+        "__epoch", F.lit(int(epoch_id))
+    )
+    n_rows = batch_df.count()
+    (
+        partial.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(f"{state_path}/summary")
+    )
+    (
+        spark.createDataFrame([(int(epoch_id), int(n_rows))], "__epoch long, n_rows long")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(f"{state_path}/totals")
+    )
+
+
+def read_heavy_hitters(
+    spark, state_path: str, key_cols: list[str], counters: int = 200
+) -> DataFrame:
+    """Merge all stored epoch summaries into the current heavy-hitter
+    estimate: (keys..., weight, max_undercount). ``weight`` never
+    overestimates; true_count <= weight + max_undercount, with
+    max_undercount = (N - sum(weights)) / (counters + 1) from the
+    mergeable-summaries guarantee."""
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import incremental
+
+    summary = spark.read.parquet(f"{state_path}/summary").drop("__epoch")
+    totals = spark.read.parquet(f"{state_path}/totals")
+    merged = incremental.merge_mg_states([summary], counters)
+    bound = totals.agg(F.sum("n_rows").alias("__n")).crossJoin(
+        F.broadcast(merged.agg(F.sum("weight").alias("__w")))
+    )
+    return merged.crossJoin(F.broadcast(bound)).select(
+        *key_cols,
+        "weight",
+        ((F.col("__n") - F.col("__w")) / (counters + 1)).alias("max_undercount"),
+    )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    counters: int = 200,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Stream -> continuously-maintained bounded heavy-hitter summary
+    (the streaming twin of operators.incremental.frequent_items; no
+    exact recount is possible over an unreplayable stream, so the MG
+    estimate + error bound is the honest answer)."""
+    return sinks.foreach_batch_sink(
+        stream,
+        lambda df, eid: heavy_hitters_epoch(df, eid, state_path, key_cols, counters),
+        trigger_seconds,
+        output_mode="update",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )
