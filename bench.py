@@ -98,6 +98,8 @@ HEADLINE = [
     "important_stock",
     "supplier_part_counts",
     "excess_stock_suppliers",
+    "rfm_segments",
+    "part_basket_pairs",
 ]
 
 

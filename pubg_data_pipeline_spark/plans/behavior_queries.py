@@ -276,7 +276,171 @@ FROM f
 """
 
 
+# ----------------------------------------------------- RFM / baskets
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the classic CRM cut, built scale-safe: each metric's
+    quartile rides the distributed exact global rank
+    (operators/windows.global_rank) + NTILE's integer placement
+    formula, so no single-partition sort touches the customer table
+    (same decomposition order_quartiles pins). Output: one row per
+    (r, f, m) segment with its size and total spend."""
+    from pubg_data_pipeline_spark.operators import windows as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("__maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("__maxd"), F.col("o_orderdate"))).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(exact_scaled(F.col("o_totalprice"))).alias("monetary_cents"),
+        )
+    )
+
+    def tile(df, metric, out):
+        # Materialize between tiles: each global_rank references its
+        # input twice (bucket histogram + rank join), so three chained
+        # tiles would otherwise re-execute the whole upstream lineage
+        # ~2^3 times (measured 6.8 s -> 1.5 s at sf0.1). The frame is
+        # one row per customer — small by construction.
+        df = df.localCheckpoint(eager=True)
+        ranked = W.global_rank(
+            df, F.col(metric), tiebreak="o_custkey", ascending=True, out_col="__r"
+        )
+        n = df.agg(F.count(F.lit(1)).alias("__n"))
+        return (
+            ranked.crossJoin(F.broadcast(n))
+            .withColumn(
+                out,
+                F.expr(
+                    "CAST(CASE WHEN __r <= (__n % 4) * ((__n div 4) + 1) "
+                    "THEN (__r - 1) div ((__n div 4) + 1) + 1 "
+                    "ELSE (__n % 4) + (__r - (__n % 4) * ((__n div 4) + 1) - 1) div (__n div 4) + 1 "
+                    "END AS INT)"
+                ),
+            )
+            .drop("__r", "__n")
+        )
+
+    tiled = tile(tile(tile(per_cust, "recency", "r"), "frequency", "f"), "monetary_cents", "m")
+    return (
+        tiled.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary_cents") / 100.0, 2).alias("total_spend"),
+        )
+    )
+
+
+_RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MIN(datediff('day', o_orderdate,
+                      (SELECT MAX(o_orderdate) FROM orders))) AS recency,
+         COUNT(*) AS frequency,
+         CAST(SUM({sql_scaled("o_totalprice", 2)}) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1
+), tiled AS (
+  SELECT o_custkey, monetary_cents,
+         ntile(4) OVER (ORDER BY recency, o_custkey) AS r,
+         ntile(4) OVER (ORDER BY frequency, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m
+  FROM per_cust
+)
+SELECT r, f, m, COUNT(*) AS n_customers,
+       ROUND(SUM(monetary_cents) / 100.0, 2) AS total_spend
+FROM tiled GROUP BY 1, 2, 3
+"""
+
+
+def part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, with support and lift. The self-join is keyed on the order
+    (bounded fan-out: an order has at most a handful of lines, so the
+    pair explosion is O(orders x lines^2) with a small constant, never
+    a cross join); per-part order counts broadcast back for the lift
+    denominator. Top 20 by support with full tie-breaks."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    part_orders = li.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("n_orders_part")
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(part_orders.select(F.col("l_partkey").alias("part_a"),
+                                           F.col("n_orders_part").alias("cnt_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_orders.select(F.col("l_partkey").alias("part_b"),
+                                           F.col("n_orders_part").alias("cnt_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return (
+        enriched.select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                F.col("support") * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+_BASKET_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), po AS (
+  SELECT l_partkey, COUNT(*) AS n_orders_part FROM li GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li
+)
+SELECT part_a, part_b, support,
+       ROUND(support * n.n_orders * 1.0 / (pa.n_orders_part * pb.n_orders_part), 6)
+         AS lift
+FROM pairs
+JOIN po pa ON pa.l_partkey = part_a
+JOIN po pb ON pb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 20
+"""
+
+
+
 SPECS = [
+    QuerySpec("rfm_segments", rfm_segments, _RFM_SQL, ("behavior", "agg", "window")),
+    QuerySpec("part_basket_pairs", part_basket_pairs, _BASKET_SQL, ("behavior", "join")),
     QuerySpec("user_purchase_funnel", user_purchase_funnel, _FUNNEL_SQL, ("behavior", "agg")),
     QuerySpec(
         "weekly_retention_cohorts", weekly_retention_cohorts, _RETENTION_SQL, ("behavior", "agg")
