@@ -202,3 +202,23 @@ def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     spark_apps/advanced_analytics.py:129 funnels all rows into one
     task; this is the fix)."""
     return df.orderBy(*order_by).limit(k)
+
+
+def null_safe_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join where NULL keys MATCH EACH OTHER (SQL's
+    ``IS NOT DISTINCT FROM`` / Spark's ``<=>``): the semantics a CDC /
+    reconciliation pipeline needs when "unknown" is a legitimate join
+    value rather than a non-match. Still a hash join — ``<=>`` is an
+    equality predicate to Catalyst, so broadcast/shuffle-hash
+    strategies apply exactly as for ``=``; NULL keys hash to one
+    bucket, so a null-heavy side behaves like any other hot key (see
+    operators/skew.py if that bucket dominates)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, left[left_key].eqNullSafe(r[right_key]), how)

@@ -282,8 +282,19 @@ def train_ivf_centers(
     train = corpus_vecs.filter(
         F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(8)) == 0
     ).withColumn("features", array_to_vector(F.col("cv")))
+    # Degenerate-input guards: the k-means fit crashes when the
+    # training set holds fewer DISTINCT points than k (tiny corpora, or
+    # highly repetitive embeddings where the 1/8 sample collapses).
+    # distinct().limit(nlist).count() early-exits at nlist rows, so
+    # both probes cost O(nlist) regardless of corpus size: first widen
+    # a too-small sample to the full corpus, then clamp k to the
+    # distinct count actually available (fewer cells, same semantics).
+    distinct_n = train.select("cv").distinct().limit(nlist).count()
+    if distinct_n < nlist:
+        train = corpus_vecs.withColumn("features", array_to_vector(F.col("cv")))
+        distinct_n = train.select("cv").distinct().limit(nlist).count()
     model = KMeans(
-        k=nlist,
+        k=max(1, min(nlist, distinct_n)),
         seed=seed,
         maxIter=5,
         initMode="random",

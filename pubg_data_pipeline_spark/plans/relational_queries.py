@@ -779,7 +779,62 @@ ORDER BY lost_revenue DESC, c_custkey LIMIT 20
 """
 
 
+def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): customer
+    market segments are masked to NULL for every 7th customer (the
+    deterministic stand-in for unknown attribution), and a segment
+    reference table carrying an explicit NULL row must still match
+    those customers — the reconciliation semantics a plain = join
+    silently drops. Counts per matched label prove the NULL<->NULL
+    matches happened on both engines."""
+    from pubg_data_pipeline_spark.operators import relational
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+    )
+    segs = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("ref_seg"))
+        .distinct()
+        .unionByName(
+            cust.sparkSession.createDataFrame([(None,)], "ref_seg string")
+        )
+        .withColumn(
+            "seg_label", F.coalesce(F.col("ref_seg"), F.lit("UNKNOWN"))
+        )
+    )
+    joined = relational.null_safe_equi_join(
+        cust, segs, "seg", "ref_seg", broadcast_right=True
+    )
+    return joined.groupBy("seg_label").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_NULLSAFE_SQL = """
+WITH cust AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer
+), segs AS (
+  SELECT ref_seg, COALESCE(ref_seg, 'UNKNOWN') AS seg_label
+  FROM (SELECT DISTINCT c_mktsegment AS ref_seg FROM customer
+        UNION ALL SELECT NULL)
+)
+SELECT seg_label, COUNT(*) AS n_customers
+FROM cust JOIN segs ON cust.seg IS NOT DISTINCT FROM segs.ref_seg
+GROUP BY 1
+"""
+
+
+
 SPECS = [
+    QuerySpec(
+        "nullsafe_segment_match", nullsafe_segment_match, _NULLSAFE_SQL, ("join", "nullsafe")
+    ),
     QuerySpec("pricing_summary", pricing_summary, _PRICING_SQL, ("agg", "tpch")),
     QuerySpec("lineitem_running_totals", lineitem_running_totals, _RUNNING_SQL, ("window", "tpch")),
     QuerySpec("forecast_revenue", forecast_revenue, _FORECAST_SQL, ("agg", "tpch")),

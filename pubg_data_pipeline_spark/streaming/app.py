@@ -759,3 +759,39 @@ def streaming_heavy_hitters(
         available_now=available_now,
         checkpoint=checkpoint,
     )
+
+
+def compact_heavy_hitters(spark, state_path: str, key_cols: list[str], counters: int = 200) -> None:
+    """Maintenance: fold all stored epoch summaries into a single
+    epoch-0 summary (MG states are associative, so answers are
+    unchanged — test-pinned). Run this only for epochs older than the
+    streaming checkpoint's retention: a replay of a compacted-away
+    epoch would re-append it. Keeps read cost O(counters) instead of
+    O(epochs x counters) on long-lived stores."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import incremental
+
+    _require_local_path(state_path, "compact_heavy_hitters")
+    summary = spark.read.parquet(f"{state_path}/summary").drop("__epoch")
+    merged = incremental.merge_mg_states([summary], counters).withColumn(
+        "__epoch", F.lit(0)
+    ).localCheckpoint()
+    total = (
+        spark.read.parquet(f"{state_path}/totals")
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .select(F.lit(0).alias("__epoch"), "n_rows")
+        .localCheckpoint()
+    )
+    for df, sub in ((merged, "summary"), (total, "totals")):
+        tmp = f"{state_path}/{sub}.tmp-compact"
+        old = f"{state_path}/{sub}.old"
+        df.write.mode("overwrite").partitionBy("__epoch").parquet(tmp)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(f"{state_path}/{sub}", old)
+        os.rename(tmp, f"{state_path}/{sub}")
+        shutil.rmtree(old)

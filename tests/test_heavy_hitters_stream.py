@@ -94,3 +94,26 @@ def test_streaming_heavy_hitters_end_to_end(spark, tmp_path):
     out = {r["k"]: r["weight"] for r in
            app.read_heavy_hitters(spark, str(state), ["k"], counters=8).collect()}
     assert "hot" in out and out["hot"] <= 60
+
+
+def test_compact_heavy_hitters_preserves_answers(spark, tmp_path):
+    state = tmp_path / "hh_compact"
+    for eid in range(4):
+        batch = spark.createDataFrame(
+            [("hot",)] * (20 + eid) + [(f"e{eid}_{i}",) for i in range(15)], "k string"
+        )
+        app.heavy_hitters_epoch(batch, eid, str(state), ["k"], counters=6)
+    before = {
+        r["k"]: (r["weight"], r["max_undercount"])
+        for r in app.read_heavy_hitters(spark, str(state), ["k"], counters=6).collect()
+    }
+    app.compact_heavy_hitters(spark, str(state), ["k"], counters=6)
+    after = {
+        r["k"]: (r["weight"], r["max_undercount"])
+        for r in app.read_heavy_hitters(spark, str(state), ["k"], counters=6).collect()
+    }
+    assert after == before
+    # physically one epoch now
+    import os
+    dirs = [d for d in os.listdir(state / "summary") if d.startswith("__epoch=")]
+    assert dirs == ["__epoch=0"]
