@@ -100,6 +100,8 @@ HEADLINE = [
     "excess_stock_suppliers",
     "rfm_segments",
     "part_basket_pairs",
+    "seasonal_anomalies",
+    "nullsafe_segment_match",
 ]
 
 

@@ -746,7 +746,56 @@ HAVING COUNT(*) - COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END)
 """
 
 
+def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: the baseline is the
+    (event_type, hour-of-day) profile — mean and stddev per seasonal
+    cell — so a value that is normal at peak hour but wild at 4am is
+    caught, which a global z-score (zscore_anomalies) cannot do. The
+    profile is a tiny aggregate (types x 24 rows) broadcast back onto
+    the stream; deviations beyond 3 sigma flag. Same 4dp-rounding
+    determinism contract as the global z-score query."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts")
+    profile = (
+        ev.groupBy(F.col("event_type"), hod.alias("hod"))
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev("value").alias("sigma"),
+        )
+    )
+    flagged = (
+        ev.withColumn("hod", hod)
+        .join(F.broadcast(profile), ["event_type", "hod"])
+        .filter(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        )
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.col("hod").cast("int").alias("hod"),
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+    )
+
+
+_SEASONAL_SQL = """
+WITH profile AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+         AVG(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS INT) AS hod,
+       ROUND((e.value - p.mu) / p.sigma, 4) AS z
+FROM events e
+JOIN profile p ON p.event_type = e.event_type AND p.hod = hour(e.ts)
+WHERE p.sigma > 0 AND ABS(e.value - p.mu) > 3 * p.sigma
+"""
+
+
+
 SPECS = [
+    QuerySpec("seasonal_anomalies", seasonal_anomalies, _SEASONAL_SQL, ("stats", "anomaly", "time")),
     QuerySpec(
         "incremental_join_view", incremental_join_view, _JOIN_VIEW_SQL, ("incremental", "join")
     ),
