@@ -102,6 +102,8 @@ HEADLINE = [
     "part_basket_pairs",
     "seasonal_anomalies",
     "nullsafe_segment_match",
+    "neardup_pagerank",
+    "neardup_clustering_coefficients",
 ]
 
 
