@@ -58,9 +58,22 @@ def _neardup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact word-3-gram Jaccard pair set (same parameters as the
-    oracle-checked `doc_ngram_jaccard_pairs`)."""
+    oracle-checked `doc_ngram_jaccard_pairs`), materialized once per
+    process per dataset and shared by the three closure queries
+    (clusters / deduped corpus / quality keeper) — same derived-
+    artifact rationale and mtime-keyed cache as _neardup_pairs_cached."""
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+
+    key = "t05:" + dataset_cache_tag(sf_dir, "documents")
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.05)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.05
+    ).localCheckpoint(eager=True)
+    _PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 # Shared oracle prelude: the pair set (verbatim from _JACCARD_SQL in
