@@ -104,6 +104,7 @@ HEADLINE = [
     "nullsafe_segment_match",
     "neardup_pagerank",
     "neardup_clustering_coefficients",
+    "error_events_with_band",
 ]
 
 

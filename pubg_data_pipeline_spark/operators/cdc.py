@@ -154,3 +154,50 @@ def scd2_point_in_time(
         (F.col(ts_from) <= as_of_c)
         & (F.col(ts_to).isNull() | (F.col(ts_to) > as_of_c))
     )
+
+
+def temporal_join(
+    fact: DataFrame,
+    hist: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Enrich facts with the SCD2 dimension version valid AT EACH
+    FACT'S OWN EVENT TIME — the warehouse pattern behind "report
+    revenue under the customer segment they were in when they bought",
+    vs scd2_point_in_time's single literal timestamp.
+
+    Equi-join on the key plus the validity-interval predicate
+    ``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)``.
+    Because a key's versions partition its timeline, each fact row
+    matches AT MOST ONE version — the join provably never duplicates
+    facts. Physical shape: a hash join on the key (the interval check
+    rides along as a join residual); per-key version counts are small,
+    so the matched pairs stay O(facts) and AQE broadcasts the
+    dimension when it fits. ``how="left"`` keeps facts that predate
+    their key's first version (dimension columns null)."""
+    # Explicit aliases: fact and dimension often descend from the SAME
+    # source table (the changelog that built the SCD2 history), and
+    # bare df[col] references on shared lineage can resolve to one
+    # side — silently keeping the nullable dimension key instead of
+    # the fact's.
+    f, h = fact.alias("__tj_f"), hist.alias("__tj_h")
+    cond = None
+    for k in keys:
+        c = F.col(f"__tj_f.{k}") == F.col(f"__tj_h.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (F.col(f"__tj_h.{valid_from}") <= F.col(f"__tj_f.{ts_col}"))
+        & (
+            F.col(f"__tj_h.{valid_to}").isNull()
+            | (F.col(f"__tj_f.{ts_col}") < F.col(f"__tj_h.{valid_to}"))
+        )
+    )
+    out = f.join(h, cond, how)
+    for k in keys:
+        out = out.drop(F.col(f"__tj_h.{k}"))
+    return out

@@ -244,7 +244,66 @@ WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
 """
 
 
+def error_events_with_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (event-time) dimension join: every error event enriched
+    with the purchase-band SCD2 version valid AT THAT ERROR'S OWN
+    TIMESTAMP (operators/cdc.temporal_join) — "which band was the user
+    in when the error happened", the per-row generalization of the
+    literal-timestamp slice purchase_band_as_of. Errors before a
+    user's first purchase keep a NULL band (left join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 50).cast("long").alias("value_band"),
+    )
+    hist = cdc.scd2_from_changelog(
+        purchases, ["user_id"], "ts", ["value_band"], order_cols=["event_id"]
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = cdc.temporal_join(errors, hist, ["user_id"], "ts")
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("value_band").alias("band_at_error"),
+        F.col("version").cast("int").alias("band_version"),
+    )
+
+
+_TEMPORAL_JOIN_SQL = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, CAST(FLOOR(value / 50) AS BIGINT) AS value_band
+  FROM events WHERE event_type = 'purchase'
+), keep AS (
+  SELECT user_id, ts, event_id, value_band FROM (
+    SELECT *, LAG(value_band) OVER w AS prev_band,
+           ROW_NUMBER() OVER w AS rn
+    FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE rn = 1 OR value_band IS DISTINCT FROM prev_band
+), hist AS (
+  SELECT user_id, value_band,
+         CAST(ROW_NUMBER() OVER w AS INT) AS version,
+         ts AS valid_from, LEAD(ts) OVER w AS valid_to
+  FROM keep WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e.user_id, e.event_id,
+       h.value_band AS band_at_error,
+       h.version AS band_version
+FROM events e
+LEFT JOIN hist h ON h.user_id = e.user_id
+  AND h.valid_from <= e.ts AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+WHERE e.event_type = 'error'
+"""
+
+
+
 SPECS = [
+    QuerySpec(
+        "error_events_with_band", error_events_with_band, _TEMPORAL_JOIN_SQL, ("cdc", "join", "time")
+    ),
     QuerySpec("customer_snapshot_diff", customer_snapshot_diff, _DIFF_SQL, ("cdc", "join")),
     QuerySpec("customer_merge_upsert", customer_merge_upsert, _MERGE_SQL, ("cdc", "join")),
     QuerySpec("purchase_band_scd2", purchase_band_scd2, _SCD2_SQL, ("cdc", "window")),

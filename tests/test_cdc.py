@@ -165,3 +165,42 @@ def test_point_in_time_accepts_datetime_literal(spark):
     hist = cdc.scd2_from_changelog(ch, ["k"], "ts", ["v"], order_cols=["seq"])
     got = cdc.scd2_point_in_time(hist, _ts("2024-06-01T00:00:00")).collect()
     assert len(got) == 1 and got[0]["v"] == "a"
+
+
+def test_temporal_join_matches_one_version_and_never_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import cdc
+
+    hist = spark.createDataFrame(
+        [
+            ("u1", "gold", 1, "2024-01-01 00:00:00", "2024-01-10 00:00:00", False),
+            ("u1", "plat", 2, "2024-01-10 00:00:00", None, True),
+            ("u2", "iron", 1, "2024-01-05 00:00:00", None, True),
+        ],
+        "user_id string, tier string, version int, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "user_id", "tier", "version",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-03 12:00:00"),  # gold era
+            (2, "u1", "2024-01-10 00:00:00"),  # boundary: new version wins
+            (3, "u1", "2024-02-01 00:00:00"),  # open-ended current
+            (4, "u2", "2024-01-01 00:00:00"),  # before first version -> null
+            (5, "u3", "2024-01-01 00:00:00"),  # unknown key -> null
+        ],
+        "fact_id long, user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = cdc.temporal_join(facts, hist, ["user_id"], "ts")
+    rows = {r["fact_id"]: (r["tier"], r["version"]) for r in out.collect()}
+    assert out.count() == facts.count()  # never duplicates, never drops
+    assert rows[1] == ("gold", 1)
+    assert rows[2] == ("plat", 2)  # valid_from <= ts < valid_to boundary rule
+    assert rows[3] == ("plat", 2)
+    assert rows[4] == (None, None)
+    assert rows[5] == (None, None)
