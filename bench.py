@@ -105,6 +105,7 @@ HEADLINE = [
     "neardup_pagerank",
     "neardup_clustering_coefficients",
     "error_events_with_band",
+    "doc_winnowing_fingerprints",
 ]
 
 

@@ -220,3 +220,65 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     Implemented with JVM-side array functions (see _ngram_array for
     why shifted slices, not indexed element_at)."""
     return F.array_distinct(_ngram_array(word_tokens(F.lower(text)), n))
+
+
+def winnowing_fingerprints(
+    df, id_col: str, text_col: str, k: int = 3, window: int = 4
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-token gram with the shared exact
+    polynomial (same base/modulus as rolling_fingerprint, so DuckDB
+    reproduces it bit-for-bit), slide a ``window`` over the gram
+    hashes, and select the RIGHTMOST minimal hash per window. The
+    selected (position, hash) set is the standard plagiarism/overlap
+    fingerprint: guaranteed to share a selection for any match of
+    length >= window + k - 1, at ~2/(window+1) sampling density.
+
+    ROW form, not array expressions: tokens explode once, the k-gram
+    hash is a lead() composition (each gram hashed exactly once), and
+    the per-window rightmost-min is one frame aggregate —
+    ``min(struct(hash, -pos))`` picks the smallest hash and, among
+    ties, the largest position. An array-expression formulation is
+    quadratic in practice: Catalyst inlines the gram-array expression
+    into every slice reference inside the selection lambda and
+    re-evaluates it per window (measured 110 s vs ~1 s at sf0.01).
+    Returns (id_col, fp_pos, fp_hash), distinct.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(word_tokens(F.lower(F.col(text_col)))).alias("__j", "__t"),
+    ).select(
+        id_col,
+        "__j",
+        (F.length("__t") * 256 + F.ascii(F.substring("__t", 1, 1)))
+        .cast("long")
+        .alias("__c"),
+    )
+    w_seq = Window.partitionBy(id_col).orderBy("__j")
+    gram = F.lit(0).cast("long")
+    for i in range(k):
+        gram = gram * ROLLING_HASH_BASE + F.lead("__c", i, None).over(w_seq)
+    grams = (
+        toks.withColumn("__h", F.pmod(gram, F.lit(ROLLING_HASH_MOD)))
+        .filter(F.col("__h").isNotNull())  # tail positions with < k tokens
+        .select(id_col, F.col("__j").alias("__g"), "__h")
+    )
+    w_win = (
+        Window.partitionBy(id_col).orderBy("__g").rowsBetween(0, window - 1)
+    )
+    sel = (
+        grams.withColumn(
+            "__m", F.min(F.struct(F.col("__h"), (-F.col("__g")).alias("__ng"))).over(w_win)
+        )
+        .withColumn("__n_in_win", F.count(F.lit(1)).over(w_win))
+        .filter(F.col("__n_in_win") == window)  # full windows only
+    )
+    # +1: gram positions are reported 1-based (posexplode is 0-based),
+    # matching the classic formulation and the SQL oracle.
+    return sel.select(
+        id_col,
+        (-F.col("__m.__ng") + 1).cast("int").alias("fp_pos"),
+        F.col("__m.__h").alias("fp_hash"),
+    ).distinct()

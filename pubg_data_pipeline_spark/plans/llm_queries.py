@@ -653,7 +653,50 @@ def embedding_ml_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ml_euclidean_lsh_top_k(emb, queries, k=5)
 
 
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection per document: the
+    rightmost-minimum-per-window sample of k-gram hashes that
+    guarantees any shared run of window+k-1 tokens leaves at least one
+    common fingerprint — the robust local-overlap detector that set
+    fingerprints (doc_fingerprint) and global rolling hashes
+    (doc_rolling_fingerprints) cannot provide. Pure array expressions;
+    the oracle recomputes the identical polynomial and selection
+    rule."""
+    from pubg_data_pipeline_spark.functions.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "doc_id", "text")
+
+
+_WINNOWING_SQL = r"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                        t -> CAST(length(t) * 256 + ascii(substr(t, 1, 1)) AS BIGINT)) AS codes
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, GREATEST(len(codes) - 2, 0)),
+           j -> list_reduce(list_prepend(CAST(0 AS BIGINT), codes[j:j+2]),
+                            (acc, x) -> (acc * 131 + x) % 9007199254740881)) AS H
+  FROM codes
+), sel AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, GREATEST(len(H) - 3, 0)),
+           p -> {'pos': CAST(p + 4 - list_position(list_reverse(H[p:p+3]), list_min(H[p:p+3])) AS INT),
+                 'fp': list_min(H[p:p+3])}) AS fps
+  FROM grams
+)
+SELECT DISTINCT doc_id, r.pos AS fp_pos, r.fp AS fp_hash
+FROM (SELECT doc_id, unnest(fps) AS r FROM sel)
+"""
+
+
+
 SPECS = [
+    QuerySpec(
+        "doc_winnowing_fingerprints", doc_winnowing_fingerprints, _WINNOWING_SQL, ("llm", "text", "dedup")
+    ),
     QuerySpec("doc_exact_dedup", doc_exact_dedup, _EXACT_DEDUP_SQL, ("llm", "dedup")),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, _CURATION_SQL, ("llm", "pipeline")),
     QuerySpec("doc_token_counts", doc_token_counts, _TOKEN_COUNTS_SQL, ("llm", "text")),

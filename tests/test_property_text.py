@@ -118,3 +118,37 @@ def test_fingerprint_whitespace_case_invariance(spark, a, b):
         assert fp[0] == fp[3]
     else:
         assert fp[0] != fp[3]
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing invariant: any shared token run of length >=
+    window + k - 1 (= 6 here) leaves at least one COMMON (hash)
+    fingerprint in both documents; disjoint texts share none."""
+    from pubg_data_pipeline_spark.functions.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight nine ten {shared} eleven"),
+            (3, "totally different words everywhere here again and again more"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, "doc_id", "text")
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared run left no common fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_short_documents_are_empty_not_crashing(spark):
+    from pubg_data_pipeline_spark.functions.text import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e")],  # < k and < w+k-1 grams
+        "doc_id long, text string",
+    )
+    out = winnowing_fingerprints(docs, "doc_id", "text").collect()
+    assert [r["doc_id"] for r in out] == []  # 5 tokens -> 3 grams < window
