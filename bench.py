@@ -106,6 +106,8 @@ HEADLINE = [
     "neardup_clustering_coefficients",
     "error_events_with_band",
     "doc_winnowing_fingerprints",
+    "event_transition_matrix",
+    "hourly_value_ohlc",
 ]
 
 

@@ -438,6 +438,106 @@ ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 20
 
 
 
+# ------------------------------------------------- journey transitions
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transition matrix: for each (from_type,
+    to_type) pair of CONSECUTIVE events of one user (ordered by ts,
+    event_id — tie-free), the transition count and row-normalized
+    probability. The reference's dashboards show per-type event rates
+    (monitoring/grafana/.../pubg_analytics_dashboard.json) but never
+    cross-event sequence structure; this is the engine-side journey
+    model those panels can't compute.
+
+    Scale: one window sort partitioned BY USER (thousands of small
+    partitions, never a global sort), one hash agg to |types|^2 rows,
+    and the per-from_type totals are a window over that tiny post-agg
+    frame — the same dimension-sized-window pattern as
+    source_mixture_weights. Probability is one division rounded to
+    6dp; counts are exact integers."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = F.sum("n_transitions").over(
+        Window.partitionBy("from_type")
+    )
+    return steps.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / total, 6).alias("p_transition"),
+    )
+
+
+_TRANSITION_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(n_transitions * 1.0 / SUM(n_transitions) OVER (PARTITION BY from_type), 6)
+         AS p_transition
+FROM c
+"""
+
+
+# --------------------------------------------------- OHLC downsampling
+
+def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the classic financial/monitoring resample the
+    reference's Grafana panels approximate client-side: per (event_type,
+    hour), the first (open) and last (close) observed value, the min/low
+    and max/high, and the event count. Open/close ride ONE lexicographic
+    struct min/max over (ts, event_id, value) — (ts, event_id) is unique,
+    so the pick is deterministic and no row_number window (and its
+    per-row sort) is needed; the whole query is a single hash aggregate
+    with map-side combine. Values pass through untouched (no float
+    arithmetic), so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    key = F.struct(
+        F.col("ts").alias("t"), F.col("event_id").alias("i"), F.col("value").alias("v")
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour")
+        )
+        .agg(
+            F.min(key).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_OHLC_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       (min({'t': ts, 'i': event_id, 'v': value})).v AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (max({'t': ts, 'i': event_id, 'v': value})).v AS close,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("rfm_segments", rfm_segments, _RFM_SQL, ("behavior", "agg", "window")),
     QuerySpec("part_basket_pairs", part_basket_pairs, _BASKET_SQL, ("behavior", "join")),
@@ -447,4 +547,9 @@ SPECS = [
     ),
     QuerySpec("user_value_ewma", user_value_ewma, _ewma_sql(), ("behavior", "time", "window")),
     QuerySpec("hourly_linear_interp", hourly_linear_interp, _INTERP_SQL, ("behavior", "time")),
+    QuerySpec(
+        "event_transition_matrix", event_transition_matrix, _TRANSITION_SQL,
+        ("behavior", "window", "agg"),
+    ),
+    QuerySpec("hourly_value_ohlc", hourly_value_ohlc, _OHLC_SQL, ("behavior", "time", "agg")),
 ]
