@@ -108,6 +108,7 @@ HEADLINE = [
     "doc_winnowing_fingerprints",
     "event_transition_matrix",
     "hourly_value_ohlc",
+    "doc_duplicate_spans",
 ]
 
 

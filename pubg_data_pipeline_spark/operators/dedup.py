@@ -419,6 +419,74 @@ def hamming_near_dups(
     )
 
 
+# ------------------------------------------------ duplicated substrings
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int = 5,
+    min_span_tokens: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal run of tokens that also occurs elsewhere in the
+    corpus — the within-document complement of whole-doc/paragraph
+    dedup, which both miss a boilerplate footer pasted into otherwise
+    unique pages.
+
+    Method (the distributed re-expression of their suffix-array scan):
+    every ``gram_len``-token window of every document is a gram; a gram
+    whose corpus-wide occurrence count exceeds one is DUPLICATED (this
+    includes a second occurrence inside the same document, matching
+    ExactSubstr); consecutive duplicated gram positions within a
+    document merge into maximal spans by gaps-and-islands
+    (``pos - row_number()``), and spans shorter than
+    ``min_span_tokens`` tokens are dropped. A shared run of L >=
+    gram_len tokens yields L - gram_len + 1 consecutive duplicated
+    grams, so the merged span recovers the full run exactly.
+
+    Returns (id, span_start, span_end, span_tokens): token positions
+    are 0-based inclusive of the last token of the last gram.
+
+    Scale: grams stay as strings here because the DuckDB oracle must
+    reproduce the keys byte-for-byte; at 100 TB hash each gram to 8
+    bytes first (functions.text.rolling_fingerprint's base/modulus) —
+    the plan is unchanged. Cost is one corpus-wide hash agg on gram
+    (map-side combine collapses within-partition repeats), one
+    semi-join of positions against the duplicated-gram set, and one
+    per-document window sort (documents are small partitions); no
+    self-join and no O(n²) pair generation anywhere.
+    """
+    from pubg_data_pipeline_spark.functions.text import _ngram_array, word_tokens
+
+    toks = word_tokens(F.lower(F.col(text_col)))
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_ngram_array(toks, gram_len)).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram", "left_semi")
+    w = Window.partitionBy("__id").orderBy("pos")
+    islands = dup_pos.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("__id", "__isl")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("__last_gram"))
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            (F.col("__last_gram") + gram_len - 1).alias("span_end"),
+            (F.col("__last_gram") - F.col("span_start") + gram_len).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+    )
+
+
 # ------------------------------------------------- incremental ingestion
 
 def write_fingerprint_index(df: DataFrame, path: str, text_col: str, id_col: str) -> None:

@@ -693,10 +693,51 @@ FROM (SELECT doc_id, unnest(fps) AS r FROM sel)
 
 
 
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated spans (operators.dedup.duplicate_spans):
+    maximal runs of >= 8 tokens whose every 5-gram also occurs elsewhere
+    in the corpus — catches the pasted boilerplate footer inside
+    otherwise-unique documents that whole-doc and paragraph dedup both
+    miss. Output is (doc_id, token-position span) — the removal list a
+    curation pass would cut before training."""
+    from pubg_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_spans(docs, "text", "doc_id", gram_len=5, min_span_tokens=8)
+
+
+_DUP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents
+), grams AS (
+  SELECT doc_id, u['pos'] AS pos, u['g'] AS gram
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, GREATEST(len(arr) - 4, 0)),
+                                 i -> {'pos': i - 1,
+                                       'g': array_to_string(arr[i:i+4], ' ')})) AS u
+    FROM toks
+  )
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1
+), dp AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM grams WHERE gram IN (SELECT gram FROM dup)
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+       MAX(pos) - MIN(pos) + 5 AS span_tokens
+FROM dp GROUP BY doc_id, isl
+HAVING MAX(pos) - MIN(pos) + 5 >= 8
+"""
+
+
 SPECS = [
     QuerySpec(
         "doc_winnowing_fingerprints", doc_winnowing_fingerprints, _WINNOWING_SQL, ("llm", "text", "dedup")
     ),
+    QuerySpec("doc_duplicate_spans", doc_duplicate_spans, _DUP_SPANS_SQL, ("llm", "dedup")),
     QuerySpec("doc_exact_dedup", doc_exact_dedup, _EXACT_DEDUP_SQL, ("llm", "dedup")),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, _CURATION_SQL, ("llm", "pipeline")),
     QuerySpec("doc_token_counts", doc_token_counts, _TOKEN_COUNTS_SQL, ("llm", "text")),

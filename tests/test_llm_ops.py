@@ -255,3 +255,35 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     assert sizes == [1, 3]
     keeper = next(r for r in groups if r["group_size"] == 3)
     assert keeper["keeper_id"] == 1
+
+
+def test_duplicate_spans_recovers_planted_boilerplate(spark):
+    # Docs 1 and 2 share a 10-token footer pasted after unique bodies;
+    # doc 3 is fully unique. gram_len=5 -> the shared run yields 6
+    # consecutive duplicated grams that must merge into ONE maximal
+    # span of exactly 10 tokens at the right positions.
+    footer = "this content is copyright of the example site network"  # 9 tokens
+    rows = [
+        (1, "alpha beta gamma delta epsilon " + footer),          # footer at pos 5..13
+        (2, "one two three four five six seven " + footer),       # footer at pos 7..15
+        (3, "entirely unique words that never repeat anywhere in corpus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dedup.duplicate_spans(df, "text", "doc_id", gram_len=5, min_span_tokens=9).collect()
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out}
+    assert got == {(1, 5, 13, 9), (2, 7, 15, 9)}
+
+
+def test_duplicate_spans_drops_short_and_counts_within_doc(spark):
+    # A 5-token run repeated INSIDE one document is duplicated (matches
+    # ExactSubstr's any-second-occurrence rule) but each span is only 5
+    # tokens, so min_span_tokens=8 drops it; lowering the floor keeps it.
+    rows = [
+        (1, "aa bb cc dd ee xx yy zz ww vv aa bb cc dd ee"),
+        (2, "totally different filler words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    assert dedup.duplicate_spans(df, "text", "doc_id", gram_len=5, min_span_tokens=8).count() == 0
+    kept = dedup.duplicate_spans(df, "text", "doc_id", gram_len=5, min_span_tokens=5).collect()
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in kept}
+    assert got == {(1, 0, 4, 5), (1, 10, 14, 5)}
