@@ -505,9 +505,15 @@ def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and max/high, and the event count. Open/close ride ONE lexicographic
     struct min/max over (ts, event_id, value) — (ts, event_id) is unique,
     so the pick is deterministic and no row_number window (and its
-    per-row sort) is needed; the whole query is a single hash aggregate
-    with map-side combine. Values pass through untouched (no float
-    arithmetic), so both engines agree bit-for-bit."""
+    full-width shuffle) is needed; the whole query is ONE aggregate with
+    ONE exchange. Struct-ordered min/max isn't hash-aggregable (struct
+    buffers aren't mutable), so Spark plans a partial SORT-aggregate —
+    still map-side combining each partition down to |type x hour| rows
+    before the shuffle; the per-partition pre-sort is the price of a
+    deterministic open/close and vanishes when storage is laid out
+    sorted by (event_type, ts) (sources/io.py z-ordered writes). Values
+    pass through untouched (no float arithmetic), so both engines agree
+    bit-for-bit."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
     key = F.struct(
         F.col("ts").alias("t"), F.col("event_id").alias("i"), F.col("value").alias("v")
