@@ -424,8 +424,30 @@ _PARTSUPP_CTE = """partsupp AS (
 )"""
 
 
-def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _partsupp(
+    spark: SparkSession,
+    sf_dir: str,
+    part_keys: DataFrame | None = None,
+    supp_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Derived partsupp. ``part_keys`` (col p_partkey) / ``supp_keys``
+    (col s_suppkey) are optional broadcast SEMI-JOIN pushdowns applied
+    BEFORE the pair distinct — the derived-dimension analog of predicate
+    pushdown through aggregation: pairs outside the keys can never
+    survive the caller's inner join, and the pair-distinct is the
+    dominant shuffle here (full lineitem), so it must shrink by the
+    dimension filter's selectivity. Catalyst can't do this itself — the
+    caller's join sits ABOVE the distinct in the logical plan, and
+    aggregates don't commute with joins automatically."""
     li = load_table(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        li = li.join(
+            F.broadcast(part_keys), li.l_partkey == part_keys.p_partkey, "left_semi"
+        )
+    if supp_keys is not None:
+        li = li.join(
+            F.broadcast(supp_keys), li.l_suppkey == supp_keys.s_suppkey, "left_semi"
+        )
     pairs = li.select(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -449,10 +471,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery), reported with supplier/nation detail. The per-part min
     is a groupBy + equi-join back on (part, cost) — never a correlated
     nested loop; dimension chain broadcasts."""
-    ps = _partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
     )
+    ps = _partsupp(spark, sf_dir, part_keys=part.select("p_partkey"))
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -515,8 +537,8 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite (partkey, suppkey) key; per-row profit is encoded as
     exact cents before the order-independent integer sum."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = _partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    ps = _partsupp(spark, sf_dir, part_keys=part.select("p_partkey"))
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     profit_cents = exact_scaled(
@@ -563,7 +585,6 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds 0.1% of the total — per-group sum vs a global-threshold
     scalar, both from ONE pass over the same exact-cents values
     (the threshold broadcasts; no second scan of partsupp)."""
-    ps = _partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -571,6 +592,7 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)),
         supp.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey")
+    ps = _partsupp(spark, sf_dir, supp_keys=asia_supp)
     value_cents = exact_scaled(F.col("ps_supplycost") * F.col("ps_availqty"), 2)
     scoped = ps.join(asia_supp, ps.ps_suppkey == F.col("s_suppkey")).select(
         "ps_partkey", value_cents.alias("v_cents")
@@ -610,12 +632,12 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) for non-PROMO, non-Brand#1 parts in a size set, EXCLUDING
     flagged suppliers (negative balance stands in for the complaints
     NOT IN subquery) — an anti-join before the distinct-count agg."""
-    ps = _partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
         & (F.col("p_size").isin(1, 4, 9, 15, 23, 36, 45, 49))
     )
+    ps = _partsupp(spark, sf_dir, part_keys=part.select("p_partkey"))
     flagged = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
@@ -656,7 +678,6 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     1997 shipped quantity of some red part — the availqty > correlated
     SUM(l_quantity) predicate as a pre-aggregated equi-join on the
     composite key, then a semi-join up to the supplier list."""
-    ps = _partsupp(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -666,6 +687,7 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").contains("red"))
         .select("p_partkey")
     )
+    ps = _partsupp(spark, sf_dir, part_keys=red_parts)
     shipped = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
