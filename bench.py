@@ -109,6 +109,7 @@ HEADLINE = [
     "event_transition_matrix",
     "hourly_value_ohlc",
     "doc_duplicate_spans",
+    "doc_corpus_despanned",
 ]
 
 

@@ -487,6 +487,60 @@ def duplicate_spans(
     )
 
 
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Apply a duplicated-span removal list (:func:`duplicate_spans`
+    output) to the corpus: cut the flagged token ranges out of each
+    document and re-join the survivors — the remediation half of
+    ExactSubstr dedup (detect lists spans; this produces the training
+    text). Returns one row PER INPUT DOCUMENT (documents whose every
+    token was flagged survive with empty text): (id, clean_text,
+    n_kept_tokens). Text is whitespace-normalized lowercase — the same
+    canonical form the gram index was built on, so positions line up.
+
+    Scale: tokens anti-join their doc's spans on the doc key with the
+    position range as a residual predicate — per-doc fan-out is
+    |spans per doc| (a handful), never a corpus-level range join; the
+    rebuild is one hash agg collecting each doc's surviving tokens
+    (``array_sort`` on the collected (pos, token) structs restores
+    order without a window sort)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    sp = spans.select(
+        F.col(id_col).alias("__id"), "span_start", "span_end"
+    )
+    kept = toks.join(
+        sp,
+        (toks["__id"] == sp["__id"])
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept_tokens"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------- incremental ingestion
 
 def write_fingerprint_index(df: DataFrame, path: str, text_col: str, id_col: str) -> None:

@@ -733,11 +733,70 @@ HAVING MAX(pos) - MIN(pos) + 5 >= 8
 """
 
 
+def doc_corpus_despanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remediation half of ExactSubstr dedup: apply
+    doc_duplicate_spans' removal list and emit the cleaned corpus —
+    every document (spanless ones untouched in canonical form) with its
+    flagged token ranges cut out (operators.dedup.remove_spans)."""
+    from pubg_data_pipeline_spark.operators.dedup import duplicate_spans, remove_spans
+
+    docs = _docs(spark, sf_dir)
+    spans = duplicate_spans(docs, "text", "doc_id", gram_len=5, min_span_tokens=8)
+    return remove_spans(docs, spans, "text", "doc_id")
+
+
+_DESPANNED_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents
+), grams AS (
+  SELECT doc_id, u['pos'] AS pos, u['g'] AS gram
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, GREATEST(len(arr) - 4, 0)),
+                                 i -> {'pos': i - 1,
+                                       'g': array_to_string(arr[i:i+4], ' ')})) AS u
+    FROM toks
+  )
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1
+), dp AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM grams WHERE gram IN (SELECT gram FROM dup)
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+  FROM dp GROUP BY doc_id, isl
+  HAVING MAX(pos) - MIN(pos) + 5 >= 8
+), tok2 AS (
+  SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(arr)),
+                                 i -> {'pos': i - 1, 'tok': arr[i]})) AS u
+    FROM toks
+  )
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok2 t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)
+), reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept_tokens
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+       COALESCE(reb.n_kept_tokens, 0) AS n_kept_tokens
+FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "doc_winnowing_fingerprints", doc_winnowing_fingerprints, _WINNOWING_SQL, ("llm", "text", "dedup")
     ),
     QuerySpec("doc_duplicate_spans", doc_duplicate_spans, _DUP_SPANS_SQL, ("llm", "dedup")),
+    QuerySpec("doc_corpus_despanned", doc_corpus_despanned, _DESPANNED_SQL, ("llm", "dedup")),
     QuerySpec("doc_exact_dedup", doc_exact_dedup, _EXACT_DEDUP_SQL, ("llm", "dedup")),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, _CURATION_SQL, ("llm", "pipeline")),
     QuerySpec("doc_token_counts", doc_token_counts, _TOKEN_COUNTS_SQL, ("llm", "text")),

@@ -287,3 +287,20 @@ def test_duplicate_spans_drops_short_and_counts_within_doc(spark):
     kept = dedup.duplicate_spans(df, "text", "doc_id", gram_len=5, min_span_tokens=5).collect()
     got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in kept}
     assert got == {(1, 0, 4, 5), (1, 10, 14, 5)}
+
+
+def test_remove_spans_cuts_planted_footer_and_keeps_unique_docs(spark):
+    footer = "this content is copyright of the example site network"
+    rows = [
+        (1, "alpha beta gamma delta epsilon " + footer),
+        (2, "one two three four five six seven " + footer),
+        (3, "entirely unique words that never repeat anywhere in corpus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = dedup.duplicate_spans(df, "text", "doc_id", gram_len=5, min_span_tokens=9)
+    out = {r.doc_id: r for r in dedup.remove_spans(df, spans, "text", "doc_id").collect()}
+    assert out[1].clean_text == "alpha beta gamma delta epsilon"
+    assert out[1].n_kept_tokens == 5
+    assert out[2].clean_text == "one two three four five six seven"
+    assert out[3].clean_text == rows[2][1]  # untouched, already lowercase
+    assert out[3].n_kept_tokens == 9
