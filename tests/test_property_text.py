@@ -152,3 +152,59 @@ def test_winnowing_short_documents_are_empty_not_crashing(spark):
     )
     out = winnowing_fingerprints(docs, "doc_id", "text").collect()
     assert [r["doc_id"] for r in out] == []  # 5 tokens -> 3 grams < window
+
+
+# --------------------------------------------- duplicate_spans algebra
+
+def _ref_duplicate_spans(docs, gram_len, min_span):
+    """Pure-Python ExactSubstr reference: gram -> corpus count, then
+    gaps-and-islands merge of duplicated gram positions per doc."""
+    from collections import Counter
+
+    toks = {i: re.split(r"\s+", t.strip().lower()) for i, t in docs}
+    grams = Counter()
+    per_doc = {}
+    for i, tk in toks.items():
+        gs = [" ".join(tk[p : p + gram_len]) for p in range(len(tk) - gram_len + 1)]
+        per_doc[i] = gs
+        grams.update(gs)
+    out = set()
+    for i, gs in per_doc.items():
+        dup_pos = [p for p, g in enumerate(gs) if grams[g] > 1]
+        if not dup_pos:
+            continue
+        start = prev = dup_pos[0]
+        runs = []
+        for p in dup_pos[1:]:
+            if p == prev + 1:
+                prev = p
+            else:
+                runs.append((start, prev))
+                start = prev = p
+        runs.append((start, prev))
+        for s, e in runs:
+            span_tokens = e - s + gram_len
+            if span_tokens >= min_span:
+                out.add((i, s, e + gram_len - 1, span_tokens))
+    return out
+
+
+# Tiny vocabulary on purpose: natural cross-doc gram collisions.
+WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+DOC = st.lists(WORDS, min_size=0, max_size=20).map(" ".join)
+
+
+@given(st.lists(DOC, min_size=1, max_size=8))
+@_SETTINGS
+def test_duplicate_spans_matches_python_reference(spark, docs):
+    from pubg_data_pipeline_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.duplicate_spans(
+            df, "text", "doc_id", gram_len=3, min_span_tokens=4
+        ).collect()
+    }
+    assert got == _ref_duplicate_spans(rows, 3, 4)
