@@ -795,3 +795,144 @@ def compact_heavy_hitters(spark, state_path: str, key_cols: list[str], counters:
         os.rename(f"{state_path}/{sub}", old)
         os.rename(tmp, f"{state_path}/{sub}")
         shutil.rmtree(old)
+
+
+def span_flag_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    spans_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 5,
+    min_span_tokens: int = 8,
+) -> None:
+    """One epoch of STREAMING ExactSubstr span flagging — the ingest
+    twin of operators.dedup.duplicate_spans, with the same semantics
+    ingest_dedup_epoch has for whole docs: each INCOMING document is
+    checked against everything seen so far (all previous epochs plus
+    this batch), and its maximal duplicated token spans land in
+    ``spans_path`` as this epoch's removal list. The gram-count INDEX
+    (gram -> occurrence count per epoch) is the only state — epoch
+    cost is O(batch grams + index), never O(historical text). Spans of
+    *historical* docs are not retro-flagged when a new duplicate
+    arrives (ingest-filter semantics; run the batch operator for a
+    full-corpus sweep).
+
+    Exactly-once under foreachBatch replays, same recipe as
+    join_view_epoch: the index read filters ``__epoch < N``, both
+    writes dynamically overwrite only their own ``__epoch=N``
+    partitions, and the epoch's outputs are deterministic given the
+    pre-N index — so a retried epoch rewrites identical data. Span
+    list first, index second: a crash between the two replays the
+    epoch against the unchanged pre-N index.
+
+    At 100 TB: hash grams to 8 bytes (functions.text.rolling_
+    fingerprint's base/modulus) and store the index bucketed on the
+    gram key (sources/io.py:write_bucketed_table) so the per-batch
+    count join is shuffle-free on the index side; compact epochs with
+    compact_gram_index to bound read fan-in.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.functions.text import _ngram_array, word_tokens
+
+    _require_local_path(index_path, "span_flag_epoch")
+    _require_local_path(spans_path, "span_flag_epoch")
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    toks = word_tokens(F.lower(F.col(text_col)))
+    # Materialized once: the gram table feeds both the count aggregate
+    # and the span scan, and must not re-tokenize the batch twice.
+    grams = batch_df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_ngram_array(toks, gram_len)).alias("pos", "gram"),
+    ).localCheckpoint()
+    bn = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    hist = _epoch_table(spark, index_path, epoch_id, bn)
+    hist_n = hist.groupBy("gram").agg(F.sum("n").alias("hn"))
+    dup = (
+        bn.join(hist_n, "gram", "left")
+        .filter(F.col("n") + F.coalesce(F.col("hn"), F.lit(0)) >= 2)
+        .select("gram")
+    )
+    dp = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("__id").orderBy("pos")
+    islands = dp.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+    spans = (
+        islands.groupBy("__id", "__isl")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("__lg"))
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            (F.col("__lg") + gram_len - 1).alias("span_end"),
+            (F.col("__lg") - F.col("span_start") + gram_len).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+    )
+    for out, path in ((spans, spans_path), (bn.withColumn("__epoch", F.lit(int(epoch_id))), index_path)):
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
+
+def streaming_span_flags(
+    doc_stream: DataFrame,
+    index_path: str,
+    spans_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 5,
+    min_span_tokens: int = 8,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Document stream -> continuously-maintained duplicated-span
+    removal list + gram-count index (the streaming twin of
+    operators.dedup.duplicate_spans)."""
+    return sinks.foreach_batch_sink(
+        doc_stream,
+        lambda df, eid: span_flag_epoch(
+            df, eid, index_path, spans_path, text_col, id_col, gram_len, min_span_tokens
+        ),
+        trigger_seconds,
+        output_mode="update",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )
+
+
+def compact_gram_index(spark, index_path: str) -> None:
+    """Maintenance: fold all stored gram-count epoch partitions into a
+    single epoch-0 partition (counts are associative sums, so flagging
+    decisions are unchanged). Run only for epochs older than the
+    streaming checkpoint's retention — a replay of a compacted-away
+    epoch would double-count its grams."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    _require_local_path(index_path, "compact_gram_index")
+    merged = (
+        spark.read.parquet(index_path)
+        .groupBy("gram")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("__epoch", F.lit(0))
+        .localCheckpoint()
+    )
+    tmp = f"{index_path}.tmp-compact"
+    old = f"{index_path}.old"
+    merged.write.mode("overwrite").partitionBy("__epoch").parquet(tmp)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old)
