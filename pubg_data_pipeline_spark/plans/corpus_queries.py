@@ -12,7 +12,7 @@ RNG-free, and exactly mirrored by a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubg_data_pipeline_spark.plans.base import QuerySpec
@@ -651,8 +651,237 @@ ORDER BY n_occurrences DESC, pair ASC LIMIT 20
 """
 
 
+# -------------------------------------------------- hybrid retrieval (RRF)
+
+_RRF_K = 60
+
+
+def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 keyword list (doc_bm25_search) fused
+    with an embedding-cosine list (query = vec 0's embedding, vec_id is
+    the doc id in the synthetic corpus) by Reciprocal Rank Fusion,
+    rrf = Σ 1/(60 + rank) — the standard lexical+dense fusion of a RAG
+    retriever, entirely as relational algebra.
+
+    Scale shape: each branch is already scale-right (BM25 filters to
+    query terms before aggregating; the dense branch broadcasts the
+    single query vector over the corpus — swap in the persisted-IVF
+    probe at 100 TB). Fusion itself touches only the two top-20 lists:
+    the re-rank windows and the full-outer join run on ≤40 rows, so the
+    single-partition window is bounded by the upstream LIMITs, not by
+    data size.
+    """
+    from pubg_data_pipeline_spark.operators import similarity
+
+    bm25 = doc_bm25_search(spark, sf_dir)
+    bw = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    b = bm25.withColumn("bm25_rank", F.row_number().over(bw)).select(
+        "doc_id", "bm25_rank"
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = similarity.brute_force_top_k(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=20,
+        round_digits=6,
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+
+    fused = b.join(vec, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.round(rrf, 6).alias("rrf"),
+            "bm25_rank",
+            "vec_rank",
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+_HYBRID_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl FROM documents
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY 1, 2
+), df_t AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+         * (tf.tf * ({_BM25_K1} + 1.0))
+         / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           AS term_score
+  FROM tf JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), bm_top AS (
+  SELECT doc_id, ROUND(SUM(term_score), 4) AS bm25
+  FROM scored GROUP BY 1
+  ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+), bm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS bm25_rank
+  FROM bm_top
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), vscored AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+           AS cos_sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id != 0)
+  CROSS JOIN q
+), vr AS (
+  SELECT doc_id, vec_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS vec_rank
+    FROM vscored
+  ) WHERE vec_rank <= 20
+)
+SELECT doc_id,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + bm25_rank), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + vec_rank), 0.0), 6) AS rrf,
+       bm25_rank, vec_rank
+FROM bm FULL OUTER JOIN vr USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC LIMIT 20
+"""
+
+
+# ------------------------------------- DSIR-style importance weights
+
+_DSIR_BUCKETS = 64
+
+
+def _dsir_bucket(w) -> Column:
+    """Deterministic cheap feature hash shared verbatim with the DuckDB
+    oracle: (len·31 + first-char·7 + last-char) mod 64. Production
+    would use xxhash64(term) % 10⁴ buckets (Spark-side `F.xxhash64`);
+    the oracle-checkable polynomial pins the algebra — the weights
+    pipeline is hash-agnostic."""
+    return (
+        F.length(w) * F.lit(31)
+        + F.ascii(F.substring(w, 1, 1)) * F.lit(7)
+        + F.ascii(F.substring(w, -1, 1))
+    ) % F.lit(_DSIR_BUCKETS)
+
+
+def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023): score every
+    document by the mean log-ratio of hashed-unigram probabilities
+    under a TARGET distribution (here: the English slice, the
+    'looks-like-my-eval-domain' proxy) vs the RAW corpus — the
+    importance weight that drives resampling toward the target domain.
+
+    Scale shape: the token stream maps to a 64-bucket feature space
+    in-scan (pure expressions); both distributions are 64-row
+    aggregates with Laplace smoothing, broadcast back to the stream;
+    one per-doc aggregate ends the pipeline. No UDF, no collect, no
+    shuffle bigger than the doc-keyed agg. avg-of-ln agg-order noise
+    ~1e-13, five orders under the 4dp rounding (base.py stddev rule).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    b = toks.select("doc_id", "lang", _dsir_bucket(F.col("w")).alias("b"))
+
+    raw = b.groupBy("b").agg(F.count(F.lit(1)).alias("n_raw"))
+    raw_tot = b.agg(F.count(F.lit(1)).alias("t_raw"))
+    tgt = b.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_tgt")
+    )
+    tgt_tot = b.filter(F.col("lang") == "en").agg(F.count(F.lit(1)).alias("t_tgt"))
+
+    probs = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            (
+                (F.coalesce(F.col("n_tgt"), F.lit(0)) + F.lit(1.0))
+                / (F.col("t_tgt") + F.lit(float(_DSIR_BUCKETS)))
+            ).alias("p_tgt"),
+            (
+                (F.col("n_raw") + F.lit(1.0))
+                / (F.col("t_raw") + F.lit(float(_DSIR_BUCKETS)))
+            ).alias("p_raw"),
+        )
+    )
+    return (
+        b.join(F.broadcast(probs), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("p_tgt") / F.col("p_raw"))).alias("__llr"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            # + 0.0 canonicalizes IEEE -0.0 → +0.0 (a doc whose tokens
+            # all land in llr≈0 buckets rounds to zero from below on
+            # one engine and above on the other; repr('-0.0') would
+            # then hash-mismatch despite equal values)
+            (F.round(F.col("__llr") / F.col("n_tokens"), 4) + F.lit(0.0)).alias(
+                "avg_llr"
+            ),
+        )
+    )
+
+
+_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, lang,
+         (length(w) * 31 + ascii(substr(w, 1, 1)) * 7 + ascii(substr(w, -1, 1))) % 64 AS b
+  FROM toks WHERE length(w) > 0
+), raw AS (
+  SELECT b, COUNT(*) AS n_raw FROM b GROUP BY 1
+), raw_tot AS (
+  SELECT COUNT(*) AS t_raw FROM b
+), tgt AS (
+  SELECT b, COUNT(*) AS n_tgt FROM b WHERE lang = 'en' GROUP BY 1
+), tgt_tot AS (
+  SELECT COUNT(*) AS t_tgt FROM b WHERE lang = 'en'
+), probs AS (
+  SELECT raw.b,
+         (COALESCE(tgt.n_tgt, 0) + 1.0) / (tgt_tot.t_tgt + 64.0) AS p_tgt,
+         (raw.n_raw + 1.0) / (raw_tot.t_raw + 64.0) AS p_raw
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN raw_tot CROSS JOIN tgt_tot
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(SUM(ln(p_tgt / p_raw)) / COUNT(*), 4) + 0.0 AS avg_llr
+FROM b JOIN probs USING (b)
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("bpe_merge_candidates", bpe_merge_candidates, _BPE_SQL, ("llm", "tokenizer")),
+    QuerySpec(
+        "doc_hybrid_search", doc_hybrid_search, _HYBRID_SQL, ("llm", "search", "vector")
+    ),
+    QuerySpec(
+        "doc_importance_weights", doc_importance_weights, _DSIR_SQL, ("llm", "curation")
+    ),
     QuerySpec("doc_bm25_search", doc_bm25_search, _BM25_SQL, ("llm", "search", "window")),
     QuerySpec(
         "bigram_pmi_collocations", bigram_pmi_collocations, _PMI_SQL, ("curation", "text")
