@@ -110,6 +110,9 @@ HEADLINE = [
     "hourly_value_ohlc",
     "doc_duplicate_spans",
     "doc_corpus_despanned",
+    "doc_hybrid_search",
+    "doc_importance_weights",
+    "context_window_packing",
 ]
 
 

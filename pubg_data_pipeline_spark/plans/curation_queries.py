@@ -536,8 +536,96 @@ FROM scored
 """
 
 
+# --------------------------- fixed-context sequence packing
+
+_CTX_TOKENS = 512
+
+
+def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: the corpus is laid out as one
+    token stream (doc_id order) and cut into fixed 512-token context
+    windows — the layout step that turns curated documents into
+    training sequences. Documents SPAN window boundaries (no padding
+    waste), so the output is one row per (window, doc-fragment) with
+    the fragment's in-document token range — exactly the index a
+    packed-dataset reader uses to materialize window w.
+
+    Scale shape: the exclusive token offset comes from the exact
+    distributed prefix sum (operators.windows.global_prefix_sum — no
+    single-partition window), each doc explodes into only the windows
+    it overlaps (ceil(n/512)+1 fragments, data-proportional), and all
+    arithmetic is integer so the naive SUM-OVER oracle hash-matches
+    exactly."""
+    from pubg_data_pipeline_spark.operators.windows import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    scanned = global_prefix_sum(
+        with_tok,
+        F.col("doc_id").cast("double"),
+        tiebreak="doc_id",
+        value_col="n_tok",
+        n_buckets=64,
+        ascending=True,
+        out_col="cum_tok",
+    )
+    c = F.lit(_CTX_TOKENS)
+    off = (F.col("cum_tok") - F.col("n_tok")).cast("long")
+    frag = scanned.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        off.alias("off"),
+        F.explode(
+            F.sequence(
+                F.floor(off / c), F.floor((off + F.col("n_tok") - 1) / c)
+            )
+        ).alias("window_id"),
+    )
+    start = F.greatest(F.lit(0).cast("long"), F.col("window_id") * c - F.col("off"))
+    end = F.least(F.col("n_tok"), (F.col("window_id") + 1) * c - F.col("off"))
+    return frag.select(
+        F.col("window_id").cast("long").alias("window_id"),
+        "doc_id",
+        start.cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - start).cast("long").alias("frag_tokens"),
+    )
+
+
+_CTX_PACKING_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), nz AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok FROM t WHERE n_tok > 0
+), o AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM nz
+), frag AS (
+  SELECT doc_id, n_tok, off,
+         unnest(generate_series(off // 512, (off + n_tok - 1) // 512)) AS window_id
+  FROM o
+)
+SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
+       CAST(GREATEST(0, window_id * 512 - off) AS BIGINT) AS start_tok,
+       CAST(LEAST(n_tok, (window_id + 1) * 512 - off) AS BIGINT) AS end_tok,
+       CAST(LEAST(n_tok, (window_id + 1) * 512 - off)
+            - GREATEST(0, window_id * 512 - off) AS BIGINT) AS frag_tokens
+FROM frag
+"""
+
+
 SPECS = [
     QuerySpec("doc_unigram_logprob", doc_unigram_logprob, _UNIGRAM_LP_SQL, ("llm", "curation", "text")),
+    QuerySpec(
+        "context_window_packing", context_window_packing, _CTX_PACKING_SQL, ("curation", "window")
+    ),
     QuerySpec("corpus_split_stats", corpus_split_stats, _SPLIT_SQL, ("curation",)),
     QuerySpec(
         "quality_weighted_sample", quality_weighted_sample, _WEIGHTED_SAMPLE_SQL, ("curation",)
