@@ -358,32 +358,34 @@ FROM tiled GROUP BY 1, 2, 3
 
 def part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in the same
-    order, with support and lift. The self-join is keyed on the order
-    (bounded fan-out: an order has at most a handful of lines, so the
-    pair explosion is O(orders x lines^2) with a small constant, never
-    a cross join); per-part order counts broadcast back for the lift
-    denominator. Top 20 by support with full tie-breaks."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
+    order, with support and lift. One shuffle builds per-order BASKETS
+    (collect_set dedups in the same agg), pairs explode map-side from
+    the sorted array (bounded fan-out: an order has at most a handful
+    of lines, so the explosion is O(orders x lines^2) with a small
+    constant — never a join, and the basket exchange is reused across
+    the three consumers); per-part order counts broadcast back for the
+    lift denominator. Top 20 by support with full tie-breaks."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    part_orders = li.groupBy(F.col("l_partkey")).agg(
-        F.count(F.lit(1)).alias("n_orders_part")
+    part_orders = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders_part"))
     )
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     enriched = (
         pairs.join(
             F.broadcast(part_orders.select(F.col("l_partkey").alias("part_a"),

@@ -651,6 +651,31 @@ ORDER BY n_occurrences DESC, pair ASC LIMIT 20
 """
 
 
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer pass: learn a 12-merge table from the
+    corpus's own vocabulary (functions.bpe.train_bpe — the iterative
+    loop whose single-round aggregate is `bpe_merge_candidates`), then
+    encode every document with it (functions.bpe.bpe_encode, Arrow
+    mapInPandas) and report whitespace-vs-BPE token counts per doc —
+    the budgeting numbers a tokenizer pass exists to produce.
+
+    Rows-only spec: training is iterative (each merge reshapes the
+    next round's pair counts), which no single SQL statement can
+    express — correctness is pinned instead by tests/test_bpe.py
+    (distributed trainer ≡ pure-Python reference, distributed encoder
+    ≡ per-row reference, hypothesis property tests)."""
+    from pubg_data_pipeline_spark.functions.bpe import bpe_encode, train_bpe
+    from pubg_data_pipeline_spark.functions.text import word_tokens
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    merges = train_bpe(vocab, num_merges=12)
+    return bpe_encode(docs, merges)
+
+
 # -------------------------------------------------- hybrid retrieval (RRF)
 
 _RRF_K = 60
@@ -876,6 +901,7 @@ GROUP BY 1
 
 SPECS = [
     QuerySpec("bpe_merge_candidates", bpe_merge_candidates, _BPE_SQL, ("llm", "tokenizer")),
+    QuerySpec("doc_bpe_encode", doc_bpe_encode, None, ("llm", "tokenizer", "udf")),
     QuerySpec(
         "doc_hybrid_search", doc_hybrid_search, _HYBRID_SQL, ("llm", "search", "vector")
     ),
