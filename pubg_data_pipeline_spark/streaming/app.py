@@ -936,3 +936,120 @@ def compact_gram_index(spark, index_path: str) -> None:
     os.rename(index_path, old)
     os.rename(tmp, index_path)
     shutil.rmtree(old)
+
+
+# ------------------------------------------------------------------
+# streaming distribution-drift monitor (PSI per micro-batch)
+
+
+def save_drift_baseline(df: DataFrame, key, key_name: str, baseline_path: str) -> None:
+    """Persist the per-bucket baseline counts a drift monitor compares
+    against — built ONCE from trusted history (e.g. last month's
+    events), then read-only. ``key`` is any discretization Column
+    (width_bucket for numerics, the raw column for categoricals),
+    exactly as in operators.profile.distribution_drift."""
+    from pyspark.sql import functions as F
+
+    _require_local_path(baseline_path, "save_drift_baseline")
+    df.groupBy(key.alias(key_name)).agg(F.count(F.lit(1)).alias("n_base")).write.mode(
+        "overwrite"
+    ).parquet(baseline_path)
+
+
+def drift_epoch(
+    batch_df: DataFrame, epoch_id: int, state_path: str, key, key_name: str
+) -> None:
+    """One epoch of streaming drift monitoring: reduce the micro-batch
+    to its per-bucket counts (bucket cardinality, not data size) and
+    store them as THIS epoch's partition. Dynamic overwrite of the
+    ``__epoch=N`` partition makes replays idempotent — the same recipe
+    as heavy_hitters_epoch; PSI itself is computed at READ time, so
+    the stored state is raw mergeable counts, never derived scores."""
+    from pyspark.sql import functions as F
+
+    _require_local_path(state_path, "drift_epoch")
+    if batch_df.isEmpty():
+        return
+    (
+        batch_df.groupBy(key.alias(key_name))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(state_path)
+    )
+
+
+def read_drift(
+    spark,
+    state_path: str,
+    baseline_path: str,
+    key_name: str = "bucket",
+    threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-epoch PSI report against the stored baseline: (__epoch,
+    n_rows, psi, alert). Same smoothing/algebra as
+    operators.profile.distribution_drift (test-pinned equal), computed
+    over the tiny counts tables only: baseline buckets cross-join the
+    epoch list to materialize zero-count rows, everything after the
+    stored aggregates is O(epochs × buckets)."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(baseline_path)
+    ec = spark.read.parquet(state_path)
+    epochs = ec.select("__epoch").distinct()
+    grid = epochs.crossJoin(F.broadcast(base.select(key_name)))
+    counts = (
+        grid.join(ec, ["__epoch", key_name], "full_outer")
+        .select(
+            "__epoch", key_name, F.coalesce("n_cur", F.lit(0)).alias("n_cur")
+        )
+        .join(F.broadcast(base), key_name, "left")
+        .select(
+            "__epoch",
+            key_name,
+            "n_cur",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        )
+    )
+    tot_base = base.agg(F.sum("n_base").alias("t_base"))
+    tot_cur = ec.groupBy("__epoch").agg(F.sum("n_cur").alias("t_cur"))
+    scored = counts.join(F.broadcast(tot_cur), "__epoch").crossJoin(
+        F.broadcast(tot_base)
+    )
+    p_base = F.col("n_base") / F.col("t_base") + F.lit(eps)
+    p_cur = F.col("n_cur") / F.col("t_cur") + F.lit(eps)
+    per_epoch = scored.groupBy("__epoch").agg(
+        F.max("t_cur").alias("n_rows"),
+        F.sum((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi"),
+    )
+    return per_epoch.select(
+        "__epoch", "n_rows", "psi", (F.col("psi") > threshold).alias("alert")
+    )
+
+
+def streaming_drift_monitor(
+    stream: DataFrame,
+    state_path: str,
+    key,
+    key_name: str = "bucket",
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Stream -> continuously-maintained per-micro-batch drift state;
+    pair with a static save_drift_baseline store and read_drift for
+    the PSI/alert report. The model-serving data-quality gate
+    (PSI > 0.2 = population shift) as a streaming pipeline component —
+    the reference's monitoring layer (monitoring/metrics_collector.py)
+    graphs raw gauges and leaves shift detection to a human."""
+    return sinks.foreach_batch_sink(
+        stream,
+        lambda df, eid: drift_epoch(df, eid, state_path, key, key_name),
+        trigger_seconds,
+        output_mode="update",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )
