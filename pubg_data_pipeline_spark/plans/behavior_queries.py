@@ -546,8 +546,128 @@ FROM events GROUP BY 1, 2
 """
 
 
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase credited to the user's
+    FIRST-touch and LAST-touch preceding non-purchase event, then the
+    purchase counts per (first_touch, last_touch) channel pair — the
+    report that decides budget between first- and last-click models.
+
+    Shape: one per-user window (partitioned — never global) computes
+    both touches in a single sort via ignore-nulls first/last over the
+    strictly-preceding frame; purchases filter AFTER the window (the
+    frame must see non-purchase rows), then a tiny keyed aggregate.
+    Purchases with no prior touch fold into the 'none' channel."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    enriched = ev.select(
+        "event_type",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN event_type != 'purchase' THEN event_type END AS touch
+  FROM events
+), w AS (
+  SELECT event_type,
+         FIRST_VALUE(touch IGNORE NULLS) OVER pre AS first_touch,
+         LAST_VALUE(touch IGNORE NULLS) OVER pre AS last_touch
+  FROM e
+  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT COALESCE(first_touch, 'none') AS first_touch,
+       COALESCE(last_touch, 'none') AS last_touch,
+       COUNT(*) AS n_purchases
+FROM w WHERE event_type = 'purchase' GROUP BY 1, 2
+"""
+
+
+def signup_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from each user's FIRST
+    signup to their first subsequent purchase, reported as exact
+    p50/p90 percentiles plus converter count — the activation-latency
+    KPI behind onboarding decisions.
+
+    Shape: two one-row-per-user min aggregates (map-side combine), an
+    equi-join on user (both sides post-agg, dimension-sized), one
+    global percentile — exact interpolated percentile over integer
+    microsecond deltas, so both engines interpolate the same doubles.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("purchase_us"))
+    )
+    lat = (
+        first_signup.join(first_purchase, "user_id")
+        .filter(F.col("purchase_us") >= F.col("signup_us"))
+        .select(
+            ((F.col("purchase_us") - F.col("signup_us")) / F.lit(1000000.0)).alias(
+                "lat_sec"
+            )
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile("lat_sec", 0.5), 3).alias("p50_sec"),
+        F.round(F.percentile("lat_sec", 0.9), 3).alias("p90_sec"),
+    )
+
+
+_LATENCY_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS purchase_us
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), lat AS (
+  SELECT (purchase_us - signup_us) / 1000000.0 AS lat_sec
+  FROM s JOIN p USING (user_id)
+  WHERE purchase_us >= signup_us
+)
+SELECT COUNT(*) AS n_converters,
+       ROUND(quantile_cont(lat_sec, 0.5), 3) AS p50_sec,
+       ROUND(quantile_cont(lat_sec, 0.9), 3) AS p90_sec
+FROM lat
+"""
+
+
 SPECS = [
     QuerySpec("rfm_segments", rfm_segments, _RFM_SQL, ("behavior", "agg", "window")),
+    QuerySpec(
+        "purchase_attribution", purchase_attribution, _ATTRIBUTION_SQL, ("behavior", "window")
+    ),
+    QuerySpec(
+        "signup_purchase_latency", signup_purchase_latency, _LATENCY_SQL, ("behavior", "agg")
+    ),
     QuerySpec("part_basket_pairs", part_basket_pairs, _BASKET_SQL, ("behavior", "join")),
     QuerySpec("user_purchase_funnel", user_purchase_funnel, _FUNNEL_SQL, ("behavior", "agg")),
     QuerySpec(
