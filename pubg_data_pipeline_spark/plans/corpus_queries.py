@@ -676,6 +676,51 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+def source_vocab_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diversity: token count, type count,
+    type-token ratio, and Shannon entropy of the unigram distribution
+    — the mixture-health metrics a dataset build tracks per source
+    (low entropy/TTR = templated or boilerplate-heavy source).
+
+    Scale shape: one (source, token) aggregate off the exploded
+    stream, then a source-cardinality aggregate. Entropy uses the
+    join-free algebraic form H = ln(t) - Σ c·ln(c) / t, so per-source
+    totals never join back to the token table; everything after the
+    first agg is O(vocabulary)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    per = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 4).alias("ttr"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log(F.col("c"))) / F.sum("c"),
+            4,
+        ).alias("entropy"),
+    )
+
+
+_DIVERSITY_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), per AS (
+  SELECT source, w, COUNT(*) AS c FROM toks WHERE length(w) > 0 GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       ROUND(COUNT(*) * 1.0 / SUM(c), 4) AS ttr,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy
+FROM per GROUP BY 1
+"""
+
+
 # -------------------------------------------------- hybrid retrieval (RRF)
 
 _RRF_K = 60
@@ -902,6 +947,9 @@ GROUP BY 1
 SPECS = [
     QuerySpec("bpe_merge_candidates", bpe_merge_candidates, _BPE_SQL, ("llm", "tokenizer")),
     QuerySpec("doc_bpe_encode", doc_bpe_encode, None, ("llm", "tokenizer", "udf")),
+    QuerySpec(
+        "source_vocab_diversity", source_vocab_diversity, _DIVERSITY_SQL, ("curation", "text")
+    ),
     QuerySpec(
         "doc_hybrid_search", doc_hybrid_search, _HYBRID_SQL, ("llm", "search", "vector")
     ),

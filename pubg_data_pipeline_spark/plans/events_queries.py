@@ -365,6 +365,91 @@ FROM classified GROUP BY severity
 """
 
 
+def alert_notification_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notification formatting (X8), engine-side: the channel-agnostic
+    alert payload for every HIGH/MEDIUM row — severity config
+    (color + emoji name), a title line, and the conditional
+    performance block.
+
+    reference: monitoring/alert_manager.py:96-180 — the Python
+    formatter builds severity_config {HIGH: 🚨/#FF0000, MEDIUM:
+    ⚠️/#FFA500, LOW: ℹ️/#00FF00} (:103-107), appends per-metric lines
+    only when the metric is present (:117-124), and z-score lines only
+    beyond 2σ (:130-136), falling back to a 'no data' value (:158).
+    All of that is presentation logic a row-at-a-time Python service
+    re-derives per alert; here it is ONE column expression pass
+    (``concat_ws`` drops the absent-metric NULLs exactly like the
+    reference's if-guards), so payloads materialize at engine
+    throughput and only the webhook POST stays out-of-engine."""
+    perf = _perf(spark, sf_dir).withColumn("damage", F.col("value") * 20)
+    z = F.col("value") / 60.0
+    cls = perf.withColumn(
+        "severity", severity_expr(F.col("k"), F.col("damage"), z)
+    ).filter(F.col("severity").isin("HIGH", "MEDIUM"))
+    color = F.when(F.col("severity") == "HIGH", F.lit("#FF0000")).otherwise(
+        F.lit("#FFA500")
+    )
+    emoji = F.when(F.col("severity") == "HIGH", F.lit("rotating_light")).otherwise(
+        F.lit("warning")
+    )
+    kills_line = F.when(
+        F.col("k") > 0, F.concat(F.lit("kills: "), F.col("k").cast("string"))
+    )
+    damage_line = F.when(
+        F.col("damage") > 0,
+        F.concat(
+            F.lit("damage: "), F.round("damage", 0).cast("long").cast("string")
+        ),
+    )
+    z_line = F.when(
+        F.abs(z) > 2,
+        F.concat(F.lit("zscore: "), F.round(z, 1).cast("string"), F.lit("σ")),
+    )
+    body = F.concat_ws("\n", kills_line, damage_line, z_line)
+    return cls.select(
+        "event_id",
+        "user_id",
+        "severity",
+        color.alias("color"),
+        emoji.alias("emoji"),
+        F.concat(
+            F.col("severity"),
+            F.lit(" severity anomaly: user "),
+            F.col("user_id").cast("string"),
+        ).alias("title"),
+        F.coalesce(F.nullif(body, F.lit("")), F.lit("no data")).alias("body"),
+    )
+
+
+_NOTIFICATION_SQL = f"""
+WITH perf AS (
+  SELECT event_id, user_id,
+         CAST(regexp_extract(props, '{_K}', 1) AS INT) AS k,
+         value, value * 20 AS damage
+  FROM events
+), classified AS (
+  SELECT *,
+         CASE WHEN k >= 20 OR damage >= 4000 OR value / 60.0 >= 4 THEN 'HIGH'
+              WHEN k >= 15 OR damage >= 2500 OR value / 60.0 >= 3 THEN 'MEDIUM'
+              ELSE 'LOW' END AS severity
+  FROM perf
+)
+SELECT event_id, user_id, severity,
+       CASE WHEN severity = 'HIGH' THEN '#FF0000' ELSE '#FFA500' END AS color,
+       CASE WHEN severity = 'HIGH' THEN 'rotating_light' ELSE 'warning' END AS emoji,
+       severity || ' severity anomaly: user ' || CAST(user_id AS VARCHAR) AS title,
+       COALESCE(NULLIF(concat_ws(chr(10),
+         CASE WHEN k > 0 THEN 'kills: ' || CAST(k AS VARCHAR) END,
+         CASE WHEN damage > 0
+              THEN 'damage: ' || CAST(CAST(ROUND(damage, 0) AS BIGINT) AS VARCHAR) END,
+         CASE WHEN ABS(value / 60.0) > 2
+              THEN 'zscore: ' || CAST(ROUND(value / 60.0, 1) AS VARCHAR) || 'σ' END
+       ), ''), 'no data') AS body
+FROM classified
+WHERE severity IN ('HIGH', 'MEDIUM')
+"""
+
+
 def kda_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KDA derived metric (P15) as a pure Column expression.
 
@@ -881,6 +966,12 @@ SPECS = [
     QuerySpec("first_event_per_user_type", first_event_per_user_type, _DEDUP_SQL, ("dedup",)),
     QuerySpec("zscore_anomalies", zscore_anomalies, _ZSCORE_SQL, ("anomaly",)),
     QuerySpec("alert_severity_breakdown", alert_severity_breakdown, _SEVERITY_SQL, ("expr",)),
+    QuerySpec(
+        "alert_notification_payloads",
+        alert_notification_payloads,
+        _NOTIFICATION_SQL,
+        ("expr", "alerting"),
+    ),
     QuerySpec("severity_hourly_summary", severity_hourly_summary, _SEVERITY_HOURLY_SQL, ("expr", "time")),
     QuerySpec("kda_by_user", kda_by_user, _KDA_SQL, ("expr",)),
     QuerySpec("hourly_spine_fill", hourly_spine_fill, _SPINE_SQL, ("time",)),
