@@ -791,7 +791,64 @@ FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
 """
 
 
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector (vec_id < 5), the top-5 most-similar candidates
+    AFTER excluding the near-duplicate band (cos ≥ 0.95 — those are
+    positives/dups, not negatives) — the standard 'similar but wrong'
+    negatives that make a retriever's margin meaningful.
+
+    Same plan as the brute-force top-k baseline (broadcast query side,
+    one corpus pass, per-query WindowGroupLimit) with the band filter
+    applied BEFORE ranking; the 100 TB path swaps the scan for the
+    IVF/LSH candidate join exactly as in embedding_topk_cosine."""
+    from pubg_data_pipeline_spark.functions.vectors import as_double_vec, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), as_double_vec(F.col("embedding")).alias("qv")
+    )
+    c = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("neighbor_id"), as_double_vec(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .filter(F.col("cos_sim") < 0.95)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+_HARD_NEG_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+  FROM c CROSS JOIN q WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored WHERE cos_sim < 0.95
+) WHERE rank <= 5
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "embedding_hard_negatives", embedding_hard_negatives, _HARD_NEG_SQL, ("llm", "ann")
+    ),
     QuerySpec(
         "doc_winnowing_fingerprints", doc_winnowing_fingerprints, _WINNOWING_SQL, ("llm", "text", "dedup")
     ),
