@@ -174,3 +174,37 @@ def test_grouping_id_is_expand_aggregate(spark):
     plan = _plan(spark, "order_priority_grouping_id")
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_hard_negatives_broadcast_query_side(spark):
+    # the 5-row query set broadcasts into the corpus scan; corpus-side
+    # data never shuffles for the score (BroadcastNestedLoopJoin on the
+    # tiny side is the intended crossJoin(broadcast(q)) shape)
+    plan = _plan(spark, "embedding_hard_negatives")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_context_packing_windows_are_bucket_partitioned(spark):
+    # the per-row running offset must ride the decomposed prefix sum
+    # (bucket-partitioned window), never Exchange SinglePartition over
+    # the data table
+    plan = _plan(spark, "context_window_packing")
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln and "sum" in ln]
+    assert any("__gr_bucket" in ln for ln in window_lines), window_lines
+
+
+def test_dsir_weights_broadcast_distributions(spark):
+    # both 64-row probability tables broadcast back to the token
+    # stream; the only data-sized shuffle is the final doc_id agg
+    plan = _plan(spark, "doc_importance_weights")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_basket_pairs_have_no_join(spark):
+    # pairs explode from per-order collect_set baskets — there must be
+    # no self-join of the lineitem scan left in the plan
+    plan = _plan(spark, "part_basket_pairs")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
