@@ -113,6 +113,11 @@ HEADLINE = [
     "doc_hybrid_search",
     "doc_importance_weights",
     "context_window_packing",
+    "purchase_attribution",
+    "signup_purchase_latency",
+    "source_vocab_diversity",
+    "embedding_hard_negatives",
+    "alert_notification_payloads",
 ]
 
 

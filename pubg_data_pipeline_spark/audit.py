@@ -60,6 +60,11 @@ KNOWN_EXACT_BASELINES: dict[str, frozenset[str]] = {
     "embedding_cosine_near_dups": frozenset({"nested_loop_join"}),
     "embedding_topk_cosine": frozenset({"nested_loop_join"}),
     "embedding_incremental_topk": frozenset({"nested_loop_join"}),
+    # same brute-force family: the 5-row query set broadcasts into the
+    # corpus scan (bounded build side); docstrings name the IVF/LSH
+    # candidate join as the 100 TB path
+    "embedding_hard_negatives": frozenset({"nested_loop_join"}),
+    "doc_hybrid_search": frozenset({"nested_loop_join"}),
 }
 
 

@@ -1053,3 +1053,69 @@ def streaming_drift_monitor(
         available_now=available_now,
         checkpoint=checkpoint,
     )
+
+
+# ------------------------------------------------------------------
+# ingestion with a dead-letter queue
+
+
+def dlq_etl_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    good_path: str,
+    dlq_path: str,
+    value_col: str = "value",
+) -> None:
+    """One epoch of quarantining ingestion: ONE parse pass splits the
+    micro-batch into typed envelope rows and dead letters
+    (etl.parse_envelope_with_dlq); both land under their own
+    ``__epoch=N`` partition with dynamic overwrite, so at-least-once
+    replays rewrite exactly their own epoch instead of appending
+    duplicates (the ingest_dedup_epoch recipe). The batch is persisted
+    once for the two writes — the reference's recompute-per-action
+    anti-pattern (SURVEY.md §4.2 item 2) would parse the batch twice."""
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.streaming import etl
+
+    _require_local_path(good_path, "dlq_etl_epoch")
+    _require_local_path(dlq_path, "dlq_etl_epoch")
+    if batch_df.isEmpty():
+        return
+    batch_df.persist()
+    try:
+        good, dead = etl.parse_envelope_with_dlq(batch_df, value_col)
+        for df, path in ((good, good_path), (dead, dlq_path)):
+            (
+                df.withColumn("__epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__epoch")
+                .parquet(path)
+            )
+    finally:
+        batch_df.unpersist()
+
+
+def streaming_etl_with_dlq(
+    stream: DataFrame,
+    good_path: str,
+    dlq_path: str,
+    value_col: str = "value",
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Envelope ingestion that never drops OR silently forwards poison
+    pills: typed rows to ``good_path``, unparseable payloads (with
+    reason) to ``dlq_path`` for post-fix replay. One stream, one parse,
+    exactly-once effective output under replays via epoch-partitioned
+    dynamic overwrite."""
+    return sinks.foreach_batch_sink(
+        stream,
+        lambda df, eid: dlq_etl_epoch(df, eid, good_path, dlq_path, value_col),
+        trigger_seconds,
+        output_mode="append",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )

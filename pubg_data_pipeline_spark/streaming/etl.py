@@ -31,6 +31,39 @@ def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def parse_envelope_with_dlq(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split of the envelope parse: (typed rows, rejects).
+
+    The reference's PERMISSIVE parse silently forwards malformed
+    envelopes as all-null rows into the sink (reference:
+    spark_apps/pubg_streaming.py:138-145 — its only quality gate is
+    collector-side try/except logging). Production ingestion keeps the
+    poison pills: rows whose JSON does not parse at all (``from_json``
+    → NULL struct) are routed to a quarantine frame carrying the raw
+    payload and a reason, so they can be replayed after a schema fix
+    instead of being lost. Both outputs are pure projections of ONE
+    parse pass — no second scan, works identically on batch and
+    streaming frames."""
+    parsed = raw.select(F.col(value_col).cast("string").alias("json_str")).select(
+        "json_str", F.from_json("json_str", ENVELOPE_SCHEMA).alias("data")
+    )
+    # PERMISSIVE from_json yields an all-NULL struct for malformed JSON
+    # (only an empty input string gives a NULL struct), so "dead" =
+    # struct null OR every top-level envelope field null — which also
+    # quarantines the semantically-empty `{}` envelope
+    dead_pred = F.col("data").isNull() | (
+        F.col("data.player").isNull() & F.col("data.matches").isNull()
+    )
+    good = parsed.filter(~dead_pred).select("data.*")
+    dead = parsed.filter(dead_pred).select(
+        F.col("json_str").alias("raw_payload"),
+        F.lit("unparseable or empty envelope").alias("reason"),
+    )
+    return good, dead
+
+
 def extract_players(parsed: DataFrame) -> DataFrame:
     """Player-snapshot projection with the reference sink table's exact
     column names (stats_json/rank_json aliases at :163-164).
