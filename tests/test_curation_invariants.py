@@ -1,0 +1,80 @@
+"""Structural invariants of the curation/behavior additions that the
+cell-hash oracle can't express directly: the packing output must be a
+partition of the token stream, and attribution must agree with a
+pure-Python replay of each user's event sequence."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.plans.behavior_queries import purchase_attribution
+from pubg_data_pipeline_spark.plans.curation_queries import (
+    _CTX_TOKENS,
+    context_window_packing,
+)
+from pubg_data_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_context_packing_partitions_the_token_stream(spark):
+    frags = context_window_packing(spark, SF_DIR).collect()
+
+    # per-doc: fragments tile [0, n_tok) contiguously, in window order
+    by_doc = defaultdict(list)
+    for r in frags:
+        by_doc[r["doc_id"]].append(r)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.when(F.trim("text") == "", 0)
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .alias("n_tok"),
+    )
+    n_tok = {r["doc_id"]: r["n_tok"] for r in docs.collect()}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["window_id"])
+        assert rows[0]["start_tok"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a["end_tok"] == b["start_tok"]  # contiguous
+            assert b["window_id"] == a["window_id"] + 1  # no window gaps
+        assert rows[-1]["end_tok"] == n_tok[doc_id]
+        assert all(r["frag_tokens"] == r["end_tok"] - r["start_tok"] for r in rows)
+
+    # per-window: every window except the last carries exactly 512 tokens
+    by_win = defaultdict(int)
+    for r in frags:
+        by_win[r["window_id"]] += r["frag_tokens"]
+    last = max(by_win)
+    assert set(by_win) == set(range(last + 1))  # dense window ids
+    for w, tok in by_win.items():
+        if w != last:
+            assert tok == _CTX_TOKENS, (w, tok)
+    assert 0 < by_win[last] <= _CTX_TOKENS
+
+
+def test_attribution_matches_python_replay(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    want = defaultdict(int)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        first = last = None
+        for r in rows:
+            if r["event_type"] == "purchase":
+                want[(first or "none", last or "none")] += 1
+            else:
+                last = r["event_type"]
+                if first is None:
+                    first = r["event_type"]
+    got = {
+        (r["first_touch"], r["last_touch"]): r["n_purchases"]
+        for r in purchase_attribution(spark, SF_DIR).collect()
+    }
+    assert got == dict(want)
