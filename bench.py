@@ -118,6 +118,7 @@ HEADLINE = [
     "source_vocab_diversity",
     "embedding_hard_negatives",
     "alert_notification_payloads",
+    "waiting_suppliers",
 ]
 
 

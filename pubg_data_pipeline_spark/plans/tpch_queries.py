@@ -13,8 +13,12 @@ predicates), Q22 (anti-join + global threshold subquery).
 
 Q2/Q9/Q11/Q16/Q20 run against a DERIVED partsupp (distinct observed
 (l_partkey, l_suppkey) pairs + deterministic cost/qty attributes —
-see _PARTSUPP_CTE); only Q21 stays out of scope (needs commitdate/
-receiptdate, absent from the synthetic lineitem).
+see _PARTSUPP_CTE). Q21 runs as a SHAPE-faithful proxy
+(waiting_suppliers): the original's lateness predicate needs
+l_commitdate/l_receiptdate (absent from the synthetic lineitem), so
+lateness is defined as l_shipdate > o_orderdate + 90 days — the
+EXISTS / NOT-EXISTS double correlation, the Q21 plan's actual
+difficulty, is preserved exactly.
 
 Physical strategy: nation/region and brand-filtered part are
 explicitly broadcast (small at any scale factor); customer/supplier/
@@ -735,7 +739,92 @@ WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT ps_suppkey FROM excess)
 """
 
 
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished ('F') orders, suppliers from one nation whose line was
+    LATE on a multi-supplier order where NO OTHER supplier was late.
+    Lateness proxy: l_shipdate > o_orderdate + 90 days (the synthetic
+    lineitem has no commitdate/receiptdate — module docstring).
+
+    Shape parity with the original plan: the EXISTS correlation
+    (another supplier on the same order) compiles to a left-SEMI join
+    and the NOT-EXISTS (another LATE supplier) to a left-ANTI join,
+    both on orderkey with the supplier-inequality residual — no
+    correlated subquery re-execution, no cartesian. The nation filter
+    broadcasts through supplier; top-20 by wait count is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    lf = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = lf.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    l1 = late.join(
+        supp.select(F.col("s_suppkey").alias("l_suppkey")), "l_suppkey", "leftsemi"
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    l1 = l1.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
+        "leftsemi",
+    )
+    late_other = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    l1 = l1.join(
+        late_other,
+        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
+        "leftanti",
+    )
+    counts = l1.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+    return (
+        counts.join(supp, counts.l_suppkey == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM late l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC LIMIT 20
+"""
+
+
 SPECS = [
+    QuerySpec("waiting_suppliers", waiting_suppliers, _Q21_SQL, ("tpch", "join")),
     QuerySpec("min_cost_supplier", min_cost_supplier, _Q2_SQL, ("tpch", "join")),
     QuerySpec("nation_profit", nation_profit, _Q9_SQL, ("tpch", "join")),
     QuerySpec("important_stock", important_stock, _Q11_SQL, ("tpch", "agg")),
