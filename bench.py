@@ -147,18 +147,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    # One untimed pass at the TARGET scale: size-dependent JIT tiers,
-    # shuffle buffers, and parquet footer caches only warm at sf0.1,
-    # and the first post-warmup query otherwise eats a multi-second
-    # full-GC of the warmup loop's garbage (observed 12s on a 1s agg).
-    # The explicit GC drains that debt outside the timed window.
-    for name in HEADLINE:
-        if name in errors:
-            continue
-        try:
-            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    # The explicit GC drains the warmup loop's garbage outside the
+    # timed window (a deferred full-GC otherwise lands on the first
+    # timed query — observed 12s on a 1s agg).
     try:
         spark._jvm.System.gc()
     except Exception:
@@ -167,7 +158,12 @@ def main() -> None:
     # Each query is timed three times and the minimum is reported: the
     # host shows multi-second intermittent noise (shared VM — observed
     # 10x spikes under CPU steal), and min-of-N is the standard
-    # steady-state estimator under one-sided noise.
+    # steady-state estimator under one-sided noise. The FIRST timed
+    # pass doubles as the at-scale warmup (size-dependent JIT tiers,
+    # shuffle buffers, parquet footers): its inflated readings are
+    # discarded by the min, so a separate untimed sf-target pass would
+    # only add a fourth full execution to the wall clock — with ~100
+    # headline queries that pass alone is ~1.5 min of driver budget.
     timings: dict[str, float] = {}
     for _ in range(3):
         for name in HEADLINE:
