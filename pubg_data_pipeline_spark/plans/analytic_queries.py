@@ -282,6 +282,60 @@ FROM events GROUP BY user_id
 """
 
 
+def customer_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read from a MANIFEST-COMMITTED table
+    (sources/snapshots.py): customers with custkey%3==0 are committed
+    as version 1, a second append (custkey%3==1) becomes version 2,
+    and the query aggregates a pinned ``version=1`` read — proving the
+    older snapshot is untouched by later commits. The oracle replays
+    only the v1 predicate, so a hash match means the reader resolved
+    exactly the v1 manifest's files, not the directory listing (which
+    also contains v2's data). Layout is built once per (process, sf)
+    and keyed by dataset mtime like every persisted artifact.
+
+    Why this belongs in a 100 TB engine: the reference's bare
+    append-only parquet directories (spark_apps/pubg_streaming.py:
+    236-244) give readers no isolation from in-flight writes and no way
+    back to yesterday's table; the manifest layer fixes both with one
+    atomic file publish per commit."""
+    import os
+    import shutil
+
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = dataset_cache_tag(sf_dir, "customer")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo_root, ".snap_cache", f"customer_{tag}")
+    if len(snapshots.snapshot_history(path)) < 2:
+        # partial state from a crashed setup: data files without a
+        # manifest are invisible but would leak — rebuild from scratch
+        shutil.rmtree(path, ignore_errors=True)
+        snapshots.snapshot_commit(cust.filter(F.col("c_custkey") % 3 == 0), path)
+        snapshots.snapshot_commit(cust.filter(F.col("c_custkey") % 3 == 1), path)
+    v1 = snapshots.snapshot_read(spark, path, version=1)
+    return v1.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(exact_scaled(F.col("c_acctbal"))) / 100.0, 2).alias(
+            "total_acctbal"
+        ),
+    )
+
+
+_SNAPSHOT_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM({sql_scaled("c_acctbal")}) AS BIGINT) / 100.0, 2)
+         AS total_acctbal
+FROM customer
+WHERE c_custkey % 3 = 0
+GROUP BY c_mktsegment
+"""
+
+
 def doc_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF twin of doc_chunking (§2.9 UDTF surface): the same
     64/48 chunker as a registered table function applied per row via
@@ -322,4 +376,10 @@ SPECS = [
         "bucketed_segment_order_stats", bucketed_segment_order_stats, _BUCKETED_SQL, ("join", "io")
     ),
     QuerySpec("user_value_gmean", user_value_gmean, _GMEAN_SQL, ("agg", "pandas")),
+    QuerySpec(
+        "customer_snapshot_time_travel",
+        customer_snapshot_time_travel,
+        _SNAPSHOT_SQL,
+        ("io", "snapshot"),
+    ),
 ]

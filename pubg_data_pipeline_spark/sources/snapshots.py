@@ -1,0 +1,210 @@
+"""Manifest-committed parquet tables: atomic commits, time travel,
+reader isolation, vacuum — the minimal slice of a modern table format
+(Delta/Iceberg-style) built on plain parquet + JSON manifests.
+
+Why it exists: the reference appends bare parquet directories forever
+(reference: spark_apps/pubg_streaming.py:236-244, layout
+docker-compose.yml:137-148), so a reader that lists files mid-write
+sees half a commit, there is no way to retract a bad batch, and
+nothing records table history. At 100 TB the fix is a metadata layer,
+not bigger directories: data files are immutable and INVISIBLE until a
+manifest references them, commits are one atomic manifest publish, and
+readers pin a version for the lifetime of a query.
+
+Layout::
+
+    <path>/data/<commit-uuid>/part-*.parquet   immutable data files
+    <path>/_manifests/v{N:012d}.json           one JSON per version
+
+Commit protocol (optimistic concurrency):
+
+1. write the DataFrame to a fresh ``data/<uuid>/`` directory — crash
+   here strands invisible files (vacuum reclaims them), never corrupts
+   the table;
+2. compose the new file list (parent's files + new for ``append``,
+   new only for ``overwrite``);
+3. publish ``v{parent+1}.json`` via write-temp + fsync +
+   ``os.link(tmp, final)``: the hard link is atomic AND fails with
+   EEXIST if a concurrent writer won the version — the loser re-reads
+   the new head and retries on top of it. (On an object store the
+   same slot is a conditional PUT / putIfAbsent; local-fs guard below
+   mirrors expire_partitions.)
+
+Readers never list ``data/``: they load exactly the files named by one
+manifest, so a query planned against version N is immune to later
+commits (snapshot isolation) and ``version=`` gives time travel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_RE = re.compile(r"^v(\d{12})\.json$")
+_COMMIT_RETRIES = 20
+
+
+def _require_local(path: str) -> None:
+    if "://" in path:
+        raise ValueError(
+            f"snapshot tables use local-filesystem atomic link for the "
+            f"commit slot; got remote URI {path!r} — on an object store "
+            "publish the manifest with a conditional PUT instead."
+        )
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _versions(path: str) -> list[int]:
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for entry in os.listdir(mdir):
+        m = _MANIFEST_RE.match(entry)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(path), f"v{version:012d}.json")) as f:
+        return json.load(f)
+
+
+def _list_part_files(data_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new table version and return its number.
+
+    ``append`` keeps the parent version's files, ``overwrite`` replaces
+    them (logically — old files stay on disk for time travel until
+    ``snapshot_vacuum``). Safe under concurrent committers: losing the
+    version race re-reads the head and retries (data files are written
+    once, outside the retry loop)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    _require_local(path)
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(path, "data", commit_id)
+    df.write.mode("error").parquet(data_dir)
+    new_files = [
+        os.path.relpath(p, path) for p in _list_part_files(data_dir)
+    ]
+
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    for _ in range(_COMMIT_RETRIES):
+        versions = _versions(path)
+        parent = versions[-1] if versions else 0
+        files = list(new_files)
+        if mode == "append" and parent:
+            files = _read_manifest(path, parent)["files"] + files
+        version = parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": mode,
+            "commit_id": commit_id,
+            "n_files": len(files),
+            "files": files,
+        }
+        tmp = os.path.join(mdir, f".tmp-{commit_id}-{version}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(mdir, f"v{version:012d}.json")
+        try:
+            os.link(tmp, final)  # atomic publish; EEXIST = lost the race
+            return version
+        except FileExistsError:
+            continue  # a concurrent commit took this slot — rebase
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError(
+        f"snapshot_commit lost the version race {_COMMIT_RETRIES} times at "
+        f"{path!r} — contention this hot needs a coordinating commit service."
+    )
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read one table version (latest by default). The plan references
+    exactly the manifest's files, so concurrent commits — including
+    overwrites — cannot change or tear this query's input."""
+    _require_local(path)
+    versions = _versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot commits at {path!r}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(
+            f"version {version} not found at {path!r} (have {versions})"
+        )
+    files = _read_manifest(path, version)["files"]
+    if not files:
+        # an overwrite with an empty DataFrame: preserve its schema via
+        # the commit's (empty) data directory
+        meta = _read_manifest(path, version)
+        return spark.read.parquet(os.path.join(path, "data", meta["commit_id"]))
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """All manifests oldest-first, file lists elided to counts."""
+    out = []
+    for v in _versions(path):
+        m = _read_manifest(path, v)
+        out.append({k: m[k] for k in ("version", "parent", "op", "n_files")})
+    return out
+
+
+def snapshot_vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Physically delete data no retained version references: keeps the
+    newest ``keep_versions`` manifests, removes older manifests and any
+    ``data/<commit>/`` directory none of the keepers cite (stranded
+    crash debris included). Returns removed paths. Callers give up time
+    travel past the retention horizon — same contract as Delta VACUUM."""
+    _require_local(path)
+    import shutil
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = _versions(path)
+    keep = set(versions[-keep_versions:])
+    live_commits = set()
+    for v in keep:
+        m = _read_manifest(path, v)
+        live_commits.add(m["commit_id"])
+        for f in m["files"]:
+            # files may come from ancestor commits still referenced
+            live_commits.add(f.split(os.sep)[1])
+    removed = []
+    for v in versions:
+        if v not in keep:
+            p = os.path.join(_manifest_dir(path), f"v{v:012d}.json")
+            os.unlink(p)
+            removed.append(p)
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for entry in sorted(os.listdir(data_root)):
+            if entry not in live_commits:
+                full = os.path.join(data_root, entry)
+                shutil.rmtree(full)
+                removed.append(full)
+    return removed

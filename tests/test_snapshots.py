@@ -1,0 +1,148 @@
+"""Manifest-committed snapshot tables (sources/snapshots.py): atomic
+commits, reader isolation / time travel, optimistic-concurrency races,
+and vacuum safety. These assert the METADATA protocol — what a reader
+can observe at each point — not just final row counts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.sources import snapshots
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("doubled")
+    )
+
+
+def test_append_versions_and_latest_read(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = snapshots.snapshot_commit(_df(spark, 0, 10), path)
+    v2 = snapshots.snapshot_commit(_df(spark, 10, 15), path)
+    assert (v1, v2) == (1, 2)
+    assert snapshots.snapshot_read(spark, path).count() == 15
+    hist = snapshots.snapshot_history(path)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert [h["parent"] for h in hist] == [0, 1]
+
+
+def test_time_travel_pinned_version_is_immutable(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 10), path)
+    old = snapshots.snapshot_read(spark, path, version=1)
+    # later commits — including a full overwrite — must not change v1
+    snapshots.snapshot_commit(_df(spark, 100, 120), path)
+    snapshots.snapshot_commit(_df(spark, 500, 503), path, mode="overwrite")
+    assert sorted(r.id for r in old.collect()) == list(range(10))
+    assert sorted(
+        r.id for r in snapshots.snapshot_read(spark, path, version=1).collect()
+    ) == list(range(10))
+    # head reflects only the overwrite
+    assert sorted(r.id for r in snapshots.snapshot_read(spark, path).collect()) == [
+        500,
+        501,
+        502,
+    ]
+
+
+def test_uncommitted_data_files_are_invisible(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)
+    # simulate a crashed commit: data written, manifest never published
+    _df(spark, 90, 99).write.parquet(os.path.join(path, "data", "stranded"))
+    assert snapshots.snapshot_read(spark, path).count() == 5
+
+
+def test_concurrent_commit_race_retries_and_loses_nothing(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)
+    # occupy the version-2 slot as a concurrent winner would: the next
+    # committer must rebase onto it instead of clobbering or failing
+    winner_data = os.path.join(path, "data", "winner")
+    _df(spark, 5, 8).write.parquet(winner_data)
+    files = [
+        os.path.join("data", "winner", f)
+        for f in sorted(os.listdir(winner_data))
+        if f.endswith(".parquet")
+    ]
+    prev = json.load(
+        open(os.path.join(path, "_manifests", "v000000000001.json"))
+    )
+    manifest = {
+        "version": 2,
+        "parent": 1,
+        "op": "append",
+        "commit_id": "winner",
+        "n_files": len(prev["files"]) + len(files),
+        "files": prev["files"] + files,
+    }
+    with open(os.path.join(path, "_manifests", "v000000000002.json"), "w") as f:
+        json.dump(manifest, f)
+
+    v = snapshots.snapshot_commit(_df(spark, 8, 12), path)
+    assert v == 3
+    assert sorted(r.id for r in snapshots.snapshot_read(spark, path).collect()) == list(
+        range(12)
+    )
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)
+    snapshots.snapshot_commit(_df(spark, 5, 10), path)
+    snapshots.snapshot_commit(_df(spark, 50, 53), path, mode="overwrite")
+    snapshots.snapshot_commit(_df(spark, 53, 55), path)
+    removed = snapshots.snapshot_vacuum(path, keep_versions=2)
+    # v1/v2 manifests gone; the appended-only commits from before the
+    # overwrite are unreferenced by v3/v4 and physically deleted
+    assert any("v000000000001.json" in p for p in removed)
+    assert any(os.sep + "data" + os.sep in p for p in removed)
+    with pytest.raises(ValueError):
+        snapshots.snapshot_read(spark, path, version=1)
+    assert sorted(r.id for r in snapshots.snapshot_read(spark, path).collect()) == list(
+        range(50, 55)
+    )
+    assert sorted(
+        r.id for r in snapshots.snapshot_read(spark, path, version=3).collect()
+    ) == [50, 51, 52]
+
+
+def test_vacuum_reclaims_stranded_crash_debris(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)
+    stranded = os.path.join(path, "data", "stranded")
+    _df(spark, 90, 99).write.parquet(stranded)
+    removed = snapshots.snapshot_vacuum(path, keep_versions=1)
+    assert stranded in removed
+    assert snapshots.snapshot_read(spark, path).count() == 5
+
+
+def test_empty_table_and_bad_version_errors(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        snapshots.snapshot_read(spark, path)
+    snapshots.snapshot_commit(_df(spark, 0, 3), path)
+    with pytest.raises(ValueError):
+        snapshots.snapshot_read(spark, path, version=7)
+
+
+def test_remote_uri_refused(spark):
+    with pytest.raises(ValueError, match="conditional PUT"):
+        snapshots.snapshot_commit(_df(spark, 0, 3), "s3a://bucket/tbl")
+    with pytest.raises(ValueError):
+        snapshots.snapshot_vacuum("hdfs://nn/tbl")
+
+
+def test_append_preserves_schema_and_values(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 4), path)
+    snapshots.snapshot_commit(_df(spark, 4, 6), path)
+    back = snapshots.snapshot_read(spark, path)
+    assert back.columns == ["id", "doubled"]
+    rows = {(r.id, r.doubled) for r in back.collect()}
+    assert rows == {(i, 2 * i) for i in range(6)}
