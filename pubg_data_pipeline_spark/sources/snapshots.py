@@ -86,17 +86,50 @@ def _list_part_files(data_dir: str) -> list[str]:
     )
 
 
-def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
+def last_committed_txn(path: str, app_id: str) -> int | None:
+    """Highest ``txn_version`` any live manifest records for ``app_id``
+    (the Delta txnAppId/txnVersion idempotency protocol): a retried
+    micro-batch asks this before writing and skips epochs the table has
+    already absorbed. Scans manifests newest-first so the common case
+    (epoch just committed, sink retrying) reads one small JSON."""
+    best = None
+    for v in reversed(_versions(path)):
+        txn = _read_manifest(path, v).get("txn")
+        if txn and txn.get("app_id") == app_id:
+            best = txn["version"] if best is None else max(best, txn["version"])
+    return best
+
+
+def snapshot_commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    txn: tuple[str, int] | None = None,
+) -> int:
     """Commit ``df`` as a new table version and return its number.
 
     ``append`` keeps the parent version's files, ``overwrite`` replaces
     them (logically — old files stay on disk for time travel until
     ``snapshot_vacuum``). Safe under concurrent committers: losing the
     version race re-reads the head and retries (data files are written
-    once, outside the retry loop)."""
+    once, outside the retry loop).
+
+    ``txn=(app_id, version)`` makes the commit IDEMPOTENT for
+    at-least-once callers (foreachBatch epochs): if the table already
+    holds a commit from ``app_id`` at ``version`` or later, nothing is
+    written and the current head version is returned — so a replayed
+    micro-batch cannot double-append (the failure mode ADVICE.md r3
+    flagged for non-transactional dual writes). The check runs again
+    inside the publish loop, closing the race where two retries of the
+    same epoch interleave."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     _require_local(path)
+    if txn is not None:
+        done = last_committed_txn(path, txn[0])
+        if done is not None and done >= txn[1]:
+            versions = _versions(path)
+            return versions[-1] if versions else 0
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(path, "data", commit_id)
     df.write.mode("error").parquet(data_dir)
@@ -108,6 +141,10 @@ def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
     os.makedirs(mdir, exist_ok=True)
     for _ in range(_COMMIT_RETRIES):
         versions = _versions(path)
+        if txn is not None:
+            done = last_committed_txn(path, txn[0])
+            if done is not None and done >= txn[1]:
+                return versions[-1] if versions else 0
         parent = versions[-1] if versions else 0
         files = list(new_files)
         if mode == "append" and parent:
@@ -121,6 +158,8 @@ def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
             "n_files": len(files),
             "files": files,
         }
+        if txn is not None:
+            manifest["txn"] = {"app_id": txn[0], "version": txn[1]}
         tmp = os.path.join(mdir, f".tmp-{commit_id}-{version}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -165,6 +204,45 @@ def snapshot_read(
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
+def snapshot_changes(
+    spark: SparkSession, path: str, since_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Incremental read: rows ADDED between ``since_version``
+    (exclusive) and ``to_version`` (inclusive, default head) — the
+    append-only slice of a change-data-feed. An incremental consumer
+    (rollup refresh, downstream sync) processes O(new data) instead of
+    re-reading the table.
+
+    Data files are immutable, so the delta is exactly the manifest
+    file-list difference. If any commit in the range is an
+    ``overwrite``, added-files no longer mean added-rows (rows also
+    vanished) and this raises rather than silently under-reporting the
+    change set."""
+    _require_local(path)
+    versions = _versions(path)
+    if since_version not in versions:
+        raise ValueError(f"version {since_version} not found at {path!r}")
+    if to_version is None:
+        to_version = versions[-1]
+    elif to_version not in versions:
+        raise ValueError(f"version {to_version} not found at {path!r}")
+    if to_version < since_version:
+        raise ValueError(f"to_version {to_version} < since_version {since_version}")
+    for v in versions:
+        if since_version < v <= to_version and _read_manifest(path, v)["op"] != "append":
+            raise ValueError(
+                f"version {v} is an overwrite: the {since_version}->{to_version} "
+                "delta is not append-only — re-read the full snapshot instead."
+            )
+    before = set(_read_manifest(path, since_version)["files"])
+    after = _read_manifest(path, to_version)["files"]
+    added = [f for f in after if f not in before]
+    if not added:
+        # zero-delta: preserve schema via the base version's read
+        return snapshot_read(spark, path, since_version).limit(0)
+    return spark.read.parquet(*[os.path.join(path, f) for f in added])
+
+
 def snapshot_history(path: str) -> list[dict]:
     """All manifests oldest-first, file lists elided to counts."""
     out = []
@@ -179,7 +257,11 @@ def snapshot_vacuum(path: str, keep_versions: int = 1) -> list[str]:
     newest ``keep_versions`` manifests, removes older manifests and any
     ``data/<commit>/`` directory none of the keepers cite (stranded
     crash debris included). Returns removed paths. Callers give up time
-    travel past the retention horizon — same contract as Delta VACUUM."""
+    travel past the retention horizon — same contract as Delta VACUUM —
+    and idempotent-sink users must keep retention LONGER than their
+    source's replay horizon: the ``txn`` dedup records live in the
+    manifests, so vacuuming past them would let an ancient replayed
+    epoch re-append."""
     _require_local(path)
     import shutil
 

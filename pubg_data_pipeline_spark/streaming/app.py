@@ -1119,3 +1119,45 @@ def streaming_etl_with_dlq(
         available_now=available_now,
         checkpoint=checkpoint,
     )
+
+
+def snapshot_sink_epoch(
+    batch_df: DataFrame, epoch_id: int, table_path: str, app_id: str
+) -> None:
+    """foreachBatch body writing micro-batches to a manifest-committed
+    snapshot table (sources/snapshots.py) with EXACTLY-ONCE effective
+    output: the commit carries ``txn=(app_id, epoch_id)``, so a
+    replayed epoch (foreachBatch is at-least-once) is recognized from
+    the manifest history and skipped before any data is written —
+    the transactional alternative to the epoch-partitioned
+    dynamic-overwrite protocol the other sinks here use, with time
+    travel and reader isolation for free."""
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    snapshots.snapshot_commit(
+        batch_df, table_path, mode="append", txn=(app_id, int(epoch_id))
+    )
+
+
+def streaming_to_snapshot(
+    stream: DataFrame,
+    table_path: str,
+    app_id: str,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Stream -> snapshot table: every micro-batch becomes one atomic
+    table version; concurrent readers keep a consistent snapshot while
+    the stream appends, and replays dedup via the per-epoch txn record.
+    Vacuum retention must exceed the source's replay horizon (see
+    snapshots.snapshot_vacuum)."""
+    _require_local_path(table_path, "streaming_to_snapshot")
+    return sinks.foreach_batch_sink(
+        stream,
+        lambda df, eid: snapshot_sink_epoch(df, eid, table_path, app_id),
+        trigger_seconds,
+        output_mode="append",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )

@@ -146,3 +146,82 @@ def test_append_preserves_schema_and_values(spark, tmp_path):
     assert back.columns == ["id", "doubled"]
     rows = {(r.id, r.doubled) for r in back.collect()}
     assert rows == {(i, 2 * i) for i in range(6)}
+
+
+def test_txn_commit_is_idempotent_under_replay(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path, txn=("appA", 0))
+    # at-least-once retry of the SAME epoch: must be a no-op
+    v = snapshots.snapshot_commit(_df(spark, 0, 5), path, txn=("appA", 0))
+    assert v == 1
+    assert snapshots.snapshot_read(spark, path).count() == 5
+    # a LOWER epoch replay (restart from older checkpoint) also skips
+    snapshots.snapshot_commit(_df(spark, 0, 5), path, txn=("appA", 1))
+    snapshots.snapshot_commit(_df(spark, 99, 100), path, txn=("appA", 0))
+    assert snapshots.snapshot_read(spark, path).count() == 10
+    # a different app_id is an independent txn lane
+    snapshots.snapshot_commit(_df(spark, 100, 101), path, txn=("appB", 0))
+    assert snapshots.snapshot_read(spark, path).count() == 11
+    assert snapshots.last_committed_txn(path, "appA") == 1
+    assert snapshots.last_committed_txn(path, "appB") == 0
+    assert snapshots.last_committed_txn(path, "appC") is None
+
+
+def test_changes_returns_exactly_the_appended_rows(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)
+    snapshots.snapshot_commit(_df(spark, 5, 9), path)
+    snapshots.snapshot_commit(_df(spark, 9, 12), path)
+    delta = snapshots.snapshot_changes(spark, path, since_version=1)
+    assert sorted(r.id for r in delta.collect()) == list(range(5, 12))
+    mid = snapshots.snapshot_changes(spark, path, 1, to_version=2)
+    assert sorted(r.id for r in mid.collect()) == [5, 6, 7, 8]
+    # zero-delta keeps the schema
+    none = snapshots.snapshot_changes(spark, path, 3, to_version=3)
+    assert none.columns == ["id", "doubled"] and none.count() == 0
+
+
+def test_changes_refuses_overwrite_in_range(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)
+    snapshots.snapshot_commit(_df(spark, 50, 52), path, mode="overwrite")
+    snapshots.snapshot_commit(_df(spark, 52, 54), path)
+    with _pytest.raises(ValueError, match="overwrite"):
+        snapshots.snapshot_changes(spark, path, since_version=1)
+    # range strictly after the overwrite is fine
+    ok = snapshots.snapshot_changes(spark, path, since_version=2)
+    assert sorted(r.id for r in ok.collect()) == [52, 53]
+
+
+def test_streaming_to_snapshot_end_to_end_and_epoch_replay(spark, tmp_path):
+    from pubg_data_pipeline_spark.streaming import app
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("id long, doubled long").json(str(src))
+        q = app.streaming_to_snapshot(
+            stream, table, app_id="snapstream", available_now=True, checkpoint=ckpt
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    (src / "b1.jsonl").write_text('{"id": 1, "doubled": 2}\n{"id": 2, "doubled": 4}\n')
+    run()
+    assert snapshots.snapshot_read(spark, table).count() == 2
+    (src / "b2.jsonl").write_text('{"id": 3, "doubled": 6}\n')
+    run()
+    assert sorted(r.id for r in snapshots.snapshot_read(spark, table).collect()) == [1, 2, 3]
+    # manual replay of an already-committed epoch: exactly-once holds
+    replay = spark.createDataFrame([(1, 2), (2, 4)], "id long, doubled long")
+    app.snapshot_sink_epoch(replay, 0, table, "snapstream")
+    assert snapshots.snapshot_read(spark, table).count() == 3
+    # each micro-batch was one atomic version, all append-lineage
+    assert [h["op"] for h in snapshots.snapshot_history(table)] == ["append", "append"]
