@@ -153,3 +153,45 @@ def distribution_drift(
         "n_cur",
         ((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi_contrib"),
     )
+
+
+def k_anonymize(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Suppression-based k-anonymity: drop every row whose
+    quasi-identifier combination appears fewer than ``k`` times, so no
+    released row can be narrowed to fewer than ``k`` individuals via
+    those columns. Callers generalize first (bucket values, truncate
+    timestamps, drop direct identifiers) — generalization is a
+    projection, suppression is the operator.
+
+    Scale: one window count partitioned by the quasi columns — a single
+    hash-partition shuffle on the same keys a groupBy would use, no
+    join, no second scan of the fact table."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    return (
+        df.withColumn("__qi_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__qi_n") >= k)
+        .drop("__qi_n")
+    )
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: Sequence[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """Per-quasi-group l-diversity audit: k-anonymity alone leaks when
+    everyone in a group shares the sensitive value (homogeneity
+    attack), so each released group must carry >= ``l`` DISTINCT
+    sensitive values. One grouped aggregate; returns group size,
+    distinct-sensitive count, and the pass flag per group."""
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(sensitive_col).alias("n_sensitive_values"),
+        (F.countDistinct(sensitive_col) >= l).alias("l_diverse"),
+    )

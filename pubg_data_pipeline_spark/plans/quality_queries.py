@@ -180,9 +180,77 @@ FROM counts, tot
 """
 
 
+def events_k_anonymous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release of events (operators/profile.k_anonymize):
+    direct identifiers dropped, quasi-identifiers generalized
+    (timestamp -> date, value -> width-50 band), then every
+    quasi-combination seen fewer than 10 times suppressed — the
+    standard privacy gate before telemetry leaves the warehouse or
+    enters a training corpus. The oracle replays the same window-count
+    suppression, so a hash match pins the exact released multiset.
+
+    Scale: generalization is a projection; suppression is one window
+    count on the quasi keys (single shuffle, no join)."""
+    from pubg_data_pipeline_spark.operators import profile as prof
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.floor(F.col("value") / 50).cast("long").alias("value_band"),
+    )
+    return prof.k_anonymize(ev, ["event_type", "event_date", "value_band"], k=10)
+
+
+_K_ANON_SQL = """
+WITH g AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(FLOOR(value / 50) AS BIGINT) AS value_band
+  FROM events
+), c AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_type, event_date, value_band) AS n
+  FROM g
+)
+SELECT event_type, event_date, value_band FROM c WHERE n >= 10
+"""
+
+
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the generalized quasi-groups
+    (operators/profile.l_diversity_report): a k-anonymous group whose
+    members all share one sensitive value still identifies it
+    (homogeneity attack), so each (event_type, date) group must carry
+    >= 3 distinct user_ids before release. One grouped aggregate."""
+    from pubg_data_pipeline_spark.operators import profile as prof
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        "user_id",
+    )
+    return prof.l_diversity_report(
+        ev, ["event_type", "event_date"], "user_id", l=3
+    )
+
+
+_L_DIVERSITY_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(*) AS group_size,
+       COUNT(DISTINCT user_id) AS n_sensitive_values,
+       COUNT(DISTINCT user_id) >= 3 AS l_diverse
+FROM events
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+
 SPECS = [
     QuerySpec(
         "event_value_psi_drift", event_value_psi_drift, _VALUE_PSI_SQL, ("quality", "stats", "drift")
+    ),
+    QuerySpec(
+        "events_k_anonymous", events_k_anonymous, _K_ANON_SQL, ("quality", "privacy")
+    ),
+    QuerySpec(
+        "events_l_diversity", events_l_diversity, _L_DIVERSITY_SQL, ("quality", "privacy")
     ),
     QuerySpec(
         "event_type_drift", event_type_drift, _TYPE_DRIFT_SQL, ("quality", "stats", "drift")
