@@ -60,6 +60,7 @@ HEADLINE = [
     "paragraph_block_dedup",
     "incident_window_purchases",
     "doc_ngram_jaccard_pairs_capped",
+    "doc_prefix_jaccard_pairs",
     "embedding_ivf_index_topk",
     "part_name_fuzzy_pairs",
     "doc_length_global_rank",

@@ -587,3 +587,73 @@ def incremental_ingest_dedup(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "fingerprint")
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT Jaccard all-pairs via prefix filtering (AllPairs/PPJoin
+    family — Bayardo et al., WWW'07; Vernica et al., SIGMOD'10): the
+    lossless scale path between the full inverted index (every posting
+    list joined) and the df-cap (changes semantics) / MinHash
+    (probabilistic).
+
+    Shingles get a global canonical order (ascending document
+    frequency, ties by value). A doc with n shingles indexes only its
+    PREFIX — the first ``p = n - ceil(t*n) + 1`` shingles in that
+    order. Completeness is one-sided and airtight: if a pair (x, y)
+    shares no shingle from x's prefix, then the intersection lives in
+    x's suffix, so |x∩y| <= n_x - p_x = ceil(t*n_x) - 1 < t*n_x <=
+    t*|x∪y| — i.e. J < t. Hence joining PREFIX entries against FULL
+    posting entries of the other side catches every qualifying pair;
+    candidates are then exactly verified.
+
+    Why it scales where the full index doesn't: a boilerplate shingle
+    in k docs costs the full index O(k²) pairs, but ranks LAST in the
+    canonical order, so it almost never lands in any prefix — its join
+    fan-out is |prefix entries| * k ~= 0 * k. The hottest keys prune
+    themselves, with zero semantic change (pinned equal to the uncapped
+    baseline by oracle hash and tests).
+
+    The shingle projection feeds FOUR consumers here (doc frequency,
+    ranking, the full probe side, and the verify joins) — pass a
+    ``.persist()``-ed :func:`shingle_table` via ``shingles`` so the
+    regex tokenizer runs once per corpus scan, not four times (at
+    100 TB: write the shingle table out and reuse it)."""
+    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, shingle_n)
+    exploded = sh.select("__id", F.explode("__sh").alias("shingle"))
+    doc_freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # Rarest-first per-doc ordering as ONE hash aggregate + in-array
+    # sort (small per-doc arrays, JVM-side) — cheaper than a
+    # sort-based window over the whole exploded multiset. array_sort
+    # on (df, shingle) structs is exactly the canonical order.
+    ordered = (
+        exploded.join(doc_freq, "shingle")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "shingle"))).alias("__ord"))
+    )
+    n = F.size("__ord")
+    prefix = ordered.select(
+        F.col("__id").alias("__pid"),
+        F.explode(
+            F.slice("__ord", 1, (n - F.ceil(F.lit(threshold) * n) + 1).cast("int"))
+        ).alias("__p"),
+    ).select("__pid", F.col("__p.shingle").alias("shingle"))
+    # Probe one direction only: for any qualifying pair the SMALLER
+    # id's prefix must hit the other doc's full set (the one-sided
+    # completeness bound above holds for either member), so
+    # pid < qid keeps every true pair while halving candidate volume.
+    candidates = (
+        prefix.join(exploded.select(F.col("__id").alias("__qid"), "shingle"), "shingle")
+        .filter(F.col("__pid") < F.col("__qid"))
+        .select(F.col("__pid").alias("id_a"), F.col("__qid").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(
+        df, candidates, text_col, id_col, shingle_n, threshold, shingles=sh
+    )

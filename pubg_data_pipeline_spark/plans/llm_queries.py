@@ -185,7 +185,12 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-_JACCARD_SQL = r"""
+def _jaccard_sql_at(threshold: float) -> str:
+    """Exact word-3-gram Jaccard oracle, parameterized on the keep
+    threshold — shared by the uncapped inverted-index baseline and the
+    prefix-filtered AllPairs variant (both are EXACT, so one oracle
+    family pins both)."""
+    return rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
 ), sh AS (
@@ -207,8 +212,34 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
 """
+
+
+_JACCARD_SQL = _jaccard_sql_at(0.05)
+
+
+def doc_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via AllPairs/PPJoin-style prefix filtering
+    (operators.dedup.prefix_filtered_jaccard_pairs): each doc indexes
+    only its rarest-first shingle prefix, so boilerplate shingles prune
+    themselves out of the candidate join with ZERO semantic change —
+    the lossless scale path, pinned hash-equal to the same exact-
+    Jaccard oracle family as the uncapped baseline. Threshold 0.2 so
+    the prefix (n - ceil(t*n) + 1 entries) is a real subset; at 0.05
+    the prefix degenerates to the whole posting list."""
+    docs = load_table(spark, sf_dir, "documents")
+    # One persisted shingle table serves all four consumers (df-count,
+    # ranking, probe side, verify) — same sharing pattern as
+    # embedding-side near-dup queries above.
+    sh = dedup.shingle_table(docs, "text", "doc_id", shingle_n=3).persist()
+    pairs = dedup.prefix_filtered_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.2, shingles=sh
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_JACCARD_PREFIX_SQL = _jaccard_sql_at(0.2)
 
 
 def doc_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,6 +897,7 @@ SPECS = [
     ),
     QuerySpec("doc_lang_id", doc_lang_id, _LANG_SQL, ("llm", "text")),
     QuerySpec("doc_ngram_jaccard_pairs", doc_ngram_jaccard_pairs, _JACCARD_SQL, ("llm", "dedup")),
+    QuerySpec("doc_prefix_jaccard_pairs", doc_prefix_jaccard_pairs, _JACCARD_PREFIX_SQL, ("llm", "dedup")),
     QuerySpec(
         "doc_ngram_jaccard_pairs_capped",
         doc_ngram_jaccard_pairs_capped,

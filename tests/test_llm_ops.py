@@ -102,6 +102,56 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert len(uncapped) == 15  # C(6,2): all-pairs
 
 
+def test_prefix_filtered_jaccard_equals_exact_baseline(spark, docs_df):
+    # Prefix filtering is LOSSLESS: at every threshold the result must
+    # be identical (pairs AND similarity values) to the uncapped
+    # inverted-index baseline — that is the whole point of the
+    # AllPairs/PPJoin family vs the semantics-changing df-cap.
+    for t in (0.1, 0.5, 0.9):
+        base = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in dedup.ngram_jaccard_pairs(
+                docs_df, "text", "doc_id", threshold=t
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in dedup.prefix_filtered_jaccard_pairs(
+                docs_df, "text", "doc_id", threshold=t
+            ).collect()
+        }
+        assert pref == base, f"threshold {t}: {pref} != {base}"
+
+
+def test_prefix_filtered_jaccard_survives_boilerplate_corpus(spark):
+    # The corpus that blows up the full inverted index: one shingle in
+    # every doc. The hot shingle ranks LAST in the rarest-first
+    # canonical order, so at threshold 0.5 it never enters any prefix —
+    # yet the result stays exact (the boilerplate-only pairs are below
+    # threshold anyway, and genuine near-dups keep their true Jaccard
+    # computed over ALL shingles including the hot one).
+    boiler = "standard license header text"
+    docs = [
+        (1, f"{boiler} alpha beta gamma delta epsilon"),
+        (2, f"{boiler} alpha beta gamma delta zeta"),
+        (3, f"{boiler} one two three four five"),
+        (4, f"{boiler} six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    base = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.prefix_filtered_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert pref == base
+    assert (1, 2) in pref  # the genuine near dup, exact similarity
+
+
 def test_incremental_ingest_dedup_against_persisted_index(spark, tmp_path):
     # history indexed once; the new batch drops rows already in history
     # (even under whitespace/case normalization), keeps one keeper per
