@@ -61,6 +61,7 @@ HEADLINE = [
     "incident_window_purchases",
     "doc_ngram_jaccard_pairs_capped",
     "doc_prefix_jaccard_pairs",
+    "doc_bigram_ppl_filter",
     "embedding_ivf_index_topk",
     "part_name_fuzzy_pairs",
     "doc_length_global_rank",

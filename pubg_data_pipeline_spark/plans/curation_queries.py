@@ -536,6 +536,131 @@ FROM scored
 """
 
 
+def doc_bigram_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter with a TRAINED bigram LM: fit
+    add-k-smoothed bigram probabilities on a deterministic 40% training
+    slice (doc_id % 5 < 2), score every OTHER document by mean bigram
+    log-probability, and keep the low-perplexity half (ppl <= corpus
+    median). This is the cross-split structure the unigram scorer
+    (doc_unigram_logprob) deliberately omits — the model is estimated
+    on held-out data, so scoring is honest LM inference, not
+    self-normalization.
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), k = 0.5, V = distinct
+    training unigrams + 1 (the unseen-word event); unseen contexts and
+    bigrams fall out of the same formula via LEFT-join + coalesce(0),
+    no special-casing.
+
+    Scale: the bigram count table is O(unique bigrams) — far too big to
+    broadcast — so scoring is a shuffle EQUI-join on (w1, w2), the
+    natural key; the context join on w1 is the skewed one (stopword
+    contexts), which AQE skew-join splitting handles (pinned on in the
+    session factory). V and the median are scalar broadcasts. The
+    median keep-gate is percentile over ROUNDED ppl (2dp) — a single
+    partial-agg scalar, not a global sort/window — and the rounding
+    makes the boundary comparison engine-stable."""
+    k = 0.5
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tokened = docs.select("doc_id", arr.alias("arr")).filter(F.size("arr") > 1)
+    train = tokened.filter(F.col("doc_id") % 5 < 2)
+    score = tokened.filter(F.col("doc_id") % 5 >= 2)
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(arr, 1, size(arr) - 1)"),
+                    F.expr("slice(arr, 2, size(arr) - 1)"),
+                )
+            ).alias("b"),
+        ).select("doc_id", F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+
+    train_bi = bigrams(train)
+    bi_c = train_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_c = train_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        train.select(F.explode("arr").alias("w"))
+        .agg((F.count_distinct("w") + 1).alias("v"))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v"))
+    )
+    scored = (
+        bigrams(score)
+        .join(bi_c, ["w1", "w2"], "left")
+        .join(ctx_c, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(logp).alias("__lp"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("__lp") / F.col("n_bigrams"), 4).alias("avg_logprob"),
+            F.round(F.exp(-F.col("__lp") / F.col("n_bigrams")), 2).alias("bigram_ppl"),
+        )
+    )
+    med = scored.agg(F.expr("percentile(bigram_ppl, 0.5)").alias("__m"))
+    return scored.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        "bigram_ppl",
+        F.when(F.col("bigram_ppl") <= F.col("__m"), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+_BIGRAM_PPL_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
+), tok AS (
+  SELECT doc_id, arr FROM t WHERE len(arr) > 1
+), train AS (
+  SELECT * FROM tok WHERE doc_id % 5 < 2
+), score AS (
+  SELECT * FROM tok WHERE doc_id % 5 >= 2
+), train_bi AS (
+  SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(arr) - 1),
+                                         i -> {'w1': arr[i], 'w2': arr[i+1]})) AS u
+    FROM train
+  )
+), score_bi AS (
+  SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(arr) - 1),
+                                         i -> {'w1': arr[i], 'w2': arr[i+1]})) AS u
+    FROM score
+  )
+), bi_c AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM train_bi GROUP BY 1, 2
+), ctx_c AS (
+  SELECT w1, COUNT(*) AS c1 FROM train_bi GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w) + 1 AS v FROM (SELECT unnest(arr) AS w FROM train)
+), sc AS (
+  SELECT s.doc_id, COUNT(*) AS n_bigrams,
+         SUM(LN((COALESCE(c12, 0) + 0.5) / (COALESCE(c1, 0) + 0.5 * v.v))) AS lp
+  FROM score_bi s
+  LEFT JOIN bi_c USING (w1, w2)
+  LEFT JOIN ctx_c USING (w1)
+  CROSS JOIN v
+  GROUP BY 1
+), agg AS (
+  SELECT doc_id, n_bigrams,
+         ROUND(lp / n_bigrams, 4) AS avg_logprob,
+         ROUND(EXP(-lp / n_bigrams), 2) AS bigram_ppl
+  FROM sc
+), med AS (
+  SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY bigram_ppl) AS m FROM agg
+)
+SELECT doc_id, n_bigrams, avg_logprob, bigram_ppl,
+       CASE WHEN bigram_ppl <= m THEN 1 ELSE 0 END AS keep
+FROM agg CROSS JOIN med
+"""
+
+
 # --------------------------- fixed-context sequence packing
 
 _CTX_TOKENS = 512
@@ -623,6 +748,9 @@ FROM frag
 
 SPECS = [
     QuerySpec("doc_unigram_logprob", doc_unigram_logprob, _UNIGRAM_LP_SQL, ("llm", "curation", "text")),
+    QuerySpec(
+        "doc_bigram_ppl_filter", doc_bigram_ppl_filter, _BIGRAM_PPL_SQL, ("llm", "curation", "text")
+    ),
     QuerySpec(
         "context_window_packing", context_window_packing, _CTX_PACKING_SQL, ("curation", "window")
     ),
