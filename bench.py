@@ -48,6 +48,7 @@ HEADLINE = [
     "top2_orders_lateral",
     "user_sessions_native",
     "embedding_ivf_topk",
+    "embedding_ivfpq_topk",
     "local_supplier_volume",
     "doc_repetition_metrics",
     "token_shard_packing",

@@ -397,6 +397,189 @@ def lsh_bucketed_top_k(
     )
 
 
+# ---------------------------------------------------------- IVF-PQ
+
+_PQ_BOOKS_CACHE: dict[tuple, list] = {}
+
+
+def train_pq_codebooks(
+    corpus_vecs: DataFrame, dim: int, m: int, ksub: int, seed: int = 42
+) -> list:
+    """Per-subspace k-means codebooks for product quantization: split
+    the vector into ``m`` contiguous subvectors of dim/m, fit ``ksub``
+    centroids in each subspace on the same deterministic hash-sample
+    policy as the IVF coarse quantizer (codebooks are index METADATA —
+    never a full-corpus job at 100 TB). Returns
+    ``books[m][ksub][dim//m]`` plain float lists.
+
+    Train on the vectors exactly as they will be encoded (here:
+    L2-normalized), or the codebook distributions won't match the
+    code-assignment inputs."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dsub = dim // m
+    sample = corpus_vecs.filter(
+        F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(8)) == 0
+    )
+    if sample.limit(ksub).count() < ksub:
+        sample = corpus_vecs
+    sample = sample.persist()
+    try:
+        books = []
+        for j in range(m):
+            sub = sample.select(
+                F.slice("cv", j * dsub + 1, dsub).alias("sv")
+            ).withColumn("features", array_to_vector(F.col("sv")))
+            # same degenerate-input guard as train_ivf_centers: k-means
+            # needs >= k distinct points; clamp k to what exists.
+            distinct_n = sub.select("sv").distinct().limit(ksub).count()
+            model = KMeans(
+                k=max(1, min(ksub, distinct_n)),
+                seed=seed + j,
+                maxIter=5,
+                initMode="random",
+                featuresCol="features",
+                predictionCol="code",
+            ).fit(sub)
+            books.append([list(map(float, ctr)) for ctr in model.clusterCenters()])
+        return books
+    finally:
+        sample.unpersist()
+
+
+def pq_codes(books: list, v: Column) -> Column:
+    """PQ code for vector column ``v``: array<int> of per-subspace
+    argmin-distance codebook indices. Pure literal-centroid
+    expressions (the array_sort struct trick of _cell_ranking), so
+    encoding is whole-stage codegen — the one-off compression pass a
+    100 TB corpus pays to shrink each vector to m small ints."""
+    dsub = len(books[0][0])
+    out = []
+    for j, book in enumerate(books):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(_d2_to(c, sub).alias("d2"), F.lit(i).alias("code"))
+                    for i, c in enumerate(book)
+                ]
+            )
+        )
+        out.append(ranked[0]["code"])
+    return F.array(*out)
+
+
+def _pq_luts(books: list, qv: Column) -> Column:
+    """Per-query ADC lookup tables: luts[j][c] = squared distance from
+    the query's j-th subvector to codebook centroid c. m*ksub scalar
+    expressions per query row — built once per query, reused across
+    every candidate in the scan."""
+    dsub = len(books[0][0])
+    return F.array(
+        *[
+            F.array(*[_d2_to(c, F.slice(qv, j * dsub + 1, dsub)) for c in book])
+            for j, book in enumerate(books)
+        ]
+    )
+
+
+def ivfpq_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    refine: int = 4,
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Faiss-style IVF-PQ approximate cosine top-k — the architecture
+    that scales ANN past what raw-vector scans allow: a coarse k-means
+    quantizer routes each query to ``nprobe`` of ``nlist`` cells, and
+    inside the probed cells candidates are scored from their PQ CODES
+    ONLY (asymmetric distance: sum of m per-subspace LUT entries), so
+    the scan reads m ints per vector instead of dim floats — a
+    16-64x byte reduction that is the difference between an in-memory
+    scan and a disk-bound one at 100 TB. The ``refine * k`` best
+    candidates per query by ADC are then re-ranked EXACTLY by joining
+    the full-vector table on id — the standard two-stage recall
+    repair.
+
+    The candidate scan deliberately carries only (cell, neighbor_id,
+    codes): full vectors re-enter the plan ONLY for the refine set,
+    mirroring the on-storage split (codes hot, vectors cold) a real
+    deployment uses. Cosine ordering: all vectors are L2-normalized,
+    so ascending squared-L2 ADC == descending approximate cosine.
+
+    No SQL oracle (two k-means stages); recall and the
+    duplicate-vector guarantee are property-tested against
+    brute_force_top_k."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    )
+    ckey = (cache_key, nlist, seed, dim)
+    if cache_key is not None and ckey in _IVF_CENTERS_CACHE:
+        centers = _IVF_CENTERS_CACHE[ckey]
+    else:
+        centers = train_ivf_centers(c, nlist, seed)
+        if cache_key is not None:
+            _IVF_CENTERS_CACHE[ckey] = centers
+    vectors = _l2_normalized(
+        c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"]), "cv"
+    )
+    bkey = (cache_key, nlist, m, ksub, seed, dim)
+    if cache_key is not None and bkey in _PQ_BOOKS_CACHE:
+        books = _PQ_BOOKS_CACHE[bkey]
+    else:
+        books = train_pq_codebooks(vectors.select("neighbor_id", "cv"), dim, m, ksub, seed)
+        if cache_key is not None:
+            _PQ_BOOKS_CACHE[bkey] = books
+    # the 100 TB shape: codes table narrow/hot, vector table wide/cold
+    codes = vectors.select("cell", "neighbor_id", pq_codes(books, F.col("cv")).alias("codes"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+    )
+    probes = _l2_normalized(
+        q.withColumn(
+            "probe", F.explode(F.slice(_cell_ranking(centers, F.col("qv")), 1, nprobe))
+        ).select("query_id", "qv", F.col("probe.cell").alias("cell")),
+        "qv",
+    ).withColumn("__lut", _pq_luts(books, F.col("qv")))
+    adc = F.aggregate(
+        F.zip_with(F.col("__lut"), F.col("codes"), lambda l, c_: F.element_at(l, c_ + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_d2", adc)
+        .withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= k * refine)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.join(vectors.select("neighbor_id", "cv"), "neighbor_id")
+        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def merge_topk_states(*states: DataFrame, k: int = 5) -> DataFrame:
     """Merge per-batch top-k search results into the global top-k:
     union then re-rank per query. Top-k is a MERGEABLE aggregate

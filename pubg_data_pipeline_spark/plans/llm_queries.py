@@ -451,6 +451,24 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faiss-style IVF-PQ ANN: coarse cells route each query to nprobe
+    cells, candidates inside are scored from product-quantization
+    CODES only (asymmetric distance via per-query LUTs — the scan
+    reads m ints per vector, not 64 floats), and the ADC shortlist is
+    re-ranked exactly against the full-vector table. The
+    compressed-scan architecture that keeps ANN in memory at 100 TB.
+    Rows-only check (two k-means stages, no SQL oracle); recall and
+    duplicate-vector guarantees are property-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_top_k(
+        emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
+        k=5, nlist=8, nprobe=3, m=4, ksub=16, refine=16,
+        cache_key=f"embeddings:{sf_dir}",
+    )
+
+
 def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN served from the PERSISTED IVF index: cell-partitioned parquet
     + centers metadata written once per (process, sf), then probed via
@@ -913,6 +931,7 @@ SPECS = [
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ml_lsh_topk", embedding_ml_lsh_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("llm", "ann")),
+    QuerySpec("embedding_ivfpq_topk", embedding_ivfpq_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ivf_index_topk", embedding_ivf_index_topk, None, ("llm", "ann", "io")),
     QuerySpec(
         "incremental_ingest_dedup",

@@ -280,6 +280,57 @@ def test_ivf_persisted_index_matches_inmemory_and_prunes_partitions(spark, tmp_p
     assert "dynamicpruning" in plan.lower(), plan
 
 
+def test_ivfpq_codes_shape_and_duplicate_vector(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    rows.append((999, list(rows[0][1])))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # codes are m ints, each < ksub
+    vecs = df.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    books = similarity.train_pq_codebooks(vecs, dim=16, m=4, ksub=8, seed=1)
+    assert len(books) == 4 and all(len(b) <= 8 for b in books)
+    coded = df.select(similarity.pq_codes(books, F.col("embedding")).alias("codes")).first()
+    assert len(coded["codes"]) == 4
+    assert all(0 <= c < 8 for c in coded["codes"])
+    # the exact duplicate must be found at rank 1 with cos_sim 1.0:
+    # identical vectors share cell AND codes, and the exact re-rank
+    # restores full precision
+    res = similarity.ivfpq_top_k(
+        df, df.filter(F.col("vec_id") == 0), dim=16, k=3,
+        nlist=4, nprobe=2, m=4, ksub=8, refine=4,
+    )
+    top = [r for r in res.collect() if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 999
+    assert abs(top["cos_sim"] - 1.0) < 1e-9
+
+
+def test_ivfpq_agrees_with_ivf_routing(spark):
+    # With a generous refine budget the ADC shortlist must recover
+    # nearly everything plain IVF (same coarse routing, exact in-cell
+    # scoring) finds — PQ adds compression, not routing loss.
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") < 5)
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_top_k(df, qs, dim=16, k=5, nlist=4, nprobe=2).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_top_k(
+            df, qs, dim=16, k=5, nlist=4, nprobe=2, m=4, ksub=16, refine=16
+        ).collect()
+    }
+    assert len(ivf & pq) / len(ivf) >= 0.8, (ivf - pq, pq - ivf)
+
+
 def test_ml_lsh_finds_duplicate_vector(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
