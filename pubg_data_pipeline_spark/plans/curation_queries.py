@@ -746,6 +746,146 @@ FROM frag
 """
 
 
+def shard_output_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity manifest for the shuffled training write: one row per
+    output shard (same md5 deal as `training_shuffle_shards`, so this
+    IS that layout's manifest) with document count, distinct-id count
+    (any gap = duplicate rows smuggled into a shard), char and byte
+    totals, and an ORDER-INDEPENDENT content checksum — the sum of each
+    row's rolling fingerprint folded mod 1e6+3 (sum, not hash-of-
+    concat, so the value is invariant to row order and partitioning;
+    60k-row shards sum to ~6e10, 100 TB shards to ~1e18 — still inside
+    BIGINT).
+
+    This is the validation artifact a 100 TB dataset build publishes
+    next to the data: a consumer re-running the manifest query over the
+    delivered shards and comparing checksums detects dropped, doubled,
+    or corrupted rows without ever re-reading the build's inputs. One
+    map-side projection + one 8-group aggregate."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("shuffle-"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 8
+    fp = rolling_fingerprint(F.col("text"))
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            "n_chars",
+            F.octet_length("text").alias("__bytes"),
+            F.pmod(fp, F.lit(1_000_003)).alias("__ck"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("__bytes").cast("long").alias("total_bytes"),
+            F.sum("__ck").cast("long").alias("content_checksum"),
+        )
+    )
+
+
+_MANIFEST_SQL = rf"""
+WITH s AS (
+  SELECT CAST(('0x' || substring(md5('shuffle-' || doc_id), 1, 8)) AS BIGINT) % 8 AS shard,
+         doc_id, n_chars,
+         octet_length(encode(text)) AS bytes,
+         ({_FP_SQL}) % 1000003 AS ck
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs,
+       COUNT(DISTINCT doc_id) AS n_distinct_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(ck) AS BIGINT) AS content_checksum
+FROM s GROUP BY shard
+"""
+
+
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (at most 20 docs per source, selected by
+    a salted content-independent hash): the "no source dominates the
+    mixture" guard of corpus assembly, deterministic across engines and
+    partitioning (never RNG / never `LIMIT`-order dependent). Output:
+    the kept documents with their within-source hash rank.
+
+    Scale: one window partitioned by SOURCE — parallel across sources,
+    and each source's partition sorts only its own rows (the corpus is
+    never globally sorted). Spark plans this as WindowGroupLimit when
+    the rank filter is pushed, so per-partition work is top-20, not a
+    full sort."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("cap-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h)
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("cap_rank"))
+        .filter(F.col("cap_rank") <= 20)
+    )
+
+
+_CAPPED_SQL = """
+SELECT doc_id, source, cap_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('cap-' || doc_id)) AS cap_rank
+  FROM documents
+) WHERE cap_rank <= 20
+"""
+
+
+def source_epoch_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch plan (the LLaMA-style data-mixing step):
+    given per-source TOKEN counts and temperature-weighted targets
+    (tokens^0.7, normalized — up-weights small high-quality sources),
+    compute each source's share of the total token budget and the
+    REPEAT FACTOR (epochs) its documents train for: factor > 1 means
+    the source repeats; < 1 means it's subsampled. The budget here is
+    the corpus's own token total, so factors express pure rebalancing.
+
+    Scale: one corpus-wide (source) aggregate; the normalization
+    window runs over the |sources|-row post-agg frame (dimension-sized
+    by design). pow() is IEEE-deterministic; outputs rounded per
+    base.py's determinism rules."""
+    docs = _docs(spark, sf_dir)
+    per_src = (
+        docs.select("source", token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(0.7))
+    w_all = Window.partitionBy()
+    weight = w_raw / F.sum(w_raw).over(w_all)
+    budget = F.sum("n_tokens").over(w_all)
+    target = weight * budget
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(target, 0).cast("long").alias("target_tokens"),
+        F.round(target / F.col("n_tokens"), 4).alias("repeat_factor"),
+    )
+
+
+_EPOCH_MIX_SQL = r"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(pow(n_tokens, 0.7) / SUM(pow(n_tokens, 0.7)) OVER (), 6) AS mix_weight,
+       CAST(ROUND(pow(n_tokens, 0.7) / SUM(pow(n_tokens, 0.7)) OVER ()
+                  * SUM(n_tokens) OVER (), 0) AS BIGINT) AS target_tokens,
+       ROUND(pow(n_tokens, 0.7) / SUM(pow(n_tokens, 0.7)) OVER ()
+             * SUM(n_tokens) OVER () / n_tokens, 4) AS repeat_factor
+FROM c
+"""
+
+
 SPECS = [
     QuerySpec("doc_unigram_logprob", doc_unigram_logprob, _UNIGRAM_LP_SQL, ("llm", "curation", "text")),
     QuerySpec(
@@ -773,4 +913,13 @@ SPECS = [
         "doc_repetition_metrics", doc_repetition_metrics, _REPETITION_SQL, ("curation", "text")
     ),
     QuerySpec("doc_clean_redact", doc_clean_redact, _CLEAN_SQL, ("curation", "text")),
+    QuerySpec(
+        "shard_output_manifest", shard_output_manifest, _MANIFEST_SQL, ("curation", "io")
+    ),
+    QuerySpec(
+        "source_capped_sample", source_capped_sample, _CAPPED_SQL, ("curation",)
+    ),
+    QuerySpec(
+        "source_epoch_mixing", source_epoch_mixing, _EPOCH_MIX_SQL, ("curation",)
+    ),
 ]

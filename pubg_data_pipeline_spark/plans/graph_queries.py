@@ -450,7 +450,62 @@ SELECT node AS doc_id, ROUND(rank, 6) AS rank FROM r{iterations}
     return "".join(parts)
 
 
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is assigned per
+    NEAR-DUP CLUSTER, not per document, so two near-duplicates can
+    never straddle the train/eval boundary (the classic eval-
+    contamination failure of per-document hash splits — a paraphrase
+    of a test document sitting in train). Clusters are the transitive
+    closure of the exact word-3-gram Jaccard pairs (threshold 0.05 —
+    the same oracle-checked pair set as `doc_dup_clusters`); a
+    singleton doc is its own cluster. The bucket is a multiplicative
+    hash of the cluster id (exact BIGINT arithmetic both engines;
+    cluster_id < 2^31 keeps the product < 2^63, no ANSI overflow) —
+    deterministic, engine-portable, and uniform enough for an 80/10/10
+    cut.
+
+    Scale: the cluster table is |docs-in-any-pair| rows (orders below
+    the corpus), built once by the O(log d) distributed closure and
+    LEFT-joined back broadcast-style; everything else is one map-side
+    projection per row. Output: one row per document with its cluster
+    and split — the per-doc assignment a shuffled dataset write keys
+    on."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = graph.connected_components(
+        _jaccard_pairs(spark, sf_dir), src="id_a", dst="id_b"
+    ).withColumnRenamed("node", "doc_id")
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = F.pmod(cluster * F.lit(2654435761) + F.lit(97), F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id", cluster.alias("cluster_id"), split.alias("split")
+    )
+
+
+_LEAKAGE_SPLIT_SQL = _CLOSURE_PRELUDE + """
+, labeled AS (
+  SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN (cluster_id * 2654435761 + 97) % 100 < 80 THEN 'train'
+            WHEN (cluster_id * 2654435761 + 97) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM labeled
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "doc_leakage_safe_split",
+        doc_leakage_safe_split,
+        _LEAKAGE_SPLIT_SQL,
+        ("llm", "dedup", "graph", "curation"),
+    ),
     QuerySpec(
         "neardup_pagerank", neardup_pagerank, _pagerank_sql(), ("llm", "graph", "dedup")
     ),
