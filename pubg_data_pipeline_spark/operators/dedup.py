@@ -630,8 +630,12 @@ def prefix_filtered_jaccard_pairs(
     doc_freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     # Rarest-first per-doc ordering as ONE hash aggregate + in-array
     # sort (small per-doc arrays, JVM-side) — cheaper than a
-    # sort-based window over the whole exploded multiset. array_sort
-    # on (df, shingle) structs is exactly the canonical order.
+    # sort-based window over the whole exploded multiset (measured:
+    # the COUNT-over-shingle-partition window form, which saves one
+    # exchange on paper, is ~2x slower because WindowExec must SORT
+    # every posting by shingle; the agg+join stays hash-based
+    # end-to-end). array_sort on (df, shingle) structs is exactly the
+    # canonical order.
     ordered = (
         exploded.join(doc_freq, "shingle")
         .groupBy("__id")

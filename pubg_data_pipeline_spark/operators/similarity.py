@@ -414,6 +414,9 @@ def lsh_bucketed_top_k(
 # ---------------------------------------------------------- IVF-PQ
 
 _PQ_BOOKS_CACHE: dict[tuple, list] = {}
+# (normalized full-vector table, PQ codes table) per (cache_key, ...):
+# the in-memory twin of a persisted IVF-PQ index's two storage tiers.
+_PQ_INDEX_CACHE: dict[tuple, tuple] = {}
 
 
 def train_pq_codebooks(
@@ -567,8 +570,22 @@ def ivfpq_top_k(
         books = train_pq_codebooks(vectors.select("neighbor_id", "cv"), dim, m, ksub, seed)
         if cache_key is not None:
             _PQ_BOOKS_CACHE[bkey] = books
-    # the 100 TB shape: codes table narrow/hot, vector table wide/cold
-    codes = vectors.select("cell", "neighbor_id", pq_codes(books, F.col("cv")).alias("codes"))
+    # the 100 TB shape: codes table narrow/hot, vector table wide/cold.
+    # Both are DERIVED INDEX ARTIFACTS of a static corpus (built once
+    # at index time, like write_ivf_index's on-disk layout), so with a
+    # cache_key they are materialized once per (process, dataset) and
+    # every subsequent query pays only probe + ADC scan + re-rank —
+    # never corpus re-normalization / re-encoding.
+    if cache_key is not None and bkey in _PQ_INDEX_CACHE:
+        vectors, codes = _PQ_INDEX_CACHE[bkey]
+    else:
+        codes = vectors.select(
+            "cell", "neighbor_id", pq_codes(books, F.col("cv")).alias("codes")
+        )
+        if cache_key is not None:
+            vectors = vectors.localCheckpoint(eager=True)
+            codes = codes.localCheckpoint(eager=True)
+            _PQ_INDEX_CACHE[bkey] = (vectors, codes)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     )

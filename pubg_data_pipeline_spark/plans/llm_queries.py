@@ -443,11 +443,13 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via an IVF index (k-means cells + nprobe probing
     + exact in-cell re-rank) — the inverted-file counterpart to the LSH
     scale path."""
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_top_k(
         emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
-        k=5, nlist=8, nprobe=3, cache_key=f"embeddings:{sf_dir}",
+        k=5, nlist=8, nprobe=3, cache_key=dataset_cache_tag(sf_dir, "embeddings"),
     )
 
 
@@ -460,12 +462,14 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed-scan architecture that keeps ANN in memory at 100 TB.
     Rows-only check (two k-means stages, no SQL oracle); recall and
     duplicate-vector guarantees are property-tested."""
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivfpq_top_k(
         emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
         k=5, nlist=8, nprobe=3, m=4, ksub=16, refine=16,
-        cache_key=f"embeddings:{sf_dir}",
+        cache_key=dataset_cache_tag(sf_dir, "embeddings"),
     )
 
 
