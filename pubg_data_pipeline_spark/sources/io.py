@@ -206,6 +206,40 @@ def read_binary_files(
     return df
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    shard_col: str | None = None,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """JSONL training-export sink — the delivery format most LLM
+    training stacks consume (one JSON object per line, gzip by
+    default). ``shard_col`` partitions the layout by the shard id a
+    packing/shuffle step assigned (training_shuffle_shards /
+    token_shard_packing), so each shard is an independently
+    downloadable directory and a loader can stream shards in parallel
+    without a manifest scan.
+
+    The write is one job, no driver-side iteration: Spark's JSON sink
+    serializes rows executor-side. Consumers verify delivery with
+    `shard_output_manifest`'s order-independent checksums."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if shard_col is not None:
+        writer = writer.partitionBy(shard_col)
+    writer.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Read back a `write_jsonl` export (compression is codec-sniffed
+    from file extensions). Pass the DDL schema in production — same
+    schema-on-read contract as read_json; partition columns written by
+    ``shard_col`` come back via directory discovery."""
+    return read_json(spark, path, schema=schema)
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — the engine is format-agnostic at the storage edge
     (parquet is the default everywhere else; ORC interops with
