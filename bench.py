@@ -122,6 +122,10 @@ HEADLINE = [
     "embedding_hard_negatives",
     "alert_notification_payloads",
     "waiting_suppliers",
+    "doc_leakage_safe_split",
+    "shard_output_manifest",
+    "source_capped_sample",
+    "source_epoch_mixing",
 ]
 
 

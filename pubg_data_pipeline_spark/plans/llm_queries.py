@@ -898,7 +898,127 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def doc_quality_trained_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE model training for quality filtering: full-batch
+    logistic-regression GD (operators/ml.py:train_logistic) distills
+    the composite quality heuristic into a linear model — label =
+    (quality >= 0.6), features = the heuristic's raw inputs (length
+    term, stopword ratio, punctuation ratio). This is the
+    teacher-heuristic -> student-classifier step real curation stacks
+    run (fasttext quality models are trained on exactly such heuristic
+    or LM-judged labels); 24 iterations at lr=4.0 reach ~85% train
+    accuracy (majority class is ~50%). Output: the trained
+    coefficients and training accuracy — the coefficients a
+    `doc_quality_model_score`-style serving expression then applies
+    corpus-wide.
+
+    Each GD iteration is ONE distributed aggregate (4 sums + count)
+    over the materialized 4-column feature table; driver traffic is 4
+    floats per round regardless of corpus size (the AllReduce linear-
+    learning shape — see operators/ml.py). The DuckDB oracle replays
+    the IDENTICAL training program as a generated chained-CTE pipeline
+    (one CTE pair per iteration), possible because weights are rounded
+    to 8dp after every update so cross-engine partial-sum
+    reassociation (~1e-13) cannot compound."""
+    from pubg_data_pipeline_spark.operators import ml
+
+    docs = _docs(spark, sf_dir)
+    cols = text_stats_columns(F.col("text"))
+    # Materialize the tiny feature projection once: the trainer scans
+    # it once per iteration and must not re-run the regex/tokenizer
+    # pipeline 7 times (same eager-localCheckpoint rationale as
+    # train_bpe's vocab).
+    feats = docs.select(
+        (F.least(cols["n_tokens"].cast("double"), F.lit(200.0)) / F.lit(200.0)).alias(
+            "x1"
+        ),
+        cols["stop_ratio"].alias("x2"),
+        cols["punct_ratio"].alias("x3"),
+        (cols["quality"] >= 0.6).cast("double").alias("y"),
+    ).localCheckpoint(eager=True)
+    fx = [F.col("x1"), F.col("x2"), F.col("x3")]
+    w = ml.train_logistic(feats, fx, F.col("y"), iterations=24, lr=4.0, round_dp=8)
+    acc = ml.train_accuracy(feats, w, fx, F.col("y"))
+    rows = [(f"w{j}", round(wj, 6)) for j, wj in enumerate(w)]
+    rows.append(("train_accuracy", acc))
+    return spark.createDataFrame(rows, "term string, value double")
+
+
+def _trained_model_sql(iterations: int = 24, lr: float = 4.0) -> str:
+    """The training run as a DuckDB program: feature CTE, then one
+    (gradient, weights) CTE pair per iteration, then the final report.
+
+    Every chained CTE is AS MATERIALIZED: with default inlining each
+    reference re-expands its whole ancestry, so a 24-round chain
+    becomes O(2^24) scans of the parquet (observed as an fd-exhaustion
+    blowup); materialization keeps the oracle linear in iterations —
+    which is also exactly the semantics the Spark side has (one job
+    per round against materialized features)."""
+    z = "(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    err = f"(1.0 / (1.0 + exp(-{z})) - y)"
+    prefix = rf"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x IN ({_STOPS}))) AS stop_hits,
+         length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) * 1.0
+           / GREATEST(length(text), 1) AS praw
+  FROM documents
+), feat AS MATERIALIZED (
+  SELECT LEAST(CAST(n_tokens AS DOUBLE), 200.0) / 200.0 AS x1,
+         stop_hits * 1.0 / GREATEST(n_tokens, 1) AS x2,
+         praw AS x3,
+         CAST(ROUND((LEAST(n_tokens / 100.0, 1.0)
+                   + LEAST(stop_hits * 1.0 / GREATEST(n_tokens, 1) * 4, 1.0)
+                   + (1.0 - LEAST(praw * 10, 1.0))) / 3.0, 6) >= 0.6
+              AS DOUBLE) AS y
+  FROM t
+), w0_t AS (
+  SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+         CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3
+)"""
+    parts = [prefix]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""", g{k} AS MATERIALIZED (
+  SELECT COUNT(*) AS n,
+         SUM({err}) AS g0,
+         SUM({err} * x1) AS g1,
+         SUM({err} * x2) AS g2,
+         SUM({err} * x3) AS g3
+  FROM feat CROSS JOIN w{k - 1}_t w
+), w{k}_t AS MATERIALIZED (
+  SELECT ROUND(w.w0 - {lr} * g.g0 / g.n, 8) AS w0,
+         ROUND(w.w1 - {lr} * g.g1 / g.n, 8) AS w1,
+         ROUND(w.w2 - {lr} * g.g2 / g.n, 8) AS w2,
+         ROUND(w.w3 - {lr} * g.g3 / g.n, 8) AS w3
+  FROM w{k - 1}_t w CROSS JOIN g{k} g
+)"""
+        )
+    parts.append(
+        f"""
+SELECT 'w0' AS term, ROUND(w0, 6) AS value FROM w{iterations}_t
+UNION ALL SELECT 'w1', ROUND(w1, 6) FROM w{iterations}_t
+UNION ALL SELECT 'w2', ROUND(w2, 6) FROM w{iterations}_t
+UNION ALL SELECT 'w3', ROUND(w3, 6) FROM w{iterations}_t
+UNION ALL
+SELECT 'train_accuracy',
+       ROUND(AVG(CAST((ROUND({z}, 6) >= 0) = (y = 1.0) AS DOUBLE)), 6)
+FROM feat CROSS JOIN w{iterations}_t w
+"""
+    )
+    return "".join(parts)
+
+
 SPECS = [
+    QuerySpec(
+        "doc_quality_trained_model",
+        doc_quality_trained_model,
+        _trained_model_sql(),
+        ("llm", "curation", "ml"),
+    ),
     QuerySpec(
         "embedding_hard_negatives", embedding_hard_negatives, _HARD_NEG_SQL, ("llm", "ann")
     ),
