@@ -167,6 +167,32 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
+def band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(``doc``, ``band_idx``, ``band_key``) LSH bucket rows — the
+    shared first half of every MinHash consumer (candidate pairs,
+    the persisted near-dup index, streaming ingest): shingle →
+    minhash signature → band keys, exploded to ``bands`` rows per
+    document. Two docs are near-dup CANDIDATES iff they share a row's
+    (band_idx, band_key). ``num_hashes`` must be divisible by
+    ``bands``."""
+    rows = num_hashes // bands
+    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, shingle_n)
+    sh = sh.select(F.col("__id").alias("doc"), "__sh")
+    sig = sh.select("doc", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+    return sig.select(
+        "doc",
+        F.posexplode(lsh_bands(F.col("__sig"), bands, rows)).alias("band_idx", "band_key"),
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -183,14 +209,7 @@ def minhash_candidate_pairs(
     Pass ``shingles`` (a shingle_table result) to share one shingle
     computation with other consumers (e.g. jaccard_verify).
     """
-    rows = num_hashes // bands
-    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, shingle_n)
-    sh = sh.select(F.col("__id").alias("doc"), "__sh")
-    sig = sh.select("doc", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
-    banded = sig.select(
-        "doc",
-        F.posexplode(lsh_bands(F.col("__sig"), bands, rows)).alias("band_idx", "band_key"),
-    )
+    banded = band_table(df, text_col, id_col, num_hashes, bands, shingle_n, shingles)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -587,6 +606,96 @@ def incremental_ingest_dedup(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "fingerprint")
     )
+
+
+def write_band_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the corpus's MinHash-LSH band keys as the NEAR-dup index
+    for incremental ingestion — the fuzzy sibling of
+    :func:`write_fingerprint_index` (which only catches byte-identical
+    content after normalization). The index holds one
+    (band_idx, band_key, keeper_id) row per kept document per band —
+    ``bands`` longs + an id per doc, orders smaller than the text —
+    so each new crawl batch can be near-dup-checked against ALL of
+    history without rescanning or re-shingling historical text. At
+    full scale write it bucketed on (band_idx, band_key)
+    (sources/io.py:write_bucketed_table) so the per-batch probe join
+    is shuffle-free on the index side."""
+    (
+        band_table(df, text_col, id_col, num_hashes, bands, shingle_n)
+        .select("band_idx", "band_key", F.col("doc").alias("keeper_id"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_neardup_ingest(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dedup a NEW ingestion batch against the persisted band
+    index AND within itself; returns the surviving band rows
+    (``doc``, ``band_idx``, ``band_key``) — ``doc`` distinct-ed is the
+    set to append to the corpus, the rows as-is are the set to append
+    to the index (a survivor's FULL band set must be indexed so future
+    batches can collide with it on any band).
+
+    Policy (deterministic, O(batch + probed index), no iteration):
+
+    - HISTORY: a batch doc sharing ≥1 (band_idx, band_key) with the
+      index is a near-dup of something already ingested — dropped
+      (history always wins; the index row's keeper stays).
+    - WITHIN BATCH, greedy-by-id: a doc sharing a bucket with a
+      smaller-id batch doc is dropped; i.e. a doc survives iff it is
+      the bucket minimum in EVERY band bucket it occupies. This is the
+      single-aggregation analog of first-seen-wins ingestion order.
+      It differs from single-linkage closure only on chain cases
+      (a~c and b~c but not a~b keeps {a, b}; the closure keeps {a}) —
+      for full transitive clustering run the batch analytics path
+      (minhash_candidate_pairs → graph.connected_components) instead;
+      an ingest epoch must stay one-pass.
+
+    Scale: the history check shuffles only the batch's O(bands·n) band
+    rows and the (semi-join-pruned) index — never historical text; the
+    within-batch step is one aggregate + one join on the same
+    (band_idx, band_key) key, so all three stages share partitioning."""
+    bt = band_table(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
+    index = spark.read.parquet(index_path).select("band_idx", "band_key")
+    return neardup_survivor_bands(bt, index)
+
+
+def neardup_survivor_bands(bt: DataFrame, index_bands: DataFrame | None) -> DataFrame:
+    """The policy core of :func:`incremental_neardup_ingest`, over an
+    already-built band table (and an optional history band set — None
+    on the very first ingest epoch, when no index exists yet)."""
+    if index_bands is not None:
+        hist_hits = (
+            bt.join(index_bands, ["band_idx", "band_key"], "left_semi")
+            .select("doc")
+            .distinct()
+        )
+        bt = bt.join(hist_hits, "doc", "left_anti")
+    bucket_min = bt.groupBy("band_idx", "band_key").agg(F.min("doc").alias("__min_doc"))
+    beaten = (
+        bt.join(bucket_min, ["band_idx", "band_key"])
+        .filter(F.col("doc") > F.col("__min_doc"))
+        .select("doc")
+        .distinct()
+    )
+    return bt.join(beaten, "doc", "left_anti").select("doc", "band_idx", "band_key")
 
 
 def prefix_filtered_jaccard_pairs(

@@ -522,6 +522,38 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_ingest_dedup(spark, path, batch, text_col="text", id_col="doc_id")
 
 
+def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion NEAR-dedup against a persisted MinHash
+    band index (operators.dedup.write_band_index +
+    incremental_neardup_ingest) — the fuzzy sibling of
+    incremental_ingest_dedup: history = docs with doc_id % 4 < 3
+    (band-indexed once per process and sf), new batch = the rest;
+    batch docs sharing any LSH band key with history are dropped, then
+    within-batch collisions keep the bucket-minimum doc_id. Output:
+    surviving doc ids with their band count. Rows-only check (the
+    xxhash64 MinHash family is not SQL-reproducible in DuckDB); the
+    policy itself is pinned by unit tests (planted cross-batch and
+    within-batch near-dups) in tests/test_ingest_neardup.py."""
+    import os
+
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = dataset_cache_tag(sf_dir, "documents")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo_root, ".index_cache", f"bands_{tag}")
+    if not os.path.isdir(path):
+        dedup.write_band_index(
+            docs.filter(F.col("doc_id") % 4 < 3), path, text_col="text", id_col="doc_id"
+        )
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    return (
+        dedup.incremental_neardup_ingest(spark, path, batch, text_col="text", id_col="doc_id")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
 _INCREMENTAL_INGEST_SQL = r"""
 WITH hist AS (
   SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
@@ -1061,6 +1093,12 @@ SPECS = [
         "incremental_ingest_dedup",
         incremental_ingest_dedup,
         _INCREMENTAL_INGEST_SQL,
+        ("llm", "dedup", "io"),
+    ),
+    QuerySpec(
+        "incremental_neardup_ingest",
+        incremental_neardup_ingest,
+        None,
         ("llm", "dedup", "io"),
     ),
 ]

@@ -354,6 +354,120 @@ def streaming_ingest_dedup(
     )
 
 
+def ingest_neardup_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """One epoch of streaming corpus ingestion with NEAR-dup dedup
+    against the persisted MinHash band index (the streaming twin of
+    operators.dedup.incremental_neardup_ingest, and the fuzzy sibling
+    of :func:`ingest_dedup_epoch`, which only catches
+    byte-identical-after-normalization content): micro-batch docs
+    sharing any LSH band key with history are dropped, within-batch
+    collisions keep the bucket-minimum id (greedy first-seen policy —
+    see the operator's docstring for how it relates to transitive
+    closure), and survivors land in BOTH the corpus table and the band
+    index — ``bands`` longs + an id per kept doc — so the next epoch
+    near-dup-checks against them too. Epoch cost is
+    O(batch·bands + index probe), never O(historical text).
+
+    Exactly-once under foreachBatch's at-least-once retries by the
+    same protocol as :func:`ingest_dedup_epoch`: both outputs are
+    PARTITIONED BY the epoch id and written with dynamic partition
+    overwrite (a replayed micro-batch overwrites exactly its own
+    ``__epoch=N`` directories), and survivors are materialized with an
+    eager ``localCheckpoint`` before either write so the index write
+    can never recompute the probe against the directory the corpus
+    write just changed. A retry that finds its bands already indexed
+    recomputes an empty survivor set and touches no partitions.
+
+    Assumes one stream per (corpus_path, index_path) pair — epoch ids
+    are unique per streaming checkpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators.dedup import band_table, neardup_survivor_bands
+
+    _require_local_path(index_path, "ingest_neardup_epoch")
+    _require_local_path(corpus_path, "ingest_neardup_epoch")
+    spark = batch_df.sparkSession
+    has_index = os.path.isdir(index_path) and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(index_path)
+        for f in files
+    )
+    idx = (
+        spark.read.parquet(index_path).select("band_idx", "band_key") if has_index else None
+    )
+    bt = band_table(batch_df, text_col, id_col, num_hashes, bands, shingle_n)
+    keep = (
+        neardup_survivor_bands(bt, idx)
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .localCheckpoint()
+    )
+    keep_ids = keep.select(F.col("doc").alias(id_col), "__epoch").distinct()
+    (
+        batch_df.join(keep_ids, id_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(corpus_path)
+    )
+    (
+        keep.select("band_idx", "band_key", F.col("doc").alias("keeper_id"), "__epoch")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(index_path)
+    )
+
+
+def streaming_ingest_neardup(
+    doc_stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Document stream -> continuously NEAR-deduplicated corpus + band
+    index. With ``available_now=True`` the same query definition
+    backfills pending files and stops — rerunning it later ingests
+    only new files (the checkpoint tracks progress) and near-dup
+    checks them against everything already ingested."""
+    return sinks.foreach_batch_sink(
+        doc_stream,
+        lambda df, eid: ingest_neardup_epoch(
+            df,
+            eid,
+            index_path,
+            corpus_path,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        ),
+        trigger_seconds,
+        output_mode="append",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )
+
+
 def dim_upsert_epoch(
     batch_df: DataFrame,
     epoch_id: int,
