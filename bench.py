@@ -68,6 +68,7 @@ HEADLINE = [
     "doc_length_global_rank",
     "curriculum_shard_packing",
     "incremental_ingest_dedup",
+    "incremental_neardup_ingest",
     "daily_from_hourly_rollup",
     "event_type_salted_agg",
     "bucketed_segment_order_stats",
