@@ -209,17 +209,21 @@ def main() -> None:
 
 
 def _regressions_vs_last_recorded(
-    timings: dict[str, float], factor: float = 1.5, min_sec: float = 0.3
+    timings: dict[str, float],
+    factor: float = 1.5,
+    min_sec: float = 0.3,
+    root: str | None = None,
 ) -> dict[str, dict[str, float]]:
     """Per-query comparison against the most recent recorded
-    BENCH_r{N}.json in the repo root: queries now > ``factor``× slower
-    are flagged so an environment/testdata drift is caught by the
-    builder before the driver sees it. Sub-``min_sec`` queries are
-    ignored (pure scheduling noise at that magnitude)."""
+    BENCH_r{N}.json in the repo root (``root`` overrides, for tests):
+    queries now > ``factor``× slower are flagged so an
+    environment/testdata drift is caught by the builder before the
+    driver sees it. Sub-``min_sec`` queries are ignored (pure
+    scheduling noise at that magnitude)."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = root or os.path.dirname(os.path.abspath(__file__))
     rounds = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)

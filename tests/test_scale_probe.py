@@ -48,6 +48,8 @@ EXPENSIVE = [
     "neardup_pagerank",
     "doc_bm25_search",
     "event_user_heavy_hitters",
+    "doc_prefix_jaccard_pairs",
+    "incremental_neardup_ingest",
 ]
 NESTED_LOOP_OK = {"part_name_fuzzy_pairs", "incident_window_purchases"}
 
