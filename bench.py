@@ -69,6 +69,7 @@ HEADLINE = [
     "curriculum_shard_packing",
     "incremental_ingest_dedup",
     "incremental_neardup_ingest",
+    "event_feed_freshness",
     "daily_from_hourly_rollup",
     "event_type_salted_agg",
     "bucketed_segment_order_stats",

@@ -242,9 +242,76 @@ GROUP BY event_type, strftime(ts, '%Y-%m-%d')
 """
 
 
+def event_feed_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness / completeness SLA monitor: each
+    event_type's newest event is lagged against the dataset watermark
+    (the global max ts), feeds more than 60 minutes behind are flagged
+    stale, and hours_with_data over the feed's own active span exposes
+    gaps (a feed can be fresh yet hole-ridden). The standard "is every
+    upstream producer still alive?" health page a 100 TB ingest runs
+    on a schedule.
+
+    Scale: one grouped aggregation over the scan (map-side partial
+    agg on the handful of feed keys) plus a 1-row broadcast for the
+    watermark — no shuffle beyond the per-feed agg, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("__wm"))
+    per_feed = ev.groupBy("event_type").agg(
+        F.max("ts").alias("__last"),
+        F.min("ts").alias("__first"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd HH")).alias("hours_with_data"),
+    )
+    lag_min = F.floor(
+        (F.unix_timestamp("__wm") - F.unix_timestamp("__last")) / F.lit(60)
+    ).cast("long")
+    span_hours = (
+        F.floor(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("__last")))
+             - F.unix_timestamp(F.date_trunc("hour", F.col("__first"))))
+            / F.lit(3600)
+        ).cast("long")
+        + F.lit(1)
+    )
+    return per_feed.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        F.date_format("__last", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        lag_min.alias("lag_minutes"),
+        (lag_min > 60).alias("stale"),
+        "n_events",
+        "hours_with_data",
+        (span_hours - F.col("hours_with_data")).alias("missing_hours"),
+    )
+
+
+_FRESHNESS_SQL = """
+WITH wm AS (SELECT MAX(ts) AS w FROM events),
+per_feed AS (
+  SELECT event_type,
+         MAX(ts) AS last_ts,
+         MIN(ts) AS first_ts,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT strftime(ts, '%Y-%m-%d %H')) AS hours_with_data
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+       CAST(FLOOR((epoch(w) - epoch(last_ts)) / 60) AS BIGINT) AS lag_minutes,
+       FLOOR((epoch(w) - epoch(last_ts)) / 60) > 60 AS stale,
+       n_events,
+       hours_with_data,
+       CAST(FLOOR((epoch(date_trunc('hour', last_ts)) - epoch(date_trunc('hour', first_ts))) / 3600) AS BIGINT)
+         + 1 - hours_with_data AS missing_hours
+FROM per_feed, wm
+"""
+
+
 SPECS = [
     QuerySpec(
         "event_value_psi_drift", event_value_psi_drift, _VALUE_PSI_SQL, ("quality", "stats", "drift")
+    ),
+    QuerySpec(
+        "event_feed_freshness", event_feed_freshness, _FRESHNESS_SQL, ("quality", "monitor")
     ),
     QuerySpec(
         "events_k_anonymous", events_k_anonymous, _K_ANON_SQL, ("quality", "privacy")
