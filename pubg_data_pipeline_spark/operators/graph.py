@@ -148,14 +148,27 @@ def connected_components(
 
 
 def dedup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Close near-dup pairs into clusters: (cluster_id, n_members,
     max_member). ``cluster_id`` = min member id = the canonical keeper
     under the keep-lowest-id policy (the same deterministic policy as
     ``dedup.exact_text_dedup``). Singletons (docs in no pair) are not
-    emitted — they are trivially their own keeper."""
-    comp = connected_components(pairs, src=id_a, dst=id_b)
+    emitted — they are trivially their own keeper.
+
+    ``components``: pass a precomputed (node, component) closure of the
+    SAME pair set to skip the iterative CC — the expensive half of
+    every closure consumer, so pipelines running several of them share
+    one materialized closure (same derived-artifact pattern as the
+    pair table itself)."""
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src=id_a, dst=id_b)
+    )
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max("node").alias("max_member"),
@@ -169,16 +182,22 @@ def deduped_corpus_by_quality(
     quality_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster dedup keeping the BEST-quality member per near-dup
     cluster (ties broken by min id) — what a real curation run wants:
     when a boilerplate-stripped page and its raw twin collide, keep
     the higher-quality one, not the lower doc id. One window over the
     (tiny) membership table picks keepers; the corpus-side removal is
-    the same broadcast anti-join as ``deduped_corpus``."""
+    the same broadcast anti-join as ``deduped_corpus``. ``components``
+    as in :func:`dedup_clusters`."""
     from pyspark.sql import Window
 
-    comp = connected_components(pairs, src=id_a, dst=id_b)
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src=id_a, dst=id_b)
+    )
     members = comp.join(
         df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("__q")), "node"
     )
@@ -192,13 +211,23 @@ def deduped_corpus_by_quality(
 
 
 def deduped_corpus(
-    df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Apply cluster dedup to the corpus: drop every row whose id sits
     in a near-dup cluster but is not the cluster's minimum. One
     broadcast-able join against the (small) non-keeper set — at 100 TB
-    the removal list is |duplicates|, orders below |corpus|."""
-    comp = connected_components(pairs, src=id_a, dst=id_b)
+    the removal list is |duplicates|, orders below |corpus|.
+    ``components`` as in :func:`dedup_clusters`."""
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src=id_a, dst=id_b)
+    )
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

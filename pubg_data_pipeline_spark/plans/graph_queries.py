@@ -76,6 +76,27 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (node, component) transitive closure of `_jaccard_pairs`,
+    materialized once per process per dataset: the iterative CC is the
+    expensive half of every closure query (clusters / deduped corpus /
+    quality keeper / leakage-safe split), so it's a shared derived
+    artifact exactly like the pair table it closes — at 100 TB both
+    would be written out once and every downstream consumer reads the
+    table. Same mtime/size cache key discipline."""
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+
+    key = "cc05:" + dataset_cache_tag(sf_dir, "documents")
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    comp = graph.connected_components(
+        _jaccard_pairs(spark, sf_dir), src="id_a", dst="id_b"
+    ).localCheckpoint(eager=True)
+    _PAIRS_CACHE[key] = comp
+    return comp
+
+
 # Shared oracle prelude: the pair set (verbatim from _JACCARD_SQL in
 # llm_queries.py), symmetrized into an undirected edge list, closed
 # into components by recursive reachability, labeled min-reachable-id.
@@ -120,7 +141,9 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (threshold 0.05) closed under transitivity. One row per
     multi-member cluster: canonical keeper id (= min member), member
     count, max member."""
-    return graph.dedup_clusters(_jaccard_pairs(spark, sf_dir))
+    return graph.dedup_clusters(
+        _jaccard_pairs(spark, sf_dir), components=_components_cached(spark, sf_dir)
+    )
 
 
 _CLUSTERS_SQL = _CLOSURE_PRELUDE + """
@@ -138,7 +161,12 @@ def doc_corpus_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB curation run ships — anti-join against the (small) loser
     set, broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    kept = graph.deduped_corpus(docs, _jaccard_pairs(spark, sf_dir), "doc_id")
+    kept = graph.deduped_corpus(
+        docs,
+        _jaccard_pairs(spark, sf_dir),
+        "doc_id",
+        components=_components_cached(spark, sf_dir),
+    )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
@@ -171,7 +199,11 @@ def doc_corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     two policies are directly comparable."""
     docs = load_table(spark, sf_dir, "documents")
     kept = graph.deduped_corpus_by_quality(
-        docs, _jaccard_pairs(spark, sf_dir), "doc_id", "n_chars"
+        docs,
+        _jaccard_pairs(spark, sf_dir),
+        "doc_id",
+        "n_chars",
+        components=_components_cached(spark, sf_dir),
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -471,9 +503,7 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     and split — the per-doc assignment a shuffled dataset write keys
     on."""
     docs = load_table(spark, sf_dir, "documents")
-    comp = graph.connected_components(
-        _jaccard_pairs(spark, sf_dir), src="id_a", dst="id_b"
-    ).withColumnRenamed("node", "doc_id")
+    comp = _components_cached(spark, sf_dir).withColumnRenamed("node", "doc_id")
     cluster = F.coalesce(F.col("component"), F.col("doc_id"))
     bucket = F.pmod(cluster * F.lit(2654435761) + F.lit(97), F.lit(100))
     split = (
