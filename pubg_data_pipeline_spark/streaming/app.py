@@ -1052,6 +1052,50 @@ def compact_gram_index(spark, index_path: str) -> None:
     shutil.rmtree(old)
 
 
+def compact_ingest_index(spark, index_path: str, key_cols: list[str]) -> None:
+    """Maintenance for the streaming ingest-dedup indexes: fold all
+    epoch partitions into a single epoch-0 partition, keeping the
+    min ``keeper_id`` per key. Set-membership semantics (the only
+    thing the ingest anti-join/probe reads) are unchanged, so dedup
+    decisions after compaction are identical; what changes is the
+    file count — a long-running ingest writes one small partition per
+    micro-batch, and at a 100 TB deployment's cadence that is the
+    classic small-files decay this job reverses on a schedule.
+
+    ``key_cols``: ["fingerprint"] for the exact index
+    (:func:`ingest_dedup_epoch`), ["band_idx", "band_key"] for the
+    near-dup band index (:func:`ingest_neardup_epoch`).
+
+    Same retention caveat as :func:`compact_gram_index`: run only for
+    epochs older than the streaming checkpoint's replay window — a
+    replayed epoch whose partition was compacted away would re-write
+    its ``__epoch=N`` directory, and its rows would then exist both
+    there and in the compacted base (harmless for membership, but the
+    keeper_id uniqueness invariant degrades to first-wins-on-read).
+    Crash-safe via the same rename-aside swap."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    _require_local_path(index_path, "compact_ingest_index")
+    merged = (
+        spark.read.parquet(index_path)
+        .groupBy(*key_cols)
+        .agg(F.min("keeper_id").alias("keeper_id"))
+        .withColumn("__epoch", F.lit(0))
+        .localCheckpoint()
+    )
+    tmp = f"{index_path}.tmp-compact"
+    old = f"{index_path}.old"
+    merged.write.mode("overwrite").partitionBy("__epoch").parquet(tmp)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old)
+
+
 # ------------------------------------------------------------------
 # streaming distribution-drift monitor (PSI per micro-batch)
 

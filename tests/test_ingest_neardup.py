@@ -94,6 +94,50 @@ def test_ingest_neardup_epoch_retry_is_idempotent(spark, tmp_path):
     assert got == [1, 3, 5]
 
 
+def test_compact_ingest_index_preserves_dedup_decisions(spark, tmp_path):
+    # Two epochs build a multi-partition band index; compaction folds
+    # it to one __epoch=0 partition. A later epoch must make the SAME
+    # decisions against the compacted index (membership is unchanged).
+    index, corpus = str(tmp_path / "idx"), str(tmp_path / "corp")
+    app.ingest_neardup_epoch(
+        spark.createDataFrame([(1, BASE)], "doc_id long, text string"), 0, index, corpus
+    )
+    app.ingest_neardup_epoch(
+        spark.createDataFrame([(2, OTHER)], "doc_id long, text string"), 1, index, corpus
+    )
+    import os
+
+    epochs_before = {d for d in os.listdir(index) if d.startswith("__epoch=")}
+    assert epochs_before == {"__epoch=0", "__epoch=1"}
+    app.compact_ingest_index(spark, index, ["band_idx", "band_key"])
+    assert {d for d in os.listdir(index) if d.startswith("__epoch=")} == {"__epoch=0"}
+
+    b2 = spark.createDataFrame(
+        [(3, NEAR), (4, OTHER), (5, "entirely novel meteorite prose")],
+        "doc_id long, text string",
+    )
+    app.ingest_neardup_epoch(b2, 2, index, corpus)
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 5]  # 3 near-dups doc 1, 4 exact-dups doc 2 — both still caught
+
+    # same protocol for the exact-fingerprint index
+    fidx, fcorp = str(tmp_path / "fidx"), str(tmp_path / "fcorp")
+    app.ingest_dedup_epoch(
+        spark.createDataFrame([(1, "alpha")], "doc_id long, text string"), 0, fidx, fcorp
+    )
+    app.ingest_dedup_epoch(
+        spark.createDataFrame([(2, "beta")], "doc_id long, text string"), 1, fidx, fcorp
+    )
+    app.compact_ingest_index(spark, fidx, ["fingerprint"])
+    app.ingest_dedup_epoch(
+        spark.createDataFrame([(3, "ALPHA "), (4, "gamma")], "doc_id long, text string"),
+        2,
+        fidx,
+        fcorp,
+    )
+    assert sorted(r.doc_id for r in spark.read.parquet(fcorp).collect()) == [1, 2, 4]
+
+
 def _write_docs(path, rows):
     with open(path, "w") as f:
         for doc_id, text in rows:
