@@ -56,6 +56,7 @@ HEADLINE = [
     "purchase_last_signup_asof",
     "doc_dup_clusters",
     "embedding_semantic_dedup",
+    "embedding_knn_graph",
     "incremental_hourly_distinct",
     "corpus_vocabulary",
     "paragraph_block_dedup",

@@ -529,7 +529,91 @@ FROM labeled
 """
 
 
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction over embeddings: for EVERY vector, its
+    top-3 cosine neighbors WITHIN its cell (`label` stands in for the
+    IVF/k-means assignment, as in embedding_semantic_dedup), plus a
+    mutual-edge flag — the substrate for kNN-graph clustering,
+    diversity sampling, and graph-based dedup.
+
+    Scale shape: the pair join is blocked on the cell key (never
+    corpus-wide O(n²)), vectors are L2-normalized per ROW before the
+    join so per-pair work is one fold, the per-vector top-3 is a
+    rank-filter window Catalyst executes as WindowGroupLimit (partial
+    top-k before the shuffle), and the mutual marking is a self-join
+    of the already-k-bounded edge list (≤ k·n rows, equi-join on the
+    edge key). Ranking is on the ROUNDED similarity with an id
+    tie-break so ordering is reproducible cross-engine."""
+    from pyspark.sql import Window
+
+    from pubg_data_pipeline_spark.functions.vectors import as_double_vec, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = emb.repartition(spark.sparkContext.defaultParallelism, "label").select(
+        "label", "vec_id", as_double_vec(F.col("embedding")).alias("e")
+    )
+    with_norm = raw.select(
+        "label", "vec_id", "e", F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm")
+    )
+    v = with_norm.filter(F.col("nrm") > 0.0).select(
+        "label", "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("u")
+    )
+    a = v.select("label", F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
+    b = v.select("label", F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
+    scored = (
+        a.join(b, ["label"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    edges = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    rev = edges.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), F.lit(1).alias("m")
+    )
+    return (
+        edges.join(rev, ["id_a", "id_b"], "left")
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("neighbor_id"),
+            F.col("rnk").alias("rank"),
+            "cos_sim",
+            F.coalesce(F.col("m"), F.lit(0)).alias("mutual"),
+        )
+    )
+
+
+_KNN_GRAPH_SQL = """
+WITH e0 AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), v AS (
+  SELECT label, vec_id, list_transform(e, x -> x / nrm) AS u
+  FROM e0 WHERE nrm > 0.0
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.u, b.u), 6) AS cos_sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id
+), edges AS (
+  SELECT * FROM (
+    SELECT id_a, id_b, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS rnk
+    FROM scored
+  ) WHERE rnk <= 3
+)
+SELECT e.id_a AS vec_id, e.id_b AS neighbor_id, e.rnk AS rank, e.cos_sim,
+       CASE WHEN r.id_a IS NOT NULL THEN 1 ELSE 0 END AS mutual
+FROM edges e LEFT JOIN edges r ON r.id_a = e.id_b AND r.id_b = e.id_a
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "embedding_knn_graph",
+        embedding_knn_graph,
+        _KNN_GRAPH_SQL,
+        ("llm", "graph", "vector", "ann"),
+    ),
     QuerySpec(
         "doc_leakage_safe_split",
         doc_leakage_safe_split,
