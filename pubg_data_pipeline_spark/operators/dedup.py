@@ -288,6 +288,61 @@ def ngram_jaccard_pairs(
             "MinHash-LSH (minhash_near_dups)",
             allow_full,
         )
+    inter, sizes = _shingle_pair_intersections(df, text_col, id_col, shingle_n, max_doc_freq)
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 4,
+) -> DataFrame:
+    """All pairs by exact n-gram OVERLAP COEFFICIENT
+    |A∩B| / min(|A|, |B|) — the asymmetric containment metric that
+    Jaccard misses: a short doc fully quoted inside a much longer one
+    scores overlap 1.0 but Jaccard ≈ |A|/|B| → 0. This is the
+    partial-duplication / quote-inclusion detector for corpus
+    curation (the reference has no text dedup at all; this extends the
+    LLM-pipeline suite alongside :func:`ngram_jaccard_pairs`).
+
+    Shares the inverted-index pair generation (one shuffle posting-list
+    group-then-generate + the hot-shingle doc-frequency cap) with the
+    Jaccard path; defaults to ``max_doc_freq=4`` because containment is
+    even more boilerplate-sensitive than Jaccard — a shared license
+    header alone can push a short doc to overlap 1.0.
+    """
+    inter, sizes = _shingle_pair_intersections(df, text_col, id_col, shingle_n, max_doc_freq)
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("overlap", F.col("n_inter") / F.least("n_a", "n_b"))
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "n_inter", "overlap")
+    )
+
+
+def _shingle_pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_doc_freq: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared exact-pair machinery: explode word shingles, apply the
+    optional hot-shingle doc-frequency cap, then generate ordered doc
+    pairs from sorted posting lists. Returns ``(inter, sizes)`` —
+    per-pair intersection counts (id_a < id_b) and per-doc shingle
+    counts over the SAME (possibly capped) shingle universe, so any
+    set-similarity metric derived from them is self-consistent."""
     exploded = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
@@ -339,13 +394,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
-        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return inter, sizes
 
 
 # ---------------------------------------------------------------- SimHash

@@ -314,6 +314,109 @@ WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
 """
 
 
+def _rp_sign(j: int, i: int) -> float:
+    """Deterministic ±1 hyperplane matrix entry (md5 parity of the
+    coordinates) — the SAME matrix is embedded as literals in both the
+    Spark plan and the DuckDB oracle, so the projection is
+    cross-engine exact."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest(), 16) & 1 else -1.0
+
+
+_RP_DIMS, _RP_IN_DIM = 8, 64
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sketch: project each 64-d embedding onto
+    8 seeded ±1 hyperplanes (Achlioptas-style sparse random projection,
+    signs from a deterministic hash). Dimensionality reduction for
+    downstream clustering/dedup at 100 TB: the projection is a pure
+    per-row map (zip_with+aggregate inside codegen, no shuffle, no
+    Python), so it streams at scan speed; `bucket` packs the 8 sign
+    bits into the hyperplane-LSH cell id that `embedding_lsh_topk`
+    uses for blocking. Extends the reference's (non-existent) vector
+    surface; oracle embeds the identical literal matrix."""
+    from pubg_data_pipeline_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = [
+        F.round(
+            dot(F.col("embedding"), F.array(*[F.lit(_rp_sign(j, i)) for i in range(_RP_IN_DIM)])),
+            6,
+        ).alias(f"p{j}")
+        for j in range(_RP_DIMS)
+    ]
+    out = emb.select(F.col("vec_id"), *proj)
+    bucket = None
+    for j in range(_RP_DIMS):
+        bit = F.when(F.col(f"p{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return out.withColumn("bucket", bucket.cast("int"))
+
+
+def _rp_oracle_sql() -> str:
+    cols = []
+    for j in range(_RP_DIMS):
+        arr = "[" + ",".join(str(_rp_sign(j, i)) for i in range(_RP_IN_DIM)) + "]::DOUBLE[]"
+        cols.append(f"ROUND(list_dot_product(embedding::DOUBLE[], {arr}), 6) AS p{j}")
+    bits = " + ".join(f"(CASE WHEN p{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(_RP_DIMS))
+    proj = ",\n       ".join(cols)
+    return f"""
+WITH proj AS (
+  SELECT vec_id,
+       {proj}
+  FROM embeddings
+)
+SELECT vec_id, {', '.join(f'p{j}' for j in range(_RP_DIMS))},
+       CAST({bits} AS INTEGER) AS bucket
+FROM proj
+"""
+
+
+def doc_overlap_coeff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplication pairs by exact word-3-gram OVERLAP
+    COEFFICIENT |A∩B| / min(|A|,|B|) ≥ 0.5 over the df≤4-capped
+    shingle universe (operators.dedup.ngram_overlap_pairs) — catches a
+    short doc contained in a longer one, which Jaccard dilutes to
+    |A|/|B|. Same single-shuffle posting-list machinery as the Jaccard
+    family, so the scale profile is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_overlap_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.5, max_doc_freq=4
+    )
+    return pairs.select("id_a", "id_b", "n_inter", F.round("overlap", 6).alias("overlap"))
+
+
+_OVERLAP_COEFF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(arr) - 2, 0)),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks
+), ex_all AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), ex AS (
+  SELECT doc_id, shingle FROM ex_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 4
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       ROUND(n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS overlap
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.5
+"""
+
+
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 5
     — the exact ANN baseline. Ranks on the ROUNDED similarity with an
@@ -1103,6 +1206,8 @@ SPECS = [
     QuerySpec("doc_lang_id", doc_lang_id, _LANG_SQL, ("llm", "text")),
     QuerySpec("doc_ngram_jaccard_pairs", doc_ngram_jaccard_pairs, _JACCARD_SQL, ("llm", "dedup")),
     QuerySpec("doc_prefix_jaccard_pairs", doc_prefix_jaccard_pairs, _JACCARD_PREFIX_SQL, ("llm", "dedup")),
+    QuerySpec("doc_overlap_coeff_pairs", doc_overlap_coeff_pairs, _OVERLAP_COEFF_SQL, ("llm", "dedup")),
+    QuerySpec("embedding_random_projection", embedding_random_projection, _rp_oracle_sql(), ("llm", "similarity")),
     QuerySpec(
         "doc_ngram_jaccard_pairs_capped",
         doc_ngram_jaccard_pairs_capped,

@@ -794,7 +794,58 @@ WHERE p.sigma > 0 AND ABS(e.value - p.mu) > 3 * p.sigma
 
 
 
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per event type: exact p05/p95 bounds
+    (interpolated percentile, rounded before use so the clip threshold
+    is cross-engine identical), values clipped into [p05, p95], then
+    the mean from exact scaled-integer sums. The outlier-trimming
+    normalizer for reward/metric columns ahead of training (the
+    reference clips nothing — its z-score alert at
+    spark_apps/advanced_analytics.py:96-117 flags outliers but feeds
+    raw values downstream).
+
+    Scale shape: the bounds frame is |event_type| rows → broadcast back
+    onto the fact scan; clip + sum is one map-side-combined groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 4).alias("p05"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .withColumn("__ws", exact_scaled(w, 4))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+            F.round(F.sum("__ws") / F.count(F.lit(1)) / 1e4, 4).alias("winsor_mean"),
+        )
+    )
+
+
+_WINSORIZED_SQL = f"""
+WITH pct AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.05), 4) AS p05,
+         ROUND(quantile_cont(value, 0.95), 4) AS p95
+  FROM events GROUP BY event_type
+), c AS (
+  SELECT e.event_type, p05, p95,
+         {sql_scaled('LEAST(GREATEST(value, p05), p95)', 4)} AS ws
+  FROM events e JOIN pct USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n_events,
+       MIN(p05) AS p05, MIN(p95) AS p95,
+       ROUND(SUM(ws) / COUNT(*) / 1e4, 4) AS winsor_mean
+FROM c GROUP BY event_type
+"""
+
+
 SPECS = [
+    QuerySpec("event_value_winsorized", event_value_winsorized, _WINSORIZED_SQL, ("stats", "robust")),
     QuerySpec("seasonal_anomalies", seasonal_anomalies, _SEASONAL_SQL, ("stats", "anomaly", "time")),
     QuerySpec(
         "incremental_join_view", incremental_join_view, _JOIN_VIEW_SQL, ("incremental", "join")

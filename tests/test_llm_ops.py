@@ -102,6 +102,35 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert len(uncapped) == 15  # C(6,2): all-pairs
 
 
+def test_overlap_coefficient_catches_contained_doc(spark):
+    # Doc 2 is a verbatim excerpt of doc 1: every shingle of 2 appears
+    # in 1, so overlap == 1.0 while Jaccard is diluted to |A|/|B|.
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10, 18))  # 8 words inside
+    docs = [(1, long_text), (2, short_text), (3, "totally different words here now")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["overlap"])
+        for r in dedup.ngram_overlap_pairs(
+            df, "text", "doc_id", threshold=0.9, max_doc_freq=None
+        ).collect()
+    }
+    assert got == {(1, 2): (6, 1.0)}  # 8 words -> 6 trigram shingles, all contained
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.2  # Jaccard misses the containment
+
+
+def test_overlap_pairs_respect_doc_freq_cap(spark):
+    boiler = "shared footer line text"
+    docs = [(i, f"{boiler} unique{i} only{i} words{i} here{i}") for i in range(1, 7)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    capped = dedup.ngram_overlap_pairs(df, "text", "doc_id", threshold=0.1, max_doc_freq=3)
+    assert capped.count() == 0  # boilerplate-only relations pruned
+
+
 def test_prefix_filtered_jaccard_equals_exact_baseline(spark, docs_df):
     # Prefix filtering is LOSSLESS: at every threshold the result must
     # be identical (pairs AND similarity values) to the uncapped
