@@ -660,8 +660,98 @@ FROM lat
 """
 
 
+def user_conversation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-style training-example assembly: each user's event history
+    becomes ONE ordered example (array of turns), truncated to a token
+    budget, then re-exploded to per-turn rows for the gate. This is the
+    conversation/session packaging step an instruction-tuning pipeline
+    runs between curation and shard writing — the reference has no
+    example assembly at all (its sinks emit flat rows;
+    spark_apps/pubg_streaming.py's parquet sink).
+
+    Plan shape (the part that must hold at 100 TB):
+    - ONE hash aggregate builds the per-user example:
+      ``array_sort(collect_list(struct(ts, event_id, ...)))`` — the
+      in-array sort replaces a window sort of the whole fact table
+      (structs sort lexicographically; event_id is unique, so the
+      order is total and deterministic).
+    - the token-budget cutoff runs INSIDE the array with one
+      ``aggregate`` fold (running token sum -> longest affordable
+      prefix), so truncation costs zero extra shuffles; per-turn cost
+      is ``length(event_type) + 2`` (role + separator tokens).
+    - ``slice`` + ``posexplode`` emit only the kept turns.
+
+    Oracle: with strictly positive turn costs the kept prefix equals
+    exactly the rows whose running cost sum ≤ budget, which DuckDB
+    expresses with one cumulative window — same order key, same cost
+    literal."""
+    budget = 64
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    turns = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type", "value"))
+        ).alias("__turns")
+    )
+    cost = lambda t: F.length(t["event_type"]).cast("bigint") + F.lit(2)  # noqa: E731
+
+    def _step(acc, t):
+        new_cum = acc["cum"] + cost(t)
+        exceeded = acc["stop"] | (new_cum > budget)
+        return F.struct(
+            new_cum.alias("cum"),
+            F.when(exceeded, acc["keep"]).otherwise(acc["keep"] + 1).alias("keep"),
+            exceeded.alias("stop"),
+        )
+
+    keep_n = F.aggregate(
+        "__turns",
+        F.struct(
+            F.lit(0).cast("bigint").alias("cum"),
+            F.lit(0).alias("keep"),
+            F.lit(False).alias("stop"),
+        ),
+        _step,
+        lambda acc: acc["keep"],
+    )
+    kept = turns.select("user_id", F.posexplode(F.slice("__turns", 1, keep_n)))
+    return kept.select(
+        "user_id",
+        (F.col("pos") + 1).alias("turn_idx"),
+        F.date_format(F.col("col.ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("col.event_type").alias("event_type"),
+        F.col("col.value").alias("value"),
+        (F.length(F.col("col.event_type")) + 2).alias("turn_tokens"),
+    )
+
+
+_CONVERSATION_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_type, value,
+         ROW_NUMBER() OVER w AS turn_idx,
+         SUM(length(event_type) + 2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(turn_idx AS INT) AS turn_idx,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       event_type, value,
+       CAST(length(event_type) + 2 AS INT) AS turn_tokens
+FROM seq WHERE cum <= 64
+"""
+
+
 SPECS = [
     QuerySpec("rfm_segments", rfm_segments, _RFM_SQL, ("behavior", "agg", "window")),
+    QuerySpec(
+        "user_conversation_examples",
+        user_conversation_examples,
+        _CONVERSATION_SQL,
+        ("behavior", "llm", "curation"),
+    ),
     QuerySpec(
         "purchase_attribution", purchase_attribution, _ATTRIBUTION_SQL, ("behavior", "window")
     ),

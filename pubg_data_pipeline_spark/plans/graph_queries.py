@@ -529,6 +529,50 @@ FROM labeled
 """
 
 
+def doc_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, keep
+    every document and down-weight it by 1/cluster_size (SoftDedup-
+    style sample reweighting — He et al. 2024; common in pipelines
+    that would rather dilute boilerplate than lose coverage). Each
+    near-dup cluster contributes exactly one document's worth of
+    sampling mass, so the weighted corpus equals the hard-deduped one
+    in expectation while retaining every surface form.
+
+    Clusters are the same oracle-checked Jaccard closure as
+    `doc_dup_clusters` (shared `_components_cached` artifact);
+    singletons get weight 1. Scale shape: the component table is
+    orders smaller than the corpus and joins back broadcast; the
+    cluster-size aggregate is over that small table, never the
+    corpus. Output: per-doc weight + cluster size — the sampling
+    weights a training-shuffle write keys on."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _components_cached(spark, sf_dir).withColumnRenamed("node", "doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("__csize"))
+    cluster_size = F.coalesce(F.col("__csize"), F.lit(1).cast("bigint"))
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .join(F.broadcast(sizes), "component", "left")
+        .select(
+            "doc_id",
+            cluster_size.alias("cluster_size"),
+            F.round(F.lit(1.0) / cluster_size, 6).alias("weight"),
+        )
+    )
+
+
+_SOFTDEDUP_SQL = _CLOSURE_PRELUDE + """
+, csize AS (
+  SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+)
+SELECT d.doc_id,
+       CAST(COALESCE(cs.csize, 1) AS BIGINT) AS cluster_size,
+       ROUND(1.0 / COALESCE(cs.csize, 1), 6) AS weight
+FROM documents d
+LEFT JOIN comp ON comp.node = d.doc_id
+LEFT JOIN csize cs ON cs.component = comp.component
+"""
+
+
 def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph construction over embeddings: for EVERY vector, its
     top-3 cosine neighbors WITHIN its cell (`label` stands in for the
@@ -618,6 +662,12 @@ SPECS = [
         "doc_leakage_safe_split",
         doc_leakage_safe_split,
         _LEAKAGE_SPLIT_SQL,
+        ("llm", "dedup", "graph", "curation"),
+    ),
+    QuerySpec(
+        "doc_softdedup_weights",
+        doc_softdedup_weights,
+        _SOFTDEDUP_SQL,
         ("llm", "dedup", "graph", "curation"),
     ),
     QuerySpec(

@@ -119,3 +119,65 @@ def test_source_capped_sample_plan_and_determinism(spark):
     for r in df.select("source").collect():
         counts[r["source"]] += 1
     assert all(c <= 20 for c in counts.values())
+
+
+def test_conversation_examples_truncate_at_budget(spark):
+    from pubg_data_pipeline_spark.plans.behavior_queries import (
+        user_conversation_examples,
+    )
+
+    rows = user_conversation_examples(spark, SF_DIR).collect()
+    assert rows, "expected at least one assembled example"
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for user, turns in by_user.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        # contiguous prefix of turn indices starting at 1
+        assert [t["turn_idx"] for t in turns] == list(range(1, len(turns) + 1))
+        # within budget, and the NEXT turn (if the user had more events)
+        # would have exceeded it — i.e. the prefix is maximal
+        cum = sum(t["turn_tokens"] for t in turns)
+        assert cum <= 64
+        # every kept turn cost is positive (budget logic relies on it)
+        assert all(t["turn_tokens"] > 0 for t in turns)
+
+
+def test_conversation_examples_prefix_is_maximal(spark):
+    from pubg_data_pipeline_spark.plans.behavior_queries import (
+        user_conversation_examples,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = user_conversation_examples(spark, SF_DIR).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    # Every event cost is at least 6 (+2 over the shortest type 'view'),
+    # so any user with spare budget >= 14 (longest type 'purchase' + 2)
+    # and unconsumed events would have kept another turn.
+    for user, turns in by_user.items():
+        cum = sum(t["turn_tokens"] for t in turns)
+        if len(turns) < n_events[user]:
+            assert cum + 14 > 64, f"user {user} stopped early with budget to spare"
+
+
+def test_softdedup_weight_mass_equals_deduped_corpus_size(spark):
+    from pubg_data_pipeline_spark.plans.graph_queries import (
+        doc_corpus_after_dedup,
+        doc_softdedup_weights,
+    )
+
+    w = doc_softdedup_weights(spark, SF_DIR)
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert w.count() == n_docs  # soft dedup keeps every doc
+    # total sampling mass == number of clusters (hard-dedup corpus size)
+    mass = w.agg(F.sum(F.col("weight")).alias("m")).collect()[0]["m"]
+    hard = doc_corpus_after_dedup(spark, SF_DIR).agg(
+        F.sum("n_docs").alias("n")
+    ).collect()[0]["n"]
+    assert abs(mass - hard) < 0.01  # 6dp-rounded weights, summed

@@ -1,0 +1,70 @@
+"""Unit tests for operators/linalg.py: the partition-local Gramian
+accumulation (second moments / covariance / PCA diagnostics) against
+direct numpy computation on the same data."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.operators import linalg
+
+DIM = 5
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.default_rng(7)
+    return rng.normal(size=(40, DIM))
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, vecs):
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    # Several partitions so the cross-partition accumulator reduce is
+    # actually exercised.
+    return spark.createDataFrame(rows, "id int, v array<double>").repartition(4)
+
+
+def test_second_moments_match_numpy(spark, vec_df, vecs):
+    row = linalg.second_moments(vec_df, "v", DIM).collect()[0]
+    assert row["n"] == len(vecs)
+    np.testing.assert_allclose(row["s"], vecs.sum(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(row["g"]).reshape(DIM, DIM), vecs.T @ vecs, rtol=1e-12
+    )
+
+
+def test_covariance_pairs_match_numpy(spark, vec_df, vecs):
+    got = {
+        (r["dim_i"], r["dim_j"]): r["covar"]
+        for r in linalg.covariance_pairs(vec_df, "v", DIM).collect()
+    }
+    want = np.cov(vecs, rowvar=False, bias=True)  # population covariance
+    assert len(got) == DIM * (DIM + 1) // 2
+    for (i, j), v in got.items():
+        assert i <= j
+        assert v == pytest.approx(want[i - 1, j - 1], rel=1e-9, abs=1e-12)
+
+
+def test_pca_diagnostics_match_numpy_eigh(spark, vec_df, vecs):
+    got = linalg.pca_diagnostics(vec_df, "v", DIM, top_k=DIM).collect()
+    cov = np.cov(vecs, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert [r["component"] for r in got] == list(range(1, DIM + 1))
+    for r, ev in zip(got, evals):
+        assert r["eigenvalue"] == pytest.approx(ev, abs=2e-6)
+    # cumulative explained variance is monotone and ends at 1
+    cums = [r["cum_explained"] for r in got]
+    assert cums == sorted(cums)
+    assert cums[-1] == pytest.approx(1.0, abs=2e-6)
+
+
+def test_null_and_ragged_vectors_are_ignored(spark, vecs):
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    rows += [(100, None), (101, [1.0, 2.0])]  # NULL + wrong length
+    df = spark.createDataFrame(rows, "id int, v array<double>").repartition(3)
+    row = linalg.second_moments(df, "v", DIM).collect()[0]
+    assert row["n"] == len(vecs)
+    np.testing.assert_allclose(row["s"], vecs.sum(axis=0), rtol=1e-12)
