@@ -129,6 +129,12 @@ HEADLINE = [
     "shard_output_manifest",
     "source_capped_sample",
     "source_epoch_mixing",
+    "embedding_covariance",
+    "doc_softdedup_weights",
+    "user_conversation_examples",
+    "event_user_cms_frequency",
+    "order_price_bootstrap_ci",
+    "embedding_mmr_rerank",
 ]
 
 

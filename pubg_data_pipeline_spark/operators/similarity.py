@@ -651,3 +651,68 @@ def merge_topk_states(*states: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("__r") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("__r").alias("rank"))
     )
+
+
+def mmr_rerank(
+    scored_pairs: DataFrame, lam: float = 0.7, k: int = 5
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified rerank (Carbonell &
+    Goldstein, SIGIR'98): greedily pick candidates maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_selected`` —
+    the standard dedup-at-serving-time step a retrieval pipeline runs
+    so the k results aren't k near-copies of the same document.
+
+    Input: one row per ordered candidate pair within a query,
+    ``(query_id, cid, rel, b, s)`` — candidate ``cid`` with relevance
+    ``rel`` and its similarity ``s`` to co-candidate ``b``. Both
+    ``rel`` and ``s`` should be pre-rounded by the caller so the
+    greedy argmax is engine-reproducible. Output: ``(query_id,
+    vec_id, mmr_rank, mmr_score)``, score unrounded (callers round).
+
+    Scale split: this operator is the CHEAP end of retrieve-wide /
+    rerank-small — each query's group is the candidate shortlist
+    (tens of rows, one Arrow batch), the greedy is O(k * n_cand) in
+    that batch, and queries parallelize across tasks by query_id. The
+    expensive distributed part (the top-N candidate scan) stays in
+    brute_force_top_k / ivf_top_k. Greedy selection is inherently
+    sequential per query (each pick changes the next score), which is
+    why this is an applyInPandas extension point, not a Column tree.
+
+    Determinism: ties on score break to the LOWEST cid (ascending
+    scan, strict >), matching an ORDER BY score DESC, cid LIMIT 1
+    oracle; the score arithmetic is two IEEE ops on caller-rounded
+    doubles, bit-identical across engines.
+    """
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        rel = {}
+        sim = {}
+        for row in pdf.itertuples(index=False):
+            rel[row.cid] = row.rel
+            sim[(row.cid, row.b)] = row.s
+        remaining = sorted(rel)
+        selected: list = []
+        out = []
+        qid = pdf["query_id"].iloc[0]
+        for rank in range(1, min(k, len(remaining)) + 1):
+            best_cid, best_score = None, None
+            for cid in remaining:
+                if selected:
+                    div = max(sim[(cid, s)] for s in selected)
+                    score = lam * rel[cid] - (1.0 - lam) * div
+                else:
+                    score = lam * rel[cid]
+                if best_score is None or score > best_score:
+                    best_cid, best_score = cid, score
+            selected.append(best_cid)
+            remaining.remove(best_cid)
+            out.append((qid, best_cid, rank, best_score))
+        return pd.DataFrame(
+            out, columns=["query_id", "vec_id", "mmr_rank", "mmr_score"]
+        )
+
+    return scored_pairs.groupBy("query_id").applyInPandas(
+        _greedy, "query_id long, vec_id long, mmr_rank int, mmr_score double"
+    )

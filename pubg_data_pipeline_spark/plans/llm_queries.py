@@ -374,6 +374,143 @@ FROM proj
 """
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance of the 64-d embedding
+    corpus (operators.linalg.covariance_pairs): one scan accumulating
+    partition-local ``X.T @ X`` numpy Gramians in the Arrow lane —
+    only d x d accumulators cross the network (the MLlib RowMatrix
+    pattern), vs the ~rows x d^2 shuffle a posexplode-self-join
+    formulation would pay. Input to whitening / PCA / redundant-dim
+    pruning ahead of ANN indexing. 6dp rounding absorbs partial-sum
+    order noise (~1e-12), same discipline as the stddev plans."""
+    from pubg_data_pipeline_spark.operators import linalg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = linalg.covariance_pairs(emb, "embedding", 64)
+    # `+ 0.0` collapses IEEE negative zero (ROUND of a tiny negative
+    # covariance) — the engines agree on the value but not the zero's
+    # sign, and the hash compare is sign-sensitive.
+    return pairs.select(
+        "dim_i", "dim_j", (F.round("covar", 6) + F.lit(0.0)).alias("covar")
+    )
+
+
+_COVARIANCE_SQL = """
+SELECT CAST(i.i AS INT) AS dim_i, CAST(j.j AS INT) AS dim_j,
+       ROUND(covar_pop(embedding[i.i], embedding[j.j]), 6) + 0.0 AS covar
+FROM embeddings e, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+WHERE i.i <= j.j
+GROUP BY i.i, j.j
+"""
+
+
+def embedding_pca_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal-component eigenvalues + cumulative explained
+    variance of the embedding corpus (operators.linalg.pca_diagnostics)
+    — the effective-dimensionality report a pipeline reads before
+    choosing PQ codebook sizes or projection dims. Distributed cost is
+    the same single second-moments scan as embedding_covariance; the
+    eigensolver runs on the driver's 64x64 matrix (32 KB), the MLlib
+    split. Iterative eigensolver => not SQL-expressible; rows-only."""
+    from pubg_data_pipeline_spark.operators import linalg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return linalg.pca_diagnostics(emb, "embedding", 64, top_k=8)
+
+
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators.similarity.mmr_rerank):
+    brute-force top-20 cosine candidates for query vec_id=0, greedily
+    reranked to 5 results maximizing ``0.7*rel - 0.3*max_sim_to_
+    selected`` — the serving-time diversification every RAG retriever
+    runs so the context window isn't five near-copies of one passage.
+
+    Scale split (the retrieve-wide / rerank-small pattern): the
+    distributed cost is the candidate scan (brute_force_top_k here;
+    the IVF path at scale); the pairwise-similarity table is k x k
+    over the 20-row shortlist (bounded by construction, broadcast NL
+    join is intentional), and the sequential greedy runs in one Arrow
+    batch per query. Relevances and pairwise sims are 6dp-rounded
+    BEFORE the greedy so the argmax chain is engine-reproducible; the
+    oracle replays the same greedy as five chained argmax CTEs."""
+    from pubg_data_pipeline_spark.functions.vectors import as_double_vec, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = similarity.brute_force_top_k(
+        emb, emb.filter(F.col("vec_id") == 0), k=20, round_digits=6
+    )
+    cand = top.select(
+        "query_id", F.col("neighbor_id").alias("cid"), F.col("cos_sim").alias("rel")
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("cid"), as_double_vec(F.col("embedding")).alias("cv")
+    )
+    cv = cand.join(vecs, "cid")
+    other = cv.select(F.col("cid").alias("b"), F.col("cv").alias("bv"))
+    pairs = (
+        cv.join(F.broadcast(other), F.col("cid") != F.col("b"))
+        .select(
+            "query_id",
+            "cid",
+            "rel",
+            "b",
+            F.round(cosine(F.col("cv"), F.col("bv")), 6).alias("s"),
+        )
+    )
+    out = similarity.mmr_rerank(pairs, lam=0.7, k=5)
+    return out.select(
+        "vec_id",
+        "mmr_rank",
+        (F.round("mmr_score", 6) + F.lit(0.0)).alias("mmr_score"),
+    )
+
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """Unrolled greedy-argmax CTE chain replaying mmr_rerank exactly:
+    step i picks ORDER BY score DESC, cid LIMIT 1 over the candidates
+    not yet selected, with the diversity term over all prior picks.
+    ``(1.0 - 0.7)`` is spelled as the SUBTRACTION, not ``0.3``, because
+    the Python operator computes ``1.0 - lam`` in IEEE (which is NOT
+    the double nearest 0.3) — the literals must round-trip the same
+    arithmetic."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    steps = [
+        "s1 AS (SELECT cid, 0.7 * rel AS score FROM c ORDER BY rel DESC, cid LIMIT 1)"
+    ]
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(f"SELECT cid FROM s{j}" for j in range(1, i))
+        steps.append(
+            f"s{i} AS (SELECT c.cid, 0.7 * c.rel - (1.0 - 0.7) * MAX(s.s) AS score\n"
+            f"  FROM c JOIN sims s ON s.a = c.cid AND s.b IN ({sel})\n"
+            f"  WHERE c.cid NOT IN ({sel})\n"
+            f"  GROUP BY c.cid, c.rel ORDER BY score DESC, c.cid LIMIT 1)"
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT cid AS vec_id, {i} AS mmr_rank, ROUND(score, 6) + 0.0 AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+         {cos.format(a="embedding::DOUBLE[]", b="qv")} AS rel
+  FROM embeddings CROSS JOIN q WHERE vec_id != 0
+), c AS (
+  SELECT cid, cv, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, cid) AS rnk FROM scored
+  ) WHERE rnk <= 20
+), sims AS (
+  SELECT x.cid AS a, y.cid AS b, {cos.format(a="x.cv", b="y.cv")} AS s
+  FROM c x JOIN c y ON x.cid != y.cid
+), {", ".join(steps)}
+{union}
+"""
+
+
 def doc_overlap_coeff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-duplication pairs by exact word-3-gram OVERLAP
     COEFFICIENT |A∩B| / min(|A|,|B|) ≥ 0.5 over the df≤4-capped
@@ -1208,6 +1345,9 @@ SPECS = [
     QuerySpec("doc_prefix_jaccard_pairs", doc_prefix_jaccard_pairs, _JACCARD_PREFIX_SQL, ("llm", "dedup")),
     QuerySpec("doc_overlap_coeff_pairs", doc_overlap_coeff_pairs, _OVERLAP_COEFF_SQL, ("llm", "dedup")),
     QuerySpec("embedding_random_projection", embedding_random_projection, _rp_oracle_sql(), ("llm", "similarity")),
+    QuerySpec("embedding_covariance", embedding_covariance, _COVARIANCE_SQL, ("llm", "similarity")),
+    QuerySpec("embedding_pca_diagnostics", embedding_pca_diagnostics, None, ("llm", "similarity")),
+    QuerySpec("embedding_mmr_rerank", embedding_mmr_rerank, _mmr_oracle_sql(), ("llm", "similarity", "udf")),
     QuerySpec(
         "doc_ngram_jaccard_pairs_capped",
         doc_ngram_jaccard_pairs_capped,

@@ -844,8 +844,184 @@ FROM c GROUP BY event_type
 """
 
 
+def event_user_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point-frequency estimation
+    (operators/sketches.py): per-user event counts estimated from a
+    4 x 256 counter grid instead of the exact per-key table. The grid
+    is built as TWO half-corpus sketches (event_id parity) merged by
+    counter addition — a green row proves the merge algebra that lets
+    per-day / per-stream sketches combine without raw data, the same
+    contract as `incremental_hourly_merge`. Probes the 20 lowest user
+    ids and reports exact vs estimate: CMS error is one-sided, so
+    ``overshoot = est - n_events >= 0`` always (asserted by the gate
+    implicitly — a negative overshoot would hash-mismatch the oracle,
+    and explicitly in tests/test_sketches.py).
+
+    Scale shape: each half-sketch shuffles at most depth*width = 1024
+    counter rows per task (map-side partial agg); the probe join
+    broadcasts the 1 KB sketch. The exact side is a 20-key filter +
+    groupBy — only for the comparison column, not part of the sketch
+    path. Hashes are explicit affine maps, so DuckDB replays the whole
+    grid bit-identically."""
+    from pubg_data_pipeline_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    sk = sketches.count_min_merge(
+        sketches.count_min_build(ev.filter(F.col("event_id") % 2 == 0), "user_id"),
+        sketches.count_min_build(ev.filter(F.col("event_id") % 2 == 1), "user_id"),
+    )
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    est = sketches.count_min_estimate(sk, exact.select("user_id"), "user_id")
+    return (
+        exact.join(F.broadcast(est), "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "est",
+            (F.col("est") - F.col("n_events")).alias("overshoot"),
+        )
+    )
+
+
+_CMS_SQL = """
+WITH coef(r, a, b) AS (
+  VALUES (0, 1000003, 12345), (1, 999983, 67890),
+         (2, 1000033, 13579), (3, 1000081, 24680)
+), sketch AS (
+  SELECT r AS row,
+         ((a * user_id + b) % 2147483647) % 256 AS bucket,
+         COUNT(*) AS cnt
+  FROM events CROSS JOIN coef GROUP BY 1, 2
+), keys AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events WHERE user_id < 20 GROUP BY 1
+), probe AS (
+  SELECT k.user_id, k.n_events, MIN(COALESCE(s.cnt, 0)) AS est
+  FROM keys k CROSS JOIN coef c
+  LEFT JOIN sketch s
+    ON s.row = c.r AND s.bucket = ((c.a * k.user_id + c.b) % 2147483647) % 256
+  GROUP BY 1, 2
+)
+SELECT user_id, n_events, est, est - n_events AS overshoot FROM probe
+"""
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1/k! partial sums);
+# identical double literals on both engines, so the weight CASE chain
+# is bit-deterministic given the same uniform draw.
+_POISSON_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def order_price_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% confidence interval for the mean order
+    price — the sketch-era answer to "how sure is this metric?" at
+    100 TB, where classical resampling (sample n rows WITH replacement,
+    R times) is impossible because no worker sees the whole dataset.
+    The Poisson trick: each row independently contributes
+    w ~ Poisson(1) copies to each replica, so all R=32 resamples are
+    computed in ONE scan with map-side-combinable integer sums — no
+    resample shuffle, no driver-side data. The per-(row, replica)
+    weight comes from a deterministic affine-mod uniform draw pushed
+    through the Poisson inverse CDF (a 6-branch CASE), never rand(),
+    so both engines replay the identical resample.
+
+    Scale shape: explode x32 is map-side fan-out (rows never leave the
+    task); the aggregate has 32 groups. The final order-statistics step
+    windows over exactly 32 rows — constant, not data-sized. CI bounds
+    are the 2nd / 31st order statistics of the replica means
+    (empirical 90% interval for R=32)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", exact_scaled(F.col("o_totalprice")).alias("cents")
+    )
+    rep = o.select(
+        "o_orderkey", "cents", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r")
+    )
+    m = (
+        F.col("o_orderkey").cast("long") * F.lit(2654435761)
+        + F.col("r").cast("long") * F.lit(40503)
+        + F.lit(9973)
+    ) % F.lit(1000003)
+    u = m / F.lit(1000003.0)
+    # CASE chain: first threshold u falls under gives the weight k.
+    w = (
+        F.when(u < _POISSON_CUM[0], 0)
+        .when(u < _POISSON_CUM[1], 1)
+        .when(u < _POISSON_CUM[2], 2)
+        .when(u < _POISSON_CUM[3], 3)
+        .when(u < _POISSON_CUM[4], 4)
+        .when(u < _POISSON_CUM[5], 5)
+        .otherwise(6)
+    )
+    means = (
+        rep.select("cents", F.col("r"), w.alias("w"))
+        .groupBy("r")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("wx"), F.sum("w").alias("ws"))
+        .select("r", F.round(F.col("wx") / F.col("ws") / 100.0, 4).alias("mean_price"))
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("mean_price"), F.col("r")))
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("mean_price").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == 31).select(F.col("mean_price").alias("ci_hi"))
+    pt = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("cents") / F.count(F.lit(1)) / 100.0, 4).alias("mean_price"),
+    )
+    return pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+_BOOTSTRAP_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, {sql_scaled('o_totalprice', 2)} AS cents FROM orders
+), rep AS (
+  SELECT r.r, o.cents,
+         CASE
+           WHEN u < {_POISSON_CUM[0]!r} THEN 0
+           WHEN u < {_POISSON_CUM[1]!r} THEN 1
+           WHEN u < {_POISSON_CUM[2]!r} THEN 2
+           WHEN u < {_POISSON_CUM[3]!r} THEN 3
+           WHEN u < {_POISSON_CUM[4]!r} THEN 4
+           WHEN u < {_POISSON_CUM[5]!r} THEN 5
+           ELSE 6
+         END AS w
+  FROM o CROSS JOIN generate_series(0, 31) r(r),
+  LATERAL (SELECT ((o.o_orderkey * 2654435761 + r.r * 40503 + 9973) % 1000003)
+                  / 1000003.0 AS u) t
+), means AS (
+  SELECT r, ROUND(SUM(w * cents) * 1.0 / SUM(w) / 100.0, 4) AS mean_price
+  FROM rep GROUP BY r
+), ranked AS (
+  SELECT mean_price, ROW_NUMBER() OVER (ORDER BY mean_price, r) AS rn FROM means
+), pt AS (
+  SELECT COUNT(*) AS n_orders,
+         ROUND(SUM(cents) * 1.0 / COUNT(*) / 100.0, 4) AS mean_price
+  FROM o
+)
+SELECT pt.n_orders, pt.mean_price,
+       lo.mean_price AS ci_lo, hi.mean_price AS ci_hi
+FROM pt, (SELECT mean_price FROM ranked WHERE rn = 2) lo,
+     (SELECT mean_price FROM ranked WHERE rn = 31) hi
+"""
+
+
 SPECS = [
     QuerySpec("event_value_winsorized", event_value_winsorized, _WINSORIZED_SQL, ("stats", "robust")),
+    QuerySpec(
+        "event_user_cms_frequency", event_user_cms_frequency, _CMS_SQL, ("agg", "sketch")
+    ),
+    QuerySpec(
+        "order_price_bootstrap_ci", order_price_bootstrap_ci, _BOOTSTRAP_SQL, ("stats", "sketch")
+    ),
     QuerySpec("seasonal_anomalies", seasonal_anomalies, _SEASONAL_SQL, ("stats", "anomaly", "time")),
     QuerySpec(
         "incremental_join_view", incremental_join_view, _JOIN_VIEW_SQL, ("incremental", "join")
