@@ -65,6 +65,10 @@ KNOWN_EXACT_BASELINES: dict[str, frozenset[str]] = {
     # candidate join as the 100 TB path
     "embedding_hard_negatives": frozenset({"nested_loop_join"}),
     "doc_hybrid_search": frozenset({"nested_loop_join"}),
+    # retrieve-wide/rerank-small: the candidate scan is brute-force
+    # (same family as above) and the pairwise-sim join is k x k over
+    # the 20-row shortlist — bounded by construction, both broadcast
+    "embedding_mmr_rerank": frozenset({"nested_loop_join"}),
 }
 
 
