@@ -1319,3 +1319,114 @@ def streaming_to_snapshot(
         available_now=available_now,
         checkpoint=checkpoint,
     )
+
+
+def cms_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """One epoch of streaming count-min-sketch maintenance: the
+    micro-batch is reduced to its own depth x width counter grid
+    (operators/sketches.py:count_min_build — at most depth*width rows
+    however large the batch) stored as the ``__epoch=N`` partition of
+    the state table. Dynamic partition overwrite makes at-least-once
+    replays idempotent (a re-run epoch REPLACES its own grid, same
+    recipe as heavy_hitters_epoch); grids merge by counter addition,
+    so readers union epochs on demand and a compaction job can fold
+    history without changing any estimate.
+
+    MG (heavy_hitters_epoch) answers "which keys are frequent";
+    the CMS answers point lookups — "how often did THIS key occur" —
+    for keys known only at query time, in the same bounded state."""
+    _require_local_path(state_path, "cms_epoch")
+    if batch_df.isEmpty():
+        return
+
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import sketches
+
+    grid = sketches.count_min_build(batch_df, key_col, depth, width).withColumn(
+        "__epoch", F.lit(int(epoch_id))
+    )
+    (
+        grid.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(f"{state_path}/grid")
+    )
+
+
+def read_cms_estimates(
+    spark,
+    state_path: str,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` against the full stored
+    stream history: epochs merge by counter addition (one bounded
+    groupBy over O(epochs * depth * width) rows), then the probe join
+    broadcasts the merged grid. Estimates are one-sided (>= truth),
+    exactly as in the batch operator."""
+    from pubg_data_pipeline_spark.operators import sketches
+
+    merged = sketches.count_min_merge(
+        spark.read.parquet(f"{state_path}/grid").drop("__epoch")
+    )
+    return sketches.count_min_estimate(merged, keys, key_col, depth, width)
+
+
+def streaming_cms(
+    stream: DataFrame,
+    state_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Stream -> continuously-maintained count-min sketch: bounded
+    frequency state queryable at any time for ANY key (the streaming
+    twin of the batch `event_user_cms_frequency` plan)."""
+    return sinks.foreach_batch_sink(
+        stream,
+        lambda df, eid: cms_epoch(df, eid, state_path, key_col, depth, width),
+        trigger_seconds,
+        output_mode="update",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )
+
+
+def compact_cms(spark, state_path: str) -> None:
+    """Maintenance: fold all epoch grids into a single epoch-0 grid —
+    counter addition is associative, so every subsequent estimate is
+    unchanged while the stored state drops from O(epochs * k * w) to
+    O(k * w)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import sketches
+
+    _require_local_path(state_path, "compact_cms")
+    merged = (
+        sketches.count_min_merge(
+            spark.read.parquet(f"{state_path}/grid").drop("__epoch")
+        )
+        .withColumn("__epoch", F.lit(0))
+        .localCheckpoint()
+    )
+    target = f"{state_path}/grid"
+    tmp = f"{target}.compact-tmp"
+    merged.write.mode("overwrite").partitionBy("__epoch").parquet(tmp)
+    shutil.rmtree(target)
+    os.rename(tmp, target)

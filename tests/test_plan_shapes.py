@@ -208,3 +208,32 @@ def test_basket_pairs_have_no_join(spark):
     plan = _plan(spark, "part_basket_pairs")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_probe_join_broadcasts_sketch(spark):
+    # the 1 KB counter grid must broadcast into the probe join, and the
+    # grid build must partial-aggregate before its (bounded) shuffle
+    plan = _plan(spark, "event_user_cms_frequency")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_covariance_is_single_scan(spark):
+    # one pass: exactly one embeddings file scan feeds the Arrow-lane
+    # Gramian; the cross-dim fan-out happens on the 1-row moments frame
+    plan = _plan(spark, "embedding_covariance")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "MapInPandas" in plan
+
+
+def test_bootstrap_has_no_resample_shuffle(spark):
+    # the x32 replica fan-out is map-side (Generate under the scan
+    # side, no Exchange between scan and partial agg); order-statistics
+    # joins on the 32-row frame broadcast
+    plan = _plan(spark, "order_price_bootstrap_ci")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    scan_to_agg = plan.split("Exchange")[-1]
+    assert "Generate explode" in scan_to_agg, (
+        "explode must sit below the first exchange (map-side fan-out)"
+    )
