@@ -135,6 +135,8 @@ HEADLINE = [
     "event_user_cms_frequency",
     "order_price_bootstrap_ci",
     "embedding_mmr_rerank",
+    "ab_cuped_adjusted_means",
+    "embedding_ann_recall",
 ]
 
 

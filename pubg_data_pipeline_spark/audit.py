@@ -69,6 +69,10 @@ KNOWN_EXACT_BASELINES: dict[str, frozenset[str]] = {
     # (same family as above) and the pairwise-sim join is k x k over
     # the 20-row shortlist — bounded by construction, both broadcast
     "embedding_mmr_rerank": frozenset({"nested_loop_join"}),
+    # evaluation query: its exact leg IS the brute-force baseline (5
+    # broadcast query vectors into the corpus scan, same family as
+    # embedding_topk_cosine); the IVF leg under test is bucketed
+    "embedding_ann_recall": frozenset({"nested_loop_join"}),
 }
 
 

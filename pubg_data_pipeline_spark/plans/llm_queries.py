@@ -724,6 +724,48 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the IVF index against the
+    exact brute-force top-5, per query vector — the acceptance gate an
+    index build runs before swapping a new ANN index into serving (a
+    recall regression means the quantizer went stale, e.g. after a
+    distribution shift in the embedding corpus; re-train and re-check).
+
+    Both legs are the engine's own oracle-checked operators; the
+    comparison is one LEFT SEMI-shaped join on (query, neighbor) and a
+    per-query aggregate. Rows-only registration: the IVF leg's k-means
+    quantizer is iterative (not SQL-expressible); the recall range and
+    the exact-vs-exact recall==1 identity are pinned by unit tests."""
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_top_k(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, round_digits=6
+    ).select("query_id", "neighbor_id")
+    approx = similarity.ivf_top_k(
+        emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
+        k=5, nlist=8, nprobe=3, cache_key=dataset_cache_tag(sf_dir, "embeddings"),
+    ).select("query_id", F.col("neighbor_id").alias("__hit"))
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["__hit"]),
+        "left",
+    ).select(exact["query_id"], (approx["__hit"].isNotNull()).alias("__found"))
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("__found").cast("int")).alias("n_hit"),
+            F.round(
+                F.sum(F.col("__found").cast("int")) / F.count(F.lit(1)), 4
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faiss-style IVF-PQ ANN: coarse cells route each query to nprobe
     cells, candidates inside are scored from product-quantization
@@ -1348,6 +1390,7 @@ SPECS = [
     QuerySpec("embedding_covariance", embedding_covariance, _COVARIANCE_SQL, ("llm", "similarity")),
     QuerySpec("embedding_pca_diagnostics", embedding_pca_diagnostics, None, ("llm", "similarity")),
     QuerySpec("embedding_mmr_rerank", embedding_mmr_rerank, _mmr_oracle_sql(), ("llm", "similarity", "udf")),
+    QuerySpec("embedding_ann_recall", embedding_ann_recall, None, ("llm", "similarity", "eval")),
     QuerySpec(
         "doc_ngram_jaccard_pairs_capped",
         doc_ngram_jaccard_pairs_capped,

@@ -1014,8 +1014,109 @@ FROM pt, (SELECT mean_price FROM ranked WHERE rn = 2) lo,
 """
 
 
+def ab_cuped_adjusted_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 —
+    the standard large-scale experimentation technique): per-user
+    pre-period value (days 1-15) is the covariate x, post-period value
+    (days 16+) the metric y; theta = cov(x, y) / var(x) is estimated
+    on the pooled population and each variant (user_id parity) reports
+    both the raw mean and the CUPED-adjusted mean
+    ``mean(y) - theta * (mean_v(x) - mean(x))``.
+
+    Exactness by construction, not tolerance: all moments come from
+    integer sums of per-row scaled cents (x*y products stay within
+    int64 through ~sf1; docstring contract, like the other cents
+    plans), converted to double ONCE and combined with the identical
+    expression shape the oracle uses — so theta is bit-equal across
+    engines and the 4dp rounding has nothing to absorb. The adjusted
+    mean uses the aggregate identity mean(y - theta*(x - xbar)) =
+    ybar_v - theta*(xbar_v - xbar): no per-user double arithmetic at
+    all.
+
+    Scale shape: one events scan -> per-user conditional aggregate
+    (map-side combined), then two tiny aggregates (global moments: 1
+    row; per-variant: 2 rows) crossed back broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.when(F.dayofmonth("ts") <= 15, exact_scaled(F.col("value")))
+        .otherwise(F.lit(0))
+        .alias("__x"),
+        F.when(F.dayofmonth("ts") > 15, exact_scaled(F.col("value")))
+        .otherwise(F.lit(0))
+        .alias("__y"),
+    )
+    per_user = ev.groupBy("user_id", "variant").agg(
+        F.sum("__x").alias("x"), F.sum("__y").alias("y")
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = (d("sxy") * d("n") - d("sx") * d("sy")) / (
+        d("sxx") * d("n") - d("sx") * d("sx")
+    )
+    xbar = d("sx") / d("n")
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("svx"),
+        F.sum("y").alias("svy"),
+    )
+    out = v.crossJoin(F.broadcast(g.select(theta.alias("__theta"), xbar.alias("__xbar"))))
+    mean_y = d("svy") / d("n_users")
+    mean_x_v = d("svx") / d("n_users")
+    return out.select(
+        "variant",
+        "n_users",
+        F.round(mean_y / 100.0, 4).alias("mean_y"),
+        F.round(
+            (mean_y - F.col("__theta") * (mean_x_v - F.col("__xbar"))) / 100.0, 4
+        ).alias("mean_y_cuped"),
+        F.round(F.col("__theta"), 6).alias("theta"),
+    )
+
+
+_CUPED_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+         SUM(CASE WHEN day(ts) <= 15 THEN {sql_scaled('value', 2)} ELSE 0 END) AS x,
+         SUM(CASE WHEN day(ts) > 15 THEN {sql_scaled('value', 2)} ELSE 0 END) AS y
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM per_user
+), t AS (
+  SELECT (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM g
+), v AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant, COUNT(*) AS n_users,
+         SUM(x) AS svx, SUM(y) AS svy
+  FROM per_user GROUP BY 1
+)
+SELECT variant, n_users,
+       ROUND(CAST(svy AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0, 4) AS mean_y,
+       ROUND((CAST(svy AS DOUBLE) / CAST(n_users AS DOUBLE)
+              - theta * (CAST(svx AS DOUBLE) / CAST(n_users AS DOUBLE) - xbar))
+             / 100.0, 4) AS mean_y_cuped,
+       ROUND(theta, 6) AS theta
+FROM v, t
+"""
+
+
 SPECS = [
     QuerySpec("event_value_winsorized", event_value_winsorized, _WINSORIZED_SQL, ("stats", "robust")),
+    QuerySpec(
+        "ab_cuped_adjusted_means", ab_cuped_adjusted_means, _CUPED_SQL, ("stats", "experiment")
+    ),
     QuerySpec(
         "event_user_cms_frequency", event_user_cms_frequency, _CMS_SQL, ("agg", "sketch")
     ),

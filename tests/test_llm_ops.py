@@ -434,3 +434,31 @@ def test_remove_spans_cuts_planted_footer_and_keeps_unique_docs(spark):
     assert out[2].clean_text == "one two three four five six seven"
     assert out[3].clean_text == rows[2][1]  # untouched, already lowercase
     assert out[3].n_kept_tokens == 9
+
+
+def test_ann_recall_query_bounds_and_exact_identity(spark):
+    from tests.conftest import SF_DIR
+    from pubg_data_pipeline_spark.plans.llm_queries import embedding_ann_recall
+    from pubg_data_pipeline_spark.sources.tables import load_table
+
+    rows = embedding_ann_recall(spark, SF_DIR).collect()
+    assert len(rows) == 5  # one row per query vector
+    for r in rows:
+        assert r["k"] == 5
+        assert 0 <= r["n_hit"] <= 5
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+        assert r["recall_at_5"] == round(r["n_hit"] / r["k"], 4)
+
+    # exact-vs-exact sanity: recall of brute force against itself is 1
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = similarity.brute_force_top_k(
+        emb, q, id_col="vec_id", vec_col="embedding", k=5, round_digits=6
+    )
+    self_join = exact.alias("a").join(
+        exact.alias("b"),
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.neighbor_id") == F.col("b.neighbor_id")),
+        "left_semi",
+    )
+    assert self_join.count() == exact.count()
