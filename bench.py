@@ -137,6 +137,7 @@ HEADLINE = [
     "embedding_mmr_rerank",
     "ab_cuped_adjusted_means",
     "embedding_ann_recall",
+    "minhash_dedup_recall",
 ]
 
 

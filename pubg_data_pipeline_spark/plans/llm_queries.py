@@ -693,6 +693,48 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.05, shingles=sh)
 
 
+def minhash_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline quality evaluation, the LSH twin of
+    `embedding_ann_recall`: recall of MinHash-LSH (verified) pairs
+    against the exact inverted-index Jaccard baseline at the same
+    threshold — the acceptance check run before trusting an LSH
+    configuration (num_hashes/bands) on the full corpus, and re-run
+    when the corpus shifts (shingle-length distribution changes move
+    LSH collision probabilities).
+
+    Both legs are the engine's own graded operators and share ONE
+    materialized shingle table, so the evaluation costs one extra
+    bucket-join + one semi-join over the exact pass. LSH-verified
+    pairs are a SUBSET of exact pairs (verification re-checks exact
+    Jaccard), so precision is 1 by construction and the single number
+    that matters is recall: found / exact, with the miss count beside
+    it. Rows-only registration (hash family); the subset property and
+    recall range are pinned in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_cached(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.05
+    ).select("id_a", "id_b")
+    cand = dedup.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, shingles=sh
+    )
+    found = dedup.jaccard_verify(
+        docs, cand, "text", "doc_id", threshold=0.05, shingles=sh
+    ).select("id_a", "id_b")
+    hit = exact.join(found, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_found",
+            (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
+            F.round(F.col("n_found") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3 (pigeonhole
     chunk join, no cross join)."""
@@ -1391,6 +1433,7 @@ SPECS = [
     QuerySpec("embedding_pca_diagnostics", embedding_pca_diagnostics, None, ("llm", "similarity")),
     QuerySpec("embedding_mmr_rerank", embedding_mmr_rerank, _mmr_oracle_sql(), ("llm", "similarity", "udf")),
     QuerySpec("embedding_ann_recall", embedding_ann_recall, None, ("llm", "similarity", "eval")),
+    QuerySpec("minhash_dedup_recall", minhash_dedup_recall, None, ("llm", "dedup", "eval")),
     QuerySpec(
         "doc_ngram_jaccard_pairs_capped",
         doc_ngram_jaccard_pairs_capped,

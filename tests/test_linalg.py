@@ -68,3 +68,11 @@ def test_null_and_ragged_vectors_are_ignored(spark, vecs):
     row = linalg.second_moments(df, "v", DIM).collect()[0]
     assert row["n"] == len(vecs)
     np.testing.assert_allclose(row["s"], vecs.sum(axis=0), rtol=1e-12)
+
+
+def test_empty_corpus_yields_zero_rows(spark):
+    from pubg_data_pipeline_spark.operators import linalg
+
+    empty = spark.createDataFrame([], "embedding array<double>")
+    assert linalg.covariance_pairs(empty, "embedding", 4).count() == 0
+    assert linalg.pca_diagnostics(empty, "embedding", 4).count() == 0

@@ -462,3 +462,19 @@ def test_ann_recall_query_bounds_and_exact_identity(spark):
         "left_semi",
     )
     assert self_join.count() == exact.count()
+
+
+def test_minhash_dedup_recall_subset_and_range(spark):
+    from tests.conftest import SF_DIR
+    from pubg_data_pipeline_spark.plans.llm_queries import minhash_dedup_recall
+
+    row = minhash_dedup_recall(spark, SF_DIR).collect()[0]
+    # verified-LSH pairs are a subset of exact pairs: found <= exact,
+    # missed is their exact difference, recall in [0, 1]
+    assert row["n_found"] <= row["n_exact"]
+    assert row["n_missed"] == row["n_exact"] - row["n_found"]
+    assert 0.0 <= row["recall"] <= 1.0
+    # on the synthetic corpus with planted near-dups the LSH config
+    # (16 hashes / 4 bands) should catch most exact pairs
+    assert row["n_exact"] > 0
+    assert row["recall"] >= 0.5
