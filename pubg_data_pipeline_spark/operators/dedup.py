@@ -259,6 +259,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
     allow_full: bool = False,
     guard_max_rows: int = 100_000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All near-dup pairs by exact n-gram Jaccard, via an inverted
     shingle index (explode + self-equi-join on shingle) — exact but
@@ -288,7 +289,9 @@ def ngram_jaccard_pairs(
             "MinHash-LSH (minhash_near_dups)",
             allow_full,
         )
-    inter, sizes = _shingle_pair_intersections(df, text_col, id_col, shingle_n, max_doc_freq)
+    inter, sizes = _shingle_pair_intersections(
+        df, text_col, id_col, shingle_n, max_doc_freq, shingles=shingles
+    )
     return (
         inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -305,6 +308,7 @@ def ngram_overlap_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs by exact n-gram OVERLAP COEFFICIENT
     |A∩B| / min(|A|, |B|) — the asymmetric containment metric that
@@ -320,7 +324,9 @@ def ngram_overlap_pairs(
     even more boilerplate-sensitive than Jaccard — a shared license
     header alone can push a short doc to overlap 1.0.
     """
-    inter, sizes = _shingle_pair_intersections(df, text_col, id_col, shingle_n, max_doc_freq)
+    inter, sizes = _shingle_pair_intersections(
+        df, text_col, id_col, shingle_n, max_doc_freq, shingles=shingles
+    )
     return (
         inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -336,6 +342,7 @@ def _shingle_pair_intersections(
     id_col: str,
     shingle_n: int,
     max_doc_freq: int | None,
+    shingles: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared exact-pair machinery: explode word shingles, apply the
     optional hot-shingle doc-frequency cap, then generate ordered doc
@@ -343,10 +350,17 @@ def _shingle_pair_intersections(
     per-pair intersection counts (id_a < id_b) and per-doc shingle
     counts over the SAME (possibly capped) shingle universe, so any
     set-similarity metric derived from them is self-consistent."""
-    exploded = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    if shingles is not None:
+        # reuse a caller-materialized shingle_table (__id, __sh) — the
+        # expensive tokenize/regex pass is served from its cache
+        exploded = shingles.select(
+            F.col("__id").alias("doc"), F.explode("__sh").alias("shingle")
+        )
+    else:
+        exploded = _spread(df, id_col).select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
     if max_doc_freq is not None:
         # The cap must fire BEFORE any posting list is materialized: a
         # count aggregate has map-side partial aggregation (bounded

@@ -666,8 +666,12 @@ def mmr_rerank(
     ``(query_id, cid, rel, b, s)`` — candidate ``cid`` with relevance
     ``rel`` and its similarity ``s`` to co-candidate ``b``. Both
     ``rel`` and ``s`` should be pre-rounded by the caller so the
-    greedy argmax is engine-reproducible. Output: ``(query_id,
-    vec_id, mmr_rank, mmr_score)``, score unrounded (callers round).
+    greedy argmax is engine-reproducible. ``b`` may be NULL (left-join
+    a 1-candidate shortlist so it still ranks); a missing (cid, b)
+    pair is treated as similarity 0 (fully diverse) rather than a
+    worker error, so callers may prune low-sim pairs. Output:
+    ``(query_id, vec_id, mmr_rank, mmr_score)``, score unrounded
+    (callers round).
 
     Scale split: this operator is the CHEAP end of retrieve-wide /
     rerank-small — each query's group is the candidate shortlist
@@ -691,7 +695,11 @@ def mmr_rerank(
         sim = {}
         for row in pdf.itertuples(index=False):
             rel[row.cid] = row.rel
-            sim[(row.cid, row.b)] = row.s
+            # a candidate may arrive with no co-candidate rows (b NULL
+            # from a left join, e.g. a 1-candidate shortlist) — keep
+            # its relevance, record no pair
+            if row.b is not None and not pd.isna(row.b):
+                sim[(row.cid, row.b)] = row.s
         remaining = sorted(rel)
         selected: list = []
         out = []
@@ -700,7 +708,13 @@ def mmr_rerank(
             best_cid, best_score = None, None
             for cid in remaining:
                 if selected:
-                    div = max(sim[(cid, s)] for s in selected)
+                    # a missing (cid, selected) pair means the caller
+                    # pruned it — treat as fully diverse (sim 0), not
+                    # a worker KeyError
+                    div = max(
+                        (sim[(cid, s)] for s in selected if (cid, s) in sim),
+                        default=0.0,
+                    )
                     score = lam * rel[cid] - (1.0 - lam) * div
                 else:
                     score = lam * rel[cid]

@@ -694,7 +694,13 @@ def user_conversation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("ts", "event_id", "event_type", "value"))
         ).alias("__turns")
     )
-    cost = lambda t: F.length(t["event_type"]).cast("bigint") + F.lit(2)  # noqa: E731
+    # NULL-safe cost: a NULL event_type would make new_cum NULL, the
+    # `exceeded` predicate NULL (falls to otherwise -> turn kept), and
+    # cum NULL forever — unbounded output. coalesce pins NULL turns to
+    # the 2-token role/separator floor on BOTH engines.
+    cost = lambda t: (  # noqa: E731
+        F.length(F.coalesce(t["event_type"], F.lit(""))).cast("bigint") + F.lit(2)
+    )
 
     def _step(acc, t):
         new_cum = acc["cum"] + cost(t)
@@ -722,7 +728,9 @@ def user_conversation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("col.ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.col("col.event_type").alias("event_type"),
         F.col("col.value").alias("value"),
-        (F.length(F.col("col.event_type")) + 2).alias("turn_tokens"),
+        (F.length(F.coalesce(F.col("col.event_type"), F.lit(""))) + 2).alias(
+            "turn_tokens"
+        ),
     )
 
 
@@ -730,7 +738,7 @@ _CONVERSATION_SQL = """
 WITH seq AS (
   SELECT user_id, ts, event_type, value,
          ROW_NUMBER() OVER w AS turn_idx,
-         SUM(length(event_type) + 2) OVER (
+         SUM(length(COALESCE(event_type, '')) + 2) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS UNBOUNDED PRECEDING) AS cum
   FROM events
@@ -739,7 +747,7 @@ WITH seq AS (
 SELECT user_id, CAST(turn_idx AS INT) AS turn_idx,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
        event_type, value,
-       CAST(length(event_type) + 2 AS INT) AS turn_tokens
+       CAST(length(COALESCE(event_type, '')) + 2 AS INT) AS turn_tokens
 FROM seq WHERE cum <= 64
 """
 

@@ -211,7 +211,10 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via an inverted shingle
     index (explode + equi-join on shingle — never an O(n²) cross join)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.05)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.05,
+        shingles=_shingles_cached(spark, sf_dir),
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -280,7 +283,8 @@ def doc_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFram
     consistent; the oracle applies the identical cap."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", shingle_n=3, threshold=0.05, max_doc_freq=4
+        docs, "text", "doc_id", shingle_n=3, threshold=0.05, max_doc_freq=4,
+        shingles=_shingles_cached(spark, sf_dir),
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -448,7 +452,9 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = cand.join(vecs, "cid")
     other = cv.select(F.col("cid").alias("b"), F.col("cv").alias("bv"))
     pairs = (
-        cv.join(F.broadcast(other), F.col("cid") != F.col("b"))
+        # left join: a 1-candidate shortlist keeps its row (b NULL) and
+        # still ranks, instead of vanishing from the grouped rerank
+        cv.join(F.broadcast(other), F.col("cid") != F.col("b"), "left")
         .select(
             "query_id",
             "cid",
@@ -520,7 +526,8 @@ def doc_overlap_coeff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, so the scale profile is identical."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_overlap_pairs(
-        docs, "text", "doc_id", shingle_n=3, threshold=0.5, max_doc_freq=4
+        docs, "text", "doc_id", shingle_n=3, threshold=0.5, max_doc_freq=4,
+        shingles=_shingles_cached(spark, sf_dir),
     )
     return pairs.select("id_a", "id_b", "n_inter", F.round("overlap", 6).alias("overlap"))
 
@@ -713,7 +720,7 @@ def minhash_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles_cached(spark, sf_dir)
     exact = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", shingle_n=3, threshold=0.05
+        docs, "text", "doc_id", shingle_n=3, threshold=0.05, shingles=sh
     ).select("id_a", "id_b")
     cand = dedup.minhash_candidate_pairs(
         docs, "text", "doc_id", num_hashes=16, bands=4, shingles=sh

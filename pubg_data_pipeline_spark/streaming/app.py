@@ -1425,8 +1425,16 @@ def compact_cms(spark, state_path: str) -> None:
         .withColumn("__epoch", F.lit(0))
         .localCheckpoint()
     )
+    # crash-safe swap (same sequence as compact_gram_index): write the
+    # replacement aside, move the live dir out of the way, rename the
+    # replacement in, THEN delete the old state — a crash at any point
+    # leaves either the old or the new grid recoverable on disk
     target = f"{state_path}/grid"
-    tmp = f"{target}.compact-tmp"
+    tmp = f"{target}.tmp-compact"
+    old = f"{target}.old"
     merged.write.mode("overwrite").partitionBy("__epoch").parquet(tmp)
-    shutil.rmtree(target)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(target, old)
     os.rename(tmp, target)
+    shutil.rmtree(old)

@@ -75,3 +75,30 @@ def test_mmr_k_exceeding_candidates_returns_all(spark, clustered_emb):
     out = similarity.mmr_rerank(pairs, k=50).collect()
     assert len(out) == 6  # 6 candidates, ranks 1..6
     assert sorted(r["mmr_rank"] for r in out) == list(range(1, 7))
+
+
+def test_mmr_single_candidate_still_ranks(spark):
+    # a 1-candidate shortlist arrives as one row with b NULL (left
+    # join); it must rank 1, not vanish from the grouped rerank
+    pairs = spark.createDataFrame(
+        [(0, 42, 0.9, None, None)],
+        "query_id long, cid long, rel double, b long, s double",
+    )
+    out = similarity.mmr_rerank(pairs, lam=0.7, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["vec_id"], r["mmr_rank"]) == (42, 1)
+    assert abs(r["mmr_score"] - 0.7 * 0.9) < 1e-12
+
+
+def test_mmr_pruned_pairs_treated_as_diverse(spark):
+    # caller pruned the (2 -> 1) sim row: scoring 2 after selecting 1
+    # must treat the missing pair as sim 0, not raise KeyError
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9, 2, 0.5), (0, 2, 0.8, None, None)],
+        "query_id long, cid long, rel double, b long, s double",
+    )
+    out = {r["mmr_rank"]: r for r in similarity.mmr_rerank(pairs, k=2).collect()}
+    assert out[1]["vec_id"] == 1
+    assert out[2]["vec_id"] == 2
+    assert abs(out[2]["mmr_score"] - 0.7 * 0.8) < 1e-12  # diversity term 0
