@@ -1438,3 +1438,70 @@ def compact_cms(spark, state_path: str) -> None:
     os.rename(target, old)
     os.rename(tmp, target)
     shutil.rmtree(old)
+
+
+def moments_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    vec_col: str,
+    dim: int,
+) -> None:
+    """One epoch of streaming second-moments maintenance: the
+    micro-batch's embedding vectors reduce to a single ``(n, s, g)``
+    accumulator row (operators/linalg.py:second_moments — dim + dim²
+    doubles regardless of batch size) stored as the ``__epoch=N``
+    partition. Dynamic overwrite makes replays idempotent; rows are
+    element-wise sums, so the corpus covariance / PCA spectrum is
+    always readable from the union of epochs without rescanning any
+    vector — the streaming twin of `embedding_covariance` /
+    `embedding_pca_diagnostics`, and the mechanism that keeps an ANN
+    index's whitening/quantizer statistics fresh as the corpus grows."""
+    _require_local_path(state_path, "moments_epoch")
+    if batch_df.isEmpty():
+        return
+
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import linalg
+
+    state = linalg.second_moments(batch_df, vec_col, dim).withColumn(
+        "__epoch", F.lit(int(epoch_id))
+    )
+    (
+        state.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(f"{state_path}/moments")
+    )
+
+
+def read_moments(spark, state_path: str, dim: int) -> DataFrame:
+    """Merge all stored epoch accumulators into the current corpus
+    moments (1 row) — feed to linalg.covariance_pairs_from /
+    pca-style consumers."""
+    from pubg_data_pipeline_spark.operators import linalg
+
+    states = spark.read.parquet(f"{state_path}/moments").drop("__epoch")
+    return linalg.reduce_moment_states(states, dim)
+
+
+def streaming_moments(
+    stream: DataFrame,
+    state_path: str,
+    vec_col: str,
+    dim: int,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Stream -> continuously-maintained corpus second moments (the
+    covariance/PCA statistics state)."""
+    return sinks.foreach_batch_sink(
+        stream,
+        lambda df, eid: moments_epoch(df, eid, state_path, vec_col, dim),
+        trigger_seconds,
+        output_mode="update",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )

@@ -76,3 +76,62 @@ def test_empty_corpus_yields_zero_rows(spark):
     empty = spark.createDataFrame([], "embedding array<double>")
     assert linalg.covariance_pairs(empty, "embedding", 4).count() == 0
     assert linalg.pca_diagnostics(empty, "embedding", 4).count() == 0
+
+
+def test_moment_states_merge_matches_full_corpus(spark):
+    from pubg_data_pipeline_spark.operators import linalg
+
+    full = spark.range(200).select(
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 13).cast("double"),
+            (F.col("id") % 3).cast("double"),
+        ).alias("v")
+    )
+    whole = linalg.second_moments(full, "v", 3).collect()[0]
+    parts = [
+        linalg.second_moments(
+            full.filter(F.col("v")[0].cast("long") % 2 == i), "v", 3
+        )
+        for i in range(2)
+    ]
+    merged = linalg.reduce_moment_states(
+        parts[0].unionByName(parts[1]), 3
+    ).collect()[0]
+    assert merged["n"] == whole["n"]
+    for a, b in zip(merged["s"], whole["s"]):
+        assert abs(a - b) < 1e-9
+    for a, b in zip(merged["g"], whole["g"]):
+        assert abs(a - b) < 1e-9
+
+
+def test_streaming_moments_epochs_replay_and_covariance(spark, tmp_path):
+    from pubg_data_pipeline_spark.operators import linalg
+    from pubg_data_pipeline_spark.streaming import app
+
+    state = tmp_path / "moments"
+    b1 = spark.range(100).select(
+        F.array((F.col("id") % 5).cast("double"), (F.col("id") % 4).cast("double")).alias("v")
+    )
+    b2 = spark.range(100, 160).select(
+        F.array((F.col("id") % 6).cast("double"), (F.col("id") % 2).cast("double")).alias("v")
+    )
+    app.moments_epoch(b1, 0, str(state), "v", 2)
+    app.moments_epoch(b2, 1, str(state), "v", 2)
+    app.moments_epoch(b2, 1, str(state), "v", 2)  # idempotent replay
+    merged = app.read_moments(spark, str(state), 2)
+    direct = linalg.second_moments(b1.unionByName(b2), "v", 2).collect()[0]
+    got = merged.collect()[0]
+    assert got["n"] == direct["n"] == 160
+    for a, b in zip(got["g"], direct["g"]):
+        assert abs(a - b) < 1e-9
+    # covariance from the epoch-merged state == covariance from a scan
+    cov_stream = {
+        (r["dim_i"], r["dim_j"]): round(r["covar"], 9)
+        for r in linalg.covariance_pairs_from(merged, 2).collect()
+    }
+    cov_direct = {
+        (r["dim_i"], r["dim_j"]): round(r["covar"], 9)
+        for r in linalg.covariance_pairs(b1.unionByName(b2), "v", 2).collect()
+    }
+    assert cov_stream == cov_direct
