@@ -335,7 +335,12 @@ def ewma(
         w_k = F.lit(alpha * decay**k)
         num = num + F.when(v_k.isNotNull(), w_k * v_k).otherwise(F.lit(0.0))
         den = den + F.when(v_k.isNotNull(), w_k).otherwise(F.lit(0.0))
-    return df.withColumn(out_col, num / den)
+    # den folds to 0.0 when the row's value and every in-span
+    # predecessor are NULL (e.g. a NULL sample at a series head) —
+    # under Spark's default ANSI mode 0.0/0.0 raises DIVIDE_BY_ZERO
+    # and kills the whole query; emit NULL for that row instead (the
+    # same guard linear_interpolate uses for a zero denominator).
+    return df.withColumn(out_col, F.when(den > 0, num / den))
 
 
 def linear_interpolate(

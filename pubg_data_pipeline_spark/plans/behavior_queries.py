@@ -609,9 +609,17 @@ def signup_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50/p90 percentiles plus converter count — the activation-latency
     KPI behind onboarding decisions.
 
-    Shape: two one-row-per-user min aggregates (map-side combine), an
-    equi-join on user (both sides post-agg, dimension-sized), one
-    global percentile — exact interpolated percentile over integer
+    "First SUBSEQUENT purchase" is taken literally: purchases are
+    filtered to ts >= the user's first signup BEFORE the per-user min,
+    so a user whose earliest purchase predates their signup still
+    converts on a later one (min-then-filter silently dropped such
+    users — round-4 review fix; the interleaved synthetic events hit
+    this).
+
+    Shape: one one-row-per-user min aggregate (map-side combine), the
+    broadcast-sized signup table joined back onto the purchase scan
+    (same funnel shape as user_purchase_funnel), one conditional min,
+    one global percentile — exact interpolated percentile over integer
     microsecond deltas, so both engines interpolate the same doubles.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
@@ -620,18 +628,16 @@ def signup_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
     )
-    first_purchase = (
+    first_purchase_after = (
         ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
+        .join(F.broadcast(first_signup), "user_id")
+        .filter(F.unix_micros("ts") >= F.col("signup_us"))
+        .groupBy("user_id", "signup_us")
         .agg(F.min(F.unix_micros("ts")).alias("purchase_us"))
     )
-    lat = (
-        first_signup.join(first_purchase, "user_id")
-        .filter(F.col("purchase_us") >= F.col("signup_us"))
-        .select(
-            ((F.col("purchase_us") - F.col("signup_us")) / F.lit(1000000.0)).alias(
-                "lat_sec"
-            )
+    lat = first_purchase_after.select(
+        ((F.col("purchase_us") - F.col("signup_us")) / F.lit(1000000.0)).alias(
+            "lat_sec"
         )
     )
     return lat.agg(
@@ -646,12 +652,12 @@ WITH s AS (
   SELECT user_id, MIN(epoch_us(ts)) AS signup_us
   FROM events WHERE event_type = 'signup' GROUP BY 1
 ), p AS (
-  SELECT user_id, MIN(epoch_us(ts)) AS purchase_us
-  FROM events WHERE event_type = 'purchase' GROUP BY 1
+  SELECT e.user_id, s.signup_us, MIN(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+  GROUP BY 1, 2
 ), lat AS (
-  SELECT (purchase_us - signup_us) / 1000000.0 AS lat_sec
-  FROM s JOIN p USING (user_id)
-  WHERE purchase_us >= signup_us
+  SELECT (purchase_us - signup_us) / 1000000.0 AS lat_sec FROM p
 )
 SELECT COUNT(*) AS n_converters,
        ROUND(quantile_cont(lat_sec, 0.5), 3) AS p50_sec,

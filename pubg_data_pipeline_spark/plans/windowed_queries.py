@@ -188,7 +188,7 @@ WITH g AS (
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
   FROM g
 ), s AS (
-  SELECT *, SUM(CASE WHEN prev_end IS NULL OR t >= prev_end THEN 1 ELSE 0 END)
+  SELECT *, SUM(CASE WHEN prev_end IS NULL OR t > prev_end THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
   FROM m
 )

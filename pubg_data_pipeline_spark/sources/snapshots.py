@@ -90,14 +90,19 @@ def last_committed_txn(path: str, app_id: str) -> int | None:
     """Highest ``txn_version`` any live manifest records for ``app_id``
     (the Delta txnAppId/txnVersion idempotency protocol): a retried
     micro-batch asks this before writing and skips epochs the table has
-    already absorbed. Scans manifests newest-first so the common case
-    (epoch just committed, sink retrying) reads one small JSON."""
-    best = None
+    already absorbed. Scans manifests newest-first and RETURNS ON THE
+    FIRST HIT — per-app txn versions only move forward (the Delta
+    setTransaction contract: latest entry wins), so the newest manifest
+    recording the app holds its latest version, and the common case
+    (epoch just committed, sink retrying) reads one small JSON instead
+    of the table's whole manifest history (O(n) -> O(1) per commit;
+    the scan-everything form made a minute-cadence stream's commit
+    latency grow without bound)."""
     for v in reversed(_versions(path)):
         txn = _read_manifest(path, v).get("txn")
         if txn and txn.get("app_id") == app_id:
-            best = txn["version"] if best is None else max(best, txn["version"])
-    return best
+            return txn["version"]
+    return None
 
 
 def snapshot_commit(

@@ -290,6 +290,7 @@ def ingest_dedup_epoch(
 
     _require_local_path(index_path, "ingest_dedup_epoch")
     _require_local_path(corpus_path, "ingest_dedup_epoch")
+    _recover_renamed_aside(index_path)  # crashed compaction -> index at .old
     spark = batch_df.sparkSession
     batch = batch_df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
     # Bare-directory guard: an empty epoch creates the directory but no
@@ -398,6 +399,7 @@ def ingest_neardup_epoch(
 
     _require_local_path(index_path, "ingest_neardup_epoch")
     _require_local_path(corpus_path, "ingest_neardup_epoch")
+    _recover_renamed_aside(index_path)  # crashed compaction -> index at .old
     spark = batch_df.sparkSession
     has_index = os.path.isdir(index_path) and any(
         f.endswith(".parquet")
@@ -680,6 +682,7 @@ def _epoch_table(spark, path: str, before_epoch: int, template: DataFrame) -> Da
 
     from pyspark.sql import functions as F
 
+    _recover_renamed_aside(path)  # crashed compaction left state at .old
     has_files = os.path.isdir(path) and any(
         f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
     )
@@ -805,26 +808,37 @@ def heavy_hitters_epoch(
     from pubg_data_pipeline_spark.operators import incremental
 
     _require_local_path(state_path, "heavy_hitters_epoch")
-    if batch_df.isEmpty():
-        return
+    _recover_renamed_aside(f"{state_path}/summary")
+    _recover_renamed_aside(f"{state_path}/totals")
     spark = batch_df.sparkSession
-    partial = incremental.partial_mg_state(batch_df, key_cols, counters).withColumn(
-        "__epoch", F.lit(int(epoch_id))
-    )
-    n_rows = batch_df.count()
-    (
-        partial.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__epoch")
-        .parquet(f"{state_path}/summary")
-    )
-    (
-        spark.createDataFrame([(int(epoch_id), int(n_rows))], "__epoch long, n_rows long")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__epoch")
-        .parquet(f"{state_path}/totals")
-    )
+    # persist once: the batch feeds TWO actions (the MG summary write
+    # and the row count for the error-bound table) — without the cache
+    # each action would re-read/recompute the micro-batch source (the
+    # SURVEY §4.2 recompute-per-action anti-pattern); the count doubles
+    # as the empty-batch short-circuit.
+    batch_df.persist()
+    try:
+        n_rows = batch_df.count()
+        if n_rows == 0:
+            return
+        partial = incremental.partial_mg_state(batch_df, key_cols, counters).withColumn(
+            "__epoch", F.lit(int(epoch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{state_path}/summary")
+        )
+        (
+            spark.createDataFrame([(int(epoch_id), int(n_rows))], "__epoch long, n_rows long")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{state_path}/totals")
+        )
+    finally:
+        batch_df.unpersist()
 
 
 def read_heavy_hitters(
@@ -839,6 +853,8 @@ def read_heavy_hitters(
 
     from pubg_data_pipeline_spark.operators import incremental
 
+    _recover_renamed_aside(f"{state_path}/summary")
+    _recover_renamed_aside(f"{state_path}/totals")
     summary = spark.read.parquet(f"{state_path}/summary").drop("__epoch")
     totals = spark.read.parquet(f"{state_path}/totals")
     merged = incremental.merge_mg_states([summary], counters)
@@ -890,6 +906,8 @@ def compact_heavy_hitters(spark, state_path: str, key_cols: list[str], counters:
     from pubg_data_pipeline_spark.operators import incremental
 
     _require_local_path(state_path, "compact_heavy_hitters")
+    _recover_renamed_aside(f"{state_path}/summary")
+    _recover_renamed_aside(f"{state_path}/totals")
     summary = spark.read.parquet(f"{state_path}/summary").drop("__epoch")
     merged = incremental.merge_mg_states([summary], counters).withColumn(
         "__epoch", F.lit(0)
@@ -1035,6 +1053,7 @@ def compact_gram_index(spark, index_path: str) -> None:
     from pyspark.sql import functions as F
 
     _require_local_path(index_path, "compact_gram_index")
+    _recover_renamed_aside(index_path)
     merged = (
         spark.read.parquet(index_path)
         .groupBy("gram")
@@ -1079,6 +1098,7 @@ def compact_ingest_index(spark, index_path: str, key_cols: list[str]) -> None:
     from pyspark.sql import functions as F
 
     _require_local_path(index_path, "compact_ingest_index")
+    _recover_renamed_aside(index_path)
     merged = (
         spark.read.parquet(index_path)
         .groupBy(*key_cols)
@@ -1343,6 +1363,7 @@ def cms_epoch(
     the CMS answers point lookups — "how often did THIS key occur" —
     for keys known only at query time, in the same bounded state."""
     _require_local_path(state_path, "cms_epoch")
+    _recover_renamed_aside(f"{state_path}/grid")
     if batch_df.isEmpty():
         return
 
@@ -1376,6 +1397,7 @@ def read_cms_estimates(
     exactly as in the batch operator."""
     from pubg_data_pipeline_spark.operators import sketches
 
+    _recover_renamed_aside(f"{state_path}/grid")
     merged = sketches.count_min_merge(
         spark.read.parquet(f"{state_path}/grid").drop("__epoch")
     )
@@ -1418,6 +1440,7 @@ def compact_cms(spark, state_path: str) -> None:
     from pubg_data_pipeline_spark.operators import sketches
 
     _require_local_path(state_path, "compact_cms")
+    _recover_renamed_aside(f"{state_path}/grid")
     merged = (
         sketches.count_min_merge(
             spark.read.parquet(f"{state_path}/grid").drop("__epoch")

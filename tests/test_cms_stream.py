@@ -67,3 +67,19 @@ def test_streaming_cms_end_to_end(spark, tmp_path):
     est = _probe(spark, state, [7, 8])
     assert est[7] >= 25 and est[8] >= 10  # one-sided
     assert est == {7: 25, 8: 10}  # and exact at this density
+
+
+def test_cms_read_recovers_from_crashed_compaction(spark, tmp_path):
+    import os
+
+    state = tmp_path / "cms_state"
+    app.cms_epoch(spark.createDataFrame([(5,)] * 12, "k long"), 0, str(state), "k")
+    # simulate a crash between the two renames of compact_cms: the
+    # only copy of the grid sits at grid.old
+    os.rename(f"{state}/grid", f"{state}/grid.old")
+    assert _probe(spark, state, [5]) == {5: 12}  # reader restored it
+    # and a subsequent epoch write also recovers rather than starting a
+    # fresh history next to the orphaned .old
+    os.rename(f"{state}/grid", f"{state}/grid.old")
+    app.cms_epoch(spark.createDataFrame([(5,)] * 3, "k long"), 1, str(state), "k")
+    assert _probe(spark, state, [5]) == {5: 15}

@@ -181,3 +181,38 @@ def test_softdedup_weight_mass_equals_deduped_corpus_size(spark):
         F.sum("n_docs").alias("n")
     ).collect()[0]["n"]
     assert abs(mass - hard) < 0.01  # 6dp-rounded weights, summed
+
+
+def test_signup_latency_counts_purchase_before_signup_users(spark, tmp_path):
+    # a user whose EARLIEST purchase predates their first signup must
+    # still convert via a later purchase (min-then-filter dropped them)
+    import pandas as pd
+
+    rows = [
+        # user 1: purchase BEFORE signup, then one after -> converts, lat 60s
+        (1, "purchase", "2024-01-01 09:59:00"),
+        (1, "signup", "2024-01-01 10:00:00"),
+        (1, "purchase", "2024-01-01 10:01:00"),
+        # user 2: only a pre-signup purchase -> no conversion
+        (2, "purchase", "2024-01-01 09:00:00"),
+        (2, "signup", "2024-01-01 11:00:00"),
+    ]
+    d = tmp_path / "mini"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime([r[2] for r in rows]),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(d / "events.parquet")
+    from pubg_data_pipeline_spark.plans.behavior_queries import (
+        signup_purchase_latency,
+    )
+
+    row = signup_purchase_latency(spark, str(d)).collect()[0]
+    assert row["n_converters"] == 1
+    assert abs(row["p50_sec"] - 60.0) < 1e-6

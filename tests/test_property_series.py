@@ -86,3 +86,20 @@ def test_linear_interpolate_matches_pandas(spark, values, xs_step):
                 g,
                 w,
             )
+
+
+def test_ewma_null_series_head_yields_null_not_divide_by_zero(spark):
+    # under Spark 4 ANSI mode a NULL value at a series head used to
+    # fold den to 0.0 and raise DIVIDE_BY_ZERO, killing the query
+    from pubg_data_pipeline_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 10.0), (1, 3, 20.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        r["t"]: r["e"]
+        for r in timeseries.ewma(df, ["k"], ["t"], "v", out_col="e").collect()
+    }
+    assert out[1] is None          # no in-span samples -> NULL, not error
+    assert out[2] is not None and abs(out[2] - 10.0) < 1e-9

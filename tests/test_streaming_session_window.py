@@ -164,3 +164,48 @@ def test_session_window_exact_boundary_merges(spark, duck):
         SELECT SUM(is_new) AS n_sessions FROM o
     """).fetchall()
     assert rows[0][0] == 2
+
+
+def test_dynamic_gap_exact_boundary_merges_and_oracle_agrees(spark, duck):
+    """The dynamic-gap twin of the boundary probe above: an event at
+    EXACTLY prev_ts + its predecessor's per-event gap merges (probed
+    on Spark 4.1), so _SESSIONS_DYNAMIC_SQL's break must be strictly
+    `t > prev_end` — `>=` split here until round 4. The oracle is run
+    on the same hand-built rows to pin both engines at the boundary."""
+    from pubg_data_pipeline_spark.plans.windowed_queries import (
+        _SESSIONS_DYNAMIC_SQL,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "click"),    # gap 10m
+        (1, "2024-01-01 10:10:00", "view"),     # exactly prev_end -> merges
+        (1, "2024-01-01 10:40:01", "view"),     # 1s past new end -> splits
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string").select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        F.monotonically_increasing_id().alias("event_id"),
+    )
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    got = sorted(
+        r["n"]
+        for r in df.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == [1, 2]  # boundary event merged, the later one split
+
+    import duckdb
+
+    con = duckdb.connect()  # fresh: the shared fixture's events view is the corpus
+    con.execute("CREATE TABLE events AS SELECT * FROM (VALUES "
+                "(1, TIMESTAMP '2024-01-01 10:00:00', 'click', 0), "
+                "(1, TIMESTAMP '2024-01-01 10:10:00', 'view', 1), "
+                "(1, TIMESTAMP '2024-01-01 10:40:01', 'view', 2)"
+                ") t(user_id, ts, event_type, event_id)")
+    oracle = sorted(r[3] for r in con.execute(_SESSIONS_DYNAMIC_SQL).fetchall())
+    con.close()
+    assert oracle == [1, 2]
