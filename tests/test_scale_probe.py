@@ -50,6 +50,11 @@ EXPENSIVE = [
     "event_user_heavy_hitters",
     "doc_prefix_jaccard_pairs",
     "incremental_neardup_ingest",
+    "minhash_dedup_recall",
+    "user_conversation_examples",
+    "embedding_covariance",
+    "order_price_bootstrap_ci",
+    "event_user_cms_frequency",
 ]
 NESTED_LOOP_OK = {"part_name_fuzzy_pairs", "incident_window_purchases"}
 
