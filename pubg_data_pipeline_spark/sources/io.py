@@ -139,10 +139,18 @@ def compact_parquet(
     out = df.repartition(target_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
+    # rename-aside swap (the streaming state sinks' protocol): at no
+    # instant is the only copy of the table deleted — a crash between
+    # the renames leaves the previous data recoverable at `.old`
+    # (rmtree-then-rename had a window where the table was simply gone)
     tmp = f"{path}.compact-tmp"
+    old = f"{path}.old"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:

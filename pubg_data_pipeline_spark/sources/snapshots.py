@@ -257,7 +257,9 @@ def snapshot_history(path: str) -> list[dict]:
     return out
 
 
-def snapshot_vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def snapshot_vacuum(
+    path: str, keep_versions: int = 1, retain_seconds: float = 3600.0
+) -> list[str]:
     """Physically delete data no retained version references: keeps the
     newest ``keep_versions`` manifests, removes older manifests and any
     ``data/<commit>/`` directory none of the keepers cite (stranded
@@ -266,9 +268,18 @@ def snapshot_vacuum(path: str, keep_versions: int = 1) -> list[str]:
     and idempotent-sink users must keep retention LONGER than their
     source's replay horizon: the ``txn`` dedup records live in the
     manifests, so vacuuming past them would let an ancient replayed
-    epoch re-append."""
+    epoch re-append.
+
+    ``retain_seconds`` is the concurrent-writer guard (Delta VACUUM's
+    file-age threshold): an unreferenced ``data/<commit>/`` directory
+    younger than it is left alone, because an IN-FLIGHT
+    ``snapshot_commit`` writes its data directory BEFORE publishing the
+    manifest that references it — deleting the young directory would
+    corrupt the about-to-publish version. Set 0 only when no writer can
+    be active (tests, offline maintenance)."""
     _require_local(path)
     import shutil
+    import time
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
@@ -288,10 +299,13 @@ def snapshot_vacuum(path: str, keep_versions: int = 1) -> list[str]:
             os.unlink(p)
             removed.append(p)
     data_root = os.path.join(path, "data")
+    now = time.time()
     if os.path.isdir(data_root):
         for entry in sorted(os.listdir(data_root)):
             if entry not in live_commits:
                 full = os.path.join(data_root, entry)
+                if now - os.path.getmtime(full) < retain_seconds:
+                    continue  # possibly an in-flight commit's data
                 shutil.rmtree(full)
                 removed.append(full)
     return removed

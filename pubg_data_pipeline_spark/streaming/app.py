@@ -41,12 +41,23 @@ def _recover_renamed_aside(path: str) -> None:
     """Crash recovery for the rename-aside swap protocol: if a crash
     landed between `path -> path.old` and `tmp -> path`, the previous
     state survives at ``path.old`` — restore it before this epoch
-    reads. A valid ``path`` is never overwritten."""
+    reads. A valid ``path`` is never overwritten.
+
+    Race tolerance: a concurrent recoverer (two readers hitting the
+    same crashed state) or an in-flight compactor mid-swap can win the
+    rename first — losing the race is FINE as long as ``path`` exists
+    afterwards, so OSError is swallowed iff the state reappeared.
+    Compaction itself is still a single-maintainer operation (don't
+    run two compactors on one state path)."""
     import os
 
     old = f"{path}.old"
     if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)
+        try:
+            os.rename(old, path)
+        except OSError:
+            if not os.path.isdir(path):
+                raise  # genuinely stuck, not a lost recovery race
 
 
 def streaming_etl(
@@ -119,14 +130,21 @@ def streaming_analytics(
     flat_match_stream: DataFrame,
     publish: Callable[[str, DataFrame], None],
     trigger_seconds: int = 60,
+    checkpoint: str | None = None,
 ) -> StreamingQuery:
     """The analytics app: flat-match stream -> foreachBatch(epoch).
+
+    Pass ``checkpoint`` in any deployment that must survive restarts:
+    with only a temporary checkpoint a restarted query re-reads from
+    the source's default offsets — 'latest' silently drops every
+    record that arrived while down, 'earliest' re-publishes history.
 
     reference: spark_apps/advanced_analytics.py:284-288."""
     return sinks.foreach_batch_sink(
         flat_match_stream,
         lambda df, eid: analytics_epoch(df, eid, publish),
         trigger_seconds,
+        checkpoint=checkpoint,
     )
 
 
@@ -148,16 +166,36 @@ def rollup_merge_epoch(
     write-new-then-rename on a filesystem; on an object store / lake
     deployment the same epoch body targets a Delta/Iceberg MERGE INTO,
     which makes the swap transactional — the plan shape is identical.
+
+    Replay idempotence (foreachBatch is at-least-once): the last
+    absorbed epoch id rides INSIDE the swapped state directory as a
+    ``_last_epoch`` marker (underscore-prefixed -> invisible to parquet
+    readers), written into tmp before the swap so marker and state
+    commit atomically. A replayed epoch id <= the marker is skipped —
+    without this, a crash after the swap but before the streaming
+    checkpoint commit re-merged the same micro-batch and permanently
+    double-counted it. Corollary: the state table and the streaming
+    checkpoint must be retained (or deleted) TOGETHER — a fresh
+    checkpoint restarts epoch ids at 0, which the marker would skip
+    (the standard Delta txnAppId/txnVersion contract).
     """
+    import json
     import os
     import shutil
 
     from pubg_data_pipeline_spark.operators import incremental
 
-    spark = batch_df.sparkSession
-    partial = incremental.partial_hourly_state(batch_df, ts_col, value_col)
     _require_local_path(state_path, "rollup_merge_epoch")
     _recover_renamed_aside(state_path)
+    marker = os.path.join(state_path, "_last_epoch")
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            if int(json.load(f)["epoch"]) >= int(epoch_id):
+                return  # at-least-once replay of an absorbed epoch
+    if batch_df.isEmpty():
+        return  # idle trigger: don't rewrite O(state) for a no-op
+    spark = batch_df.sparkSession
+    partial = incremental.partial_hourly_state(batch_df, ts_col, value_col)
     if os.path.isdir(state_path):
         prev = spark.read.parquet(state_path)
         merged = incremental.merge_hourly_states(prev, partial)
@@ -166,6 +204,8 @@ def rollup_merge_epoch(
     tmp = f"{state_path}.tmp-{epoch_id}"
     aside = f"{state_path}.old"
     merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_last_epoch"), "w") as f:
+        json.dump({"epoch": int(epoch_id)}, f)
     # rename-aside swap: at no instant is the only copy of the state
     # deleted; _recover_renamed_aside restores `.old` after a crash
     # between the two renames.
@@ -183,6 +223,7 @@ def incremental_rollup_stream(
     state_path: str,
     trigger_seconds: int = 60,
     available_now: bool = False,
+    checkpoint: str | None = None,
 ) -> StreamingQuery:
     """Event stream -> continuously-maintained hourly rollup table.
 
@@ -196,6 +237,7 @@ def incremental_rollup_stream(
         trigger_seconds,
         output_mode="update",
         available_now=available_now,
+        checkpoint=checkpoint,
     )
 
 
@@ -291,6 +333,8 @@ def ingest_dedup_epoch(
     _require_local_path(index_path, "ingest_dedup_epoch")
     _require_local_path(corpus_path, "ingest_dedup_epoch")
     _recover_renamed_aside(index_path)  # crashed compaction -> index at .old
+    if batch_df.isEmpty():
+        return  # idle trigger: skip the O(index) scan and empty writes
     spark = batch_df.sparkSession
     batch = batch_df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
     # Bare-directory guard: an empty epoch creates the directory but no
@@ -400,6 +444,8 @@ def ingest_neardup_epoch(
     _require_local_path(index_path, "ingest_neardup_epoch")
     _require_local_path(corpus_path, "ingest_neardup_epoch")
     _recover_renamed_aside(index_path)  # crashed compaction -> index at .old
+    if batch_df.isEmpty():
+        return  # idle trigger: skip the O(index) scan and empty writes
     spark = batch_df.sparkSession
     has_index = os.path.isdir(index_path) and any(
         f.endswith(".parquet")
@@ -824,18 +870,23 @@ def heavy_hitters_epoch(
         partial = incremental.partial_mg_state(batch_df, key_cols, counters).withColumn(
             "__epoch", F.lit(int(epoch_id))
         )
-        (
-            partial.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__epoch")
-            .parquet(f"{state_path}/summary")
-        )
+        # totals FIRST: a crash between the two writes then leaves the
+        # bound transiently too LOOSE (n_rows without weights) instead
+        # of invalid/negative (weights without n_rows would make
+        # max_undercount = (N - W)/(k+1) underestimate) — the replayed
+        # epoch overwrites both partitions either way.
         (
             spark.createDataFrame([(int(epoch_id), int(n_rows))], "__epoch long, n_rows long")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__epoch")
             .parquet(f"{state_path}/totals")
+        )
+        (
+            partial.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{state_path}/summary")
         )
     finally:
         batch_df.unpersist()
@@ -1309,9 +1360,17 @@ def snapshot_sink_epoch(
     the manifest history and skipped before any data is written —
     the transactional alternative to the epoch-partitioned
     dynamic-overwrite protocol the other sinks here use, with time
-    travel and reader isolation for free."""
+    travel and reader isolation for free.
+
+    Empty micro-batches commit nothing: an idle 60 s trigger would
+    otherwise mint ~1440 versions/day whose manifests each re-serialize
+    the full table file list — manifest history growing with wall-clock
+    instead of data. Skipping is replay-safe (a replayed empty epoch is
+    still empty; the txn record only matters for epochs that wrote)."""
     from pubg_data_pipeline_spark.sources import snapshots
 
+    if batch_df.isEmpty():
+        return
     snapshots.snapshot_commit(
         batch_df, table_path, mode="append", txn=(app_id, int(epoch_id))
     )

@@ -72,3 +72,43 @@ def test_rollup_stream_matches_batch_recompute(spark, tmp_path):
     assert len(got) == 3  # hours 10, 11, 12
     hour10 = [r for r in got if r[0] == "2024-01-01 10"][0]
     assert hour10[1] == 3 and hour10[2] == 14.5  # merged across batches
+
+
+def test_rollup_epoch_replay_does_not_double_count(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an absorbed epoch (crash
+    after the state swap, before the checkpoint commit) must be a no-op
+    — the _last_epoch marker inside the swapped directory pins it."""
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "rollup_state")
+    batch = spark.createDataFrame(
+        [("2024-01-01 10:05:00", 10.0), ("2024-01-01 10:35:00", 4.0)],
+        "ts_s string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+    app.rollup_merge_epoch(batch, 0, state)
+    once = {
+        r["hour_key"]: (r["n"], r["scaled_sum"])
+        for r in spark.read.parquet(state).collect()
+    }
+    app.rollup_merge_epoch(batch, 0, state)  # replay of the same epoch
+    replayed = {
+        r["hour_key"]: (r["n"], r["scaled_sum"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert replayed == once  # no double-count
+
+    # a NEW epoch still merges
+    app.rollup_merge_epoch(batch, 1, state)
+    merged = {
+        r["hour_key"]: (r["n"], r["scaled_sum"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert all(merged[b][0] == 2 * once[b][0] for b in once)
+
+    # empty batches are skipped without rewriting state
+    app.rollup_merge_epoch(batch.limit(0), 2, state)
+    assert {
+        r["hour_key"]: (r["n"], r["scaled_sum"])
+        for r in spark.read.parquet(state).collect()
+    } == merged

@@ -97,7 +97,7 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
     snapshots.snapshot_commit(_df(spark, 5, 10), path)
     snapshots.snapshot_commit(_df(spark, 50, 53), path, mode="overwrite")
     snapshots.snapshot_commit(_df(spark, 53, 55), path)
-    removed = snapshots.snapshot_vacuum(path, keep_versions=2)
+    removed = snapshots.snapshot_vacuum(path, keep_versions=2, retain_seconds=0)
     # v1/v2 manifests gone; the appended-only commits from before the
     # overwrite are unreferenced by v3/v4 and physically deleted
     assert any("v000000000001.json" in p for p in removed)
@@ -117,7 +117,12 @@ def test_vacuum_reclaims_stranded_crash_debris(spark, tmp_path):
     snapshots.snapshot_commit(_df(spark, 0, 5), path)
     stranded = os.path.join(path, "data", "stranded")
     _df(spark, 90, 99).write.parquet(stranded)
-    removed = snapshots.snapshot_vacuum(path, keep_versions=1)
+    # default retention refuses to touch a YOUNG unreferenced dir —
+    # it could be an in-flight snapshot_commit's data (round-4 fix)
+    assert stranded not in snapshots.snapshot_vacuum(path, keep_versions=1)
+    assert os.path.isdir(stranded)
+    # with the guard lifted (offline maintenance) the debris goes
+    removed = snapshots.snapshot_vacuum(path, keep_versions=1, retain_seconds=0)
     assert stranded in removed
     assert snapshots.snapshot_read(spark, path).count() == 5
 
