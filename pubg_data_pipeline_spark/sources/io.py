@@ -153,6 +153,28 @@ def compact_parquet(
     shutil.rmtree(old)
 
 
+def recover_compacted(path: str) -> bool:
+    """Crash recovery for :func:`compact_parquet`'s rename-aside swap:
+    if a crash landed between `path -> path.old` and `tmp -> path`, the
+    previous table survives at ``path.old`` — restore it (the fresher
+    compacted copy at ``path.compact-tmp``, if complete, is equivalent
+    data; restoring the ORIGINAL is the conservative choice since the
+    tmp write may itself be partial). Returns True if a recovery
+    happened. Run before reading a table whose compaction job may have
+    died; a healthy path is never touched."""
+    import os
+    import shutil
+
+    old = f"{path}.old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+        tmp = f"{path}.compact-tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # unpublished, possibly partial
+        return True
+    return False
+
+
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 

@@ -467,3 +467,23 @@ def test_jsonl_export_roundtrip_sharded_and_checksummed(spark, tmp_path):
         }
 
     assert checksum(back) == checksum(docs)
+
+
+def test_compaction_crash_is_recoverable(spark, tmp_path):
+    """compact_parquet's rename-aside swap: simulate a crash between
+    the two renames (table at .old, fresh copy stranded at
+    .compact-tmp) — recover_compacted restores the original and drops
+    the unpublished tmp."""
+    import os
+
+    from pubg_data_pipeline_spark.sources import io as sio
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).write.parquet(path)
+    spark.range(100).repartition(1).write.parquet(f"{path}.compact-tmp")
+    os.rename(path, f"{path}.old")  # the crash window state
+
+    assert sio.recover_compacted(path) is True
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.isdir(f"{path}.compact-tmp")
+    assert sio.recover_compacted(path) is False  # healthy -> no-op
