@@ -145,11 +145,13 @@ def partial_value_histogram(
         F.lit(n_bins - 1),
         F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")),
     )
-    # NULLs are excluded, not clamped: Spark's greatest/least IGNORE
-    # null arguments, so an unfiltered NULL value would silently land
-    # in bin 0 and drag every quantile estimate down
+    # NULLs AND NaNs are excluded, not clamped: Spark's greatest/least
+    # IGNORE null arguments, so an unfiltered NULL value would silently
+    # land in bin 0 and drag every quantile estimate down — and
+    # floor(NaN) is NULL, so a NaN (e.g. a 0/0-derived value) took the
+    # same silent bin-0 path (round-4 review fix).
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col)))
         .groupBy(b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -181,6 +183,12 @@ def histogram_quantiles(
     single-partition window over dimension-sized post-agg data)."""
     from pyspark.sql import Window
 
+    bad_q = [q for q in quantiles if not 0.0 <= q <= 1.0]
+    if bad_q:
+        raise ValueError(
+            f"quantiles must be fractions in [0, 1], got {bad_q} "
+            "(did you pass percents?)"
+        )
     spark = state.sparkSession
     width = (hi - lo) / n_bins
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -208,6 +216,66 @@ def histogram_quantiles(
         + (F.col("target") - (F.col("cum") - F.col("n"))) / F.col("n")
     )
     return joined.select("q", F.round(est, 4).alias("estimate"))
+
+
+def _mg_partition_gen(keys: list[str], k: int):
+    """Shared per-partition Misra-Gries generator (the
+    correctness-critical offset-reduction rule lives HERE ONLY;
+    frequent_items and partial_mg_state both consume it, so a fix to
+    the reduction cannot drift between them).
+
+    Emits rows ``keys... , weight, part_rows``: MG-surviving keys with
+    their residual weights, plus the partition's TOTAL row count
+    carried on the first emitted row (0 on the rest) — callers sum
+    ``part_rows`` for N without a second full scan of the input. A
+    partition whose reduction empties the summary (all counts equal)
+    still reports its rows via one null-key sentinel with weight 0.
+    """
+    import pandas as pd
+
+    def mg(batches):
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        rows = 0
+        for pdf in batches:
+            rows += len(pdf)
+            grouped = pdf.groupby(keys, dropna=False).size()
+            for tup, c in grouped.items():
+                if not isinstance(tup, tuple):
+                    tup = (tup,)
+                cnt[tup] += int(c)
+            if len(cnt) > k:
+                offset = sorted(cnt.values(), reverse=True)[k]
+                cnt = Counter(
+                    {t: c - offset for t, c in cnt.items() if c > offset}
+                )
+        if cnt:
+            data = [
+                list(t) + [c, rows if i == 0 else 0]
+                for i, (t, c) in enumerate(cnt.items())
+            ]
+            yield pd.DataFrame(data, columns=keys + ["weight", "part_rows"])
+        elif rows:
+            # summary emptied by the reduction: still report the rows
+            yield pd.DataFrame(
+                [[None] * len(keys) + [0, rows]],
+                columns=keys + ["weight", "part_rows"],
+            )
+
+    return mg
+
+
+def _mg_schema(df: DataFrame, keys: list[str]):
+    """keys (nullable — the sentinel row carries nulls) + weight +
+    part_rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = df.select(*keys).schema
+    fields = [StructField(f.name, f.dataType, True) for f in base]
+    fields += [StructField("weight", LongType(), False),
+               StructField("part_rows", LongType(), False)]
+    return StructType(fields)
 
 
 def frequent_items(
@@ -241,40 +309,34 @@ def frequent_items(
     """
     import math
 
-    import pandas as pd
-
     if not 0.0 < support <= 1.0:
         raise ValueError(f"support must be in (0, 1], got {support}")
     k = max(counters or 0, int(math.ceil(2.0 / support)), 8)
     keys = list(key_cols)
-    keys_schema = df.select(*keys).schema
 
-    def mg(batches):
-        from collections import Counter
-
-        cnt: Counter = Counter()
-        for pdf in batches:
-            grouped = pdf.groupby(keys, dropna=False).size()
-            for tup, c in grouped.items():
-                if not isinstance(tup, tuple):
-                    tup = (tup,)
-                cnt[tup] += int(c)
-            if len(cnt) > k:
-                offset = sorted(cnt.values(), reverse=True)[k]
-                cnt = Counter(
-                    {t: c - offset for t, c in cnt.items() if c > offset}
-                )
-        if cnt:
-            yield pd.DataFrame(list(cnt.keys()), columns=keys)
-
-    candidates = df.select(*keys).mapInPandas(mg, keys_schema).distinct()
-    total = df.count()
+    # One mapInPandas pass produces BOTH the candidate summaries and
+    # the per-partition row totals (part_rows), so N needs no second
+    # full scan — the operator now reads the input exactly twice
+    # (sketch pass + exact recount), down from three. The summary is
+    # bounded (<= k rows per partition) — persist so candidates and
+    # the total aggregate share one materialization.
+    per_part = df.select(*keys).mapInPandas(
+        _mg_partition_gen(keys, k), _mg_schema(df, keys)
+    ).persist()
+    candidates = (
+        per_part.filter(F.col("weight") > 0).select(*keys).distinct()
+    )
+    total = per_part.agg(F.sum("part_rows").alias("__n"))
     counted = (
         df.join(F.broadcast(candidates), keys, "left_semi")
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return counted.filter(F.col("cnt") >= F.lit(float(support)) * F.lit(total))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(float(support)) * F.col("__n"))
+        .drop("__n")
+    )
 
 
 def maintain_join_view(
@@ -350,33 +412,13 @@ def partial_mg_state(
     is safe by construction, same justification as skew_report's
     N-row window) and broadcasts the 1-row offset back.
     """
-    import pandas as pd
-
     keys = list(key_cols)
-    keys_schema = df.select(*keys).schema
-    out_schema = keys_schema.add("weight", "long")
-
-    def mg(batches):
-        from collections import Counter
-
-        cnt: Counter = Counter()
-        for pdf in batches:
-            grouped = pdf.groupby(keys, dropna=False).size()
-            for tup, c in grouped.items():
-                if not isinstance(tup, tuple):
-                    tup = (tup,)
-                cnt[tup] += int(c)
-            if len(cnt) > counters:
-                offset = sorted(cnt.values(), reverse=True)[counters]
-                cnt = Counter(
-                    {t: c - offset for t, c in cnt.items() if c > offset}
-                )
-        if cnt:
-            yield pd.DataFrame(
-                [list(t) + [c] for t, c in cnt.items()], columns=keys + ["weight"]
-            )
-
-    per_part = df.select(*keys).mapInPandas(mg, out_schema)
+    per_part = (
+        df.select(*keys)
+        .mapInPandas(_mg_partition_gen(keys, counters), _mg_schema(df, keys))
+        .filter(F.col("weight") > 0)  # drop row-count sentinels
+        .drop("part_rows")
+    )
     return _reduce_mg(per_part, keys, counters)
 
 

@@ -51,22 +51,41 @@ from pyspark.sql.datasource import (
 SCHEMA = "value string, shard int, poll int"
 
 
-def _fetch(url: str, shard: int, poll: int, timeout_sec: float) -> list[tuple]:
+def _fetch(
+    url: str, shard: int, poll: int, timeout_sec: float, retries: int = 0
+) -> list[tuple]:
     """GET one (shard, poll) page; returns Kafka-shaped rows. Each
     element of the returned JSON array is one envelope, re-serialized
-    compactly as the ``value`` string. Raises on HTTP errors — Spark's
-    task retry is the retry policy."""
+    compactly as the ``value`` string.
+
+    ``retries``: bounded in-process retry with exponential backoff.
+    The BATCH reader leaves it 0 — those fetches run in executor tasks
+    where Spark's task retry is the policy. The STREAMING reader runs
+    on the DRIVER (SimpleDataSourceStreamReader contract), where no
+    task retry exists and a single transient 503 would otherwise kill
+    the whole StreamingQuery — it passes retries > 0."""
+    import time
+
     sep = "&" if "?" in url else "?"
     full = f"{url}{sep}shard={shard}&offset={poll}"
-    with urlopen(full, timeout=timeout_sec) as resp:
-        payload = json.loads(resp.read().decode("utf-8"))
+    attempt = 0
+    while True:
+        try:
+            with urlopen(full, timeout=timeout_sec) as resp:
+                payload = json.loads(resp.read().decode("utf-8"))
+            break
+        except Exception:
+            if attempt >= retries:
+                raise
+            time.sleep(min(0.2 * (2 ** attempt), 5.0))
+            attempt += 1
     return [(json.dumps(env, sort_keys=True), shard, poll) for env in payload]
 
 
 class _ShardPartition(InputPartition):
-    def __init__(self, shard: int, polls: list[int]):
+    def __init__(self, shard: int, poll: int):
         self.shard = shard
-        self.polls = polls
+        self.poll = poll
 
 
 class RestEnvelopeBatchReader(DataSourceReader):
@@ -83,14 +102,13 @@ class RestEnvelopeBatchReader(DataSourceReader):
 
     def partitions(self):
         return [
-            _ShardPartition(s, [p])
+            _ShardPartition(s, p)
             for s in range(self.shards)
             for p in range(self.polls)
         ]
 
     def read(self, partition):
-        for poll in partition.polls:
-            yield from _fetch(self.url, partition.shard, poll, self.timeout)
+        yield from _fetch(self.url, partition.shard, partition.poll, self.timeout)
 
 
 class RestEnvelopeStreamReader(SimpleDataSourceStreamReader):
@@ -114,13 +132,16 @@ class RestEnvelopeStreamReader(SimpleDataSourceStreamReader):
         self.url = options["url"]
         self.shards = int(options.get("shards", 1))
         self.timeout = float(options.get("timeout_sec", 10))
+        self.retries = int(options.get("retries", 3))
 
     def initialOffset(self):
         return {"poll": 0}
 
     def _page(self, poll: int):
         for shard in range(self.shards):
-            yield from _fetch(self.url, shard, poll, self.timeout)
+            yield from _fetch(
+                self.url, shard, poll, self.timeout, retries=self.retries
+            )
 
     def read(self, start):
         poll = int(start["poll"])

@@ -84,7 +84,12 @@ def extract_players(parsed: DataFrame) -> DataFrame:
         p["rank"].alias("rank_json"),
         p["total_matches_count"].alias("total_matches_count"),
         F.size(p["match_ids"]).alias("recent_matches_count"),
-        F.to_timestamp(p["data_collected_at"], "yyyy-MM-dd HH:mm:ss").alias(
+        # try_to_timestamp: under Spark 4 ANSI mode a plain to_timestamp
+        # THROWS on any nonconforming string, turning one bad-but-
+        # valid-JSON envelope into a stream-killing poison pill the
+        # checkpoint replays forever; NULL event times instead flow
+        # to the watermark stage (dropped) / DLQ audits.
+        F.try_to_timestamp(p["data_collected_at"], F.lit("yyyy-MM-dd HH:mm:ss")).alias(
             "data_collected_at"
         ),
         p["account_created_at"].alias("account_created_at"),
@@ -115,7 +120,7 @@ def extract_matches(parsed: DataFrame) -> DataFrame:
         m["duration"].alias("duration"),
         (m["duration"] / 60.0).alias("duration_minutes"),
         m["is_custom_match"].alias("is_custom_match"),
-        F.to_timestamp(m["created_at"]).alias("created_at"),
+        F.try_to_timestamp(m["created_at"]).alias("created_at"),
         perf["kills"].alias("kills"),
         perf["assists"].alias("assists"),
         perf["headshot_kills"].alias("headshot_kills"),
@@ -164,7 +169,7 @@ def extract_matches_table(parsed: DataFrame) -> DataFrame:
         m["rosters_count"].alias("teams_count"),
         m["participants_count"].alias("players_count"),
         m["assets_count"].alias("assets_count"),
-        F.to_timestamp(m["created_at"]).alias("match_created_at"),
+        F.try_to_timestamp(m["created_at"]).alias("match_created_at"),
         m["patch_version"].alias("patch_version"),
         m["telemetry_url"].alias("telemetry_url"),
         perf["kills"].alias("player_kills"),

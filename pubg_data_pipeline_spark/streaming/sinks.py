@@ -119,12 +119,16 @@ def kafka_json_sink(
     )
 
 
-def await_any(spark, timeout_seconds: int | None = None) -> None:
+def await_any(spark, timeout_seconds: int | None = None) -> bool:
     """Multi-query orchestration (D9): block until any active query
-    terminates (reference: spark_apps/pubg_streaming.py:272)."""
+    terminates (reference: spark_apps/pubg_streaming.py:272).
+
+    Returns True iff a query terminated (always True for the
+    untimed form) — a poll-and-restart loop needs to distinguish
+    'something terminated' from 'the timeout elapsed'."""
     if timeout_seconds is None:
         spark.streams.awaitAnyTermination()
-    else:
-        # StreamingQueryManager.awaitAnyTermination takes SECONDS
-        # (PySpark converts to ms internally).
-        spark.streams.awaitAnyTermination(timeout_seconds)
+        return True
+    # StreamingQueryManager.awaitAnyTermination takes SECONDS
+    # (PySpark converts to ms internally).
+    return bool(spark.streams.awaitAnyTermination(timeout_seconds))

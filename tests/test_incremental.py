@@ -208,3 +208,19 @@ def test_maintain_agg_view_drops_and_resurrects_groups(spark):
     assert "y" not in out
     assert out["x"] == (2, 10.0)
     assert out["z"] == (2, 10.0)
+
+
+def test_histogram_excludes_nan_and_rejects_percent_quantiles(spark):
+    import pytest
+    from pubg_data_pipeline_spark.operators import incremental as inc
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (5.0,), (9.0,), (None,)], "v double"
+    )
+    state = inc.partial_value_histogram(df, "v", lo=0.0, hi=10.0, n_bins=10)
+    bins = {r["bin"]: r["n"] for r in state.collect()}
+    assert sum(bins.values()) == 2  # NaN and NULL both excluded
+    assert bins.get(0, 0) == 0  # NaN no longer lands in bin 0
+
+    with pytest.raises(ValueError, match="percents"):
+        inc.histogram_quantiles(state, [50, 90], lo=0.0, hi=10.0, n_bins=10)
