@@ -138,6 +138,7 @@ HEADLINE = [
     "ab_cuped_adjusted_means",
     "embedding_ann_recall",
     "minhash_dedup_recall",
+    "quality_lang_bias_auc",
 ]
 
 

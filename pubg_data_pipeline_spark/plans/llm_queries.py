@@ -167,6 +167,93 @@ FROM z
 """
 
 
+def quality_lang_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-bias audit: exact AUC of the model quality score as a
+    predictor of ``lang == 'en'`` — the C4-audit-style check (Dodge et
+    al. 2021) that a quality filter does not systematically prefer one
+    language (AUC ~ 0.5 = unbiased; far from 0.5 = the quality
+    threshold doubles as a covert language filter). Completes the
+    engine's evaluation family: retrieval (`embedding_ann_recall`),
+    dedup (`minhash_dedup_recall`), and now the quality classifier.
+
+    Exactness: AUC is the Mann-Whitney rank-sum with tie credit 1/2,
+    computed from integer counts per DISTINCT rounded score —
+    numerator 2*AUC*P*N = sum(n_pos_s * (2*cum_neg_below_s + n_neg_s))
+    stays integer until one final double division, so both engines are
+    bit-identical. The cumulative window runs over distinct 4dp scores
+    (<= 10^4 rows — dimension-sized post-agg data, the same
+    justification as histogram_quantiles' bin window), never the
+    corpus."""
+    docs = _docs(spark, sf_dir)
+    cols = text_stats_columns(F.col("text"))
+    z = F.round(
+        F.lit(-2.0)
+        + F.least(cols["n_tokens"].cast("double"), F.lit(200.0)) * 0.02
+        + cols["stop_ratio"] * 6.0
+        - cols["punct_ratio"] * 8.0,
+        6,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    y = (F.col("lang") == "en").cast("long")
+    per = (
+        docs.select(score.alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(F.sum("y").alias("n_pos"), F.sum(F.lit(1) - F.col("y")).alias("n_neg"))
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = per.withColumn(
+        "cneg", F.coalesce(F.sum("n_neg").over(w), F.lit(0).cast("long"))
+    )
+    agg = c.agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (F.lit(2) * F.col("cneg") + F.col("n_neg"))
+        ).alias("__num2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            F.col("__num2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+        ),
+    )
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+_LANG_BIAS_AUC_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x IN ({_STOPS}))) AS stop_hits,
+         length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) * 1.0
+           / GREATEST(length(text), 1) AS praw
+  FROM documents
+), sc AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-ROUND(-2.0
+             + LEAST(CAST(n_tokens AS DOUBLE), 200.0) * 0.02
+             + (stop_hits * 1.0 / GREATEST(n_tokens, 1)) * 6.0
+             - praw * 8.0, 6))), 4) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM t
+), per AS (
+  SELECT s, SUM(y) AS n_pos, SUM(1 - y) AS n_neg FROM sc GROUP BY s
+), c AS (
+  SELECT *, COALESCE(SUM(n_neg) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+  FROM per
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CASE WHEN SUM(n_pos) > 0 AND SUM(n_neg) > 0 THEN
+         ROUND(SUM(n_pos * (2 * cneg + n_neg)) * 1.0
+               / (2.0 * SUM(n_pos) * SUM(n_neg)), 6)
+       END AS auc
+FROM c
+"""
+
+
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic vs. the labeled lang column."""
     docs = _docs(spark, sf_dir)
@@ -1441,6 +1528,7 @@ SPECS = [
     QuerySpec("embedding_mmr_rerank", embedding_mmr_rerank, _mmr_oracle_sql(), ("llm", "similarity", "udf")),
     QuerySpec("embedding_ann_recall", embedding_ann_recall, None, ("llm", "similarity", "eval")),
     QuerySpec("minhash_dedup_recall", minhash_dedup_recall, None, ("llm", "dedup", "eval")),
+    QuerySpec("quality_lang_bias_auc", quality_lang_bias_auc, _LANG_BIAS_AUC_SQL, ("llm", "quality", "eval")),
     QuerySpec(
         "doc_ngram_jaccard_pairs_capped",
         doc_ngram_jaccard_pairs_capped,
