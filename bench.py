@@ -139,6 +139,8 @@ HEADLINE = [
     "embedding_ann_recall",
     "minhash_dedup_recall",
     "quality_lang_bias_auc",
+    "quality_model_calibration",
+    "ab_srm_check",
 ]
 
 

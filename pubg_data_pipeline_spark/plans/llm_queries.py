@@ -17,6 +17,7 @@ from pubg_data_pipeline_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     lang_id_expr,
+    quality_score,
     text_stats_columns,
 )
 from pubg_data_pipeline_spark.operators import dedup, similarity
@@ -251,6 +252,89 @@ SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
                / (2.0 * SUM(n_pos) * SUM(n_neg)), 6)
        END AS auc
 FROM c
+"""
+
+
+def quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality classifier against its
+    teacher label: decile buckets of the model score vs the observed
+    rate of ``quality >= 0.6`` (the distillation target) — per-bucket
+    mean score, positive rate, and |gap| (the per-bucket term of
+    expected calibration error). A well-calibrated score's gap is
+    small in every populated bucket; drift after retraining shows up
+    here before it shows up in AUC (which only sees ranking).
+
+    Exactness: counts are integers; mean score per bucket comes from
+    exact per-row scaled integers (score is already 4dp — *10^4 is
+    exact); the only doubles are final divisions of integer sums. One
+    scan, one 10-group aggregate."""
+    docs = _docs(spark, sf_dir)
+    cols = text_stats_columns(F.col("text"))
+    z = F.round(
+        F.lit(-2.0)
+        + F.least(cols["n_tokens"].cast("double"), F.lit(200.0)) * 0.02
+        + cols["stop_ratio"] * 6.0
+        - cols["punct_ratio"] * 8.0,
+        6,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    y = (quality_score(F.col("text")) >= 0.6).cast("long")
+    bucket = F.least(F.floor(score * 10).cast("int"), F.lit(9))
+    out = (
+        docs.select(
+            bucket.alias("bucket"),
+            F.round(score * 10000, 0).cast("long").alias("__s4"),
+            y.alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.round(F.sum("__s4") / F.count(F.lit(1)) / 10000.0, 4).alias(
+                "mean_score"
+            ),
+            F.round(F.sum("y") / F.count(F.lit(1)), 4).alias("pos_rate"),
+        )
+    )
+    return out.select(
+        "bucket", "n", "n_pos", "mean_score", "pos_rate",
+        F.round(F.abs(F.col("mean_score") - F.col("pos_rate")), 4).alias("gap"),
+    )
+
+
+_CALIBRATION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x IN ({_STOPS}))) AS stop_hits,
+         length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) * 1.0
+           / GREATEST(length(text), 1) AS praw
+  FROM documents
+), sc AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-ROUND(-2.0
+             + LEAST(CAST(n_tokens AS DOUBLE), 200.0) * 0.02
+             + (stop_hits * 1.0 / GREATEST(n_tokens, 1)) * 6.0
+             - praw * 8.0, 6))), 4) AS s,
+         CASE WHEN ROUND((LEAST(n_tokens / 100.0, 1.0)
+                  + LEAST(stop_hits * 1.0 / GREATEST(n_tokens, 1) * 4, 1.0)
+                  + (1.0 - LEAST(praw * 10, 1.0))) / 3.0, 6) >= 0.6
+              THEN 1 ELSE 0 END AS y
+  FROM t
+), b AS (
+  SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bucket,
+         CAST(ROUND(s * 10000, 0) AS BIGINT) AS s4, y
+  FROM sc
+), agg AS (
+  SELECT bucket, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         ROUND(SUM(s4) * 1.0 / COUNT(*) / 10000.0, 4) AS mean_score,
+         ROUND(SUM(y) * 1.0 / COUNT(*), 4) AS pos_rate
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n, n_pos, mean_score, pos_rate,
+       ROUND(ABS(mean_score - pos_rate), 4) AS gap
+FROM agg
 """
 
 
@@ -1529,6 +1613,7 @@ SPECS = [
     QuerySpec("embedding_ann_recall", embedding_ann_recall, None, ("llm", "similarity", "eval")),
     QuerySpec("minhash_dedup_recall", minhash_dedup_recall, None, ("llm", "dedup", "eval")),
     QuerySpec("quality_lang_bias_auc", quality_lang_bias_auc, _LANG_BIAS_AUC_SQL, ("llm", "quality", "eval")),
+    QuerySpec("quality_model_calibration", quality_model_calibration, _CALIBRATION_SQL, ("llm", "quality", "eval")),
     QuerySpec(
         "doc_ngram_jaccard_pairs_capped",
         doc_ngram_jaccard_pairs_capped,

@@ -1112,11 +1112,58 @@ FROM v, t
 """
 
 
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the A/B readout: chi-square
+    statistic of the observed user split against the designed 50/50.
+    SRM is THE standard validity gate run before reading any
+    experiment metric (a biased assignment invalidates
+    `ab_cuped_adjusted_means` no matter how clean the math after it) —
+    for two cells with equal expected counts the statistic collapses
+    to ``(n0 - n1)^2 / (n0 + n1)``, pure integer arithmetic until one
+    division, flagged against the 95% critical value for 1 dof
+    (3.841). One distinct-user aggregate; nothing touches the fact
+    rows twice."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    users = ev.distinct().select((F.col("user_id") % 2).cast("int").alias("variant"))
+    counts = users.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    chi2 = F.round(
+        (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
+        / (F.col("n0") + F.col("n1")),
+        6,
+    )
+    return counts.select(
+        "n0",
+        "n1",
+        chi2.alias("chi2"),
+        (chi2 > 3.841).cast("int").alias("srm_flag"),
+    )
+
+
+_SRM_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), c AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM u
+)
+SELECT n0, n1,
+       ROUND((n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1), 6) AS chi2,
+       CAST(ROUND((n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1), 6) > 3.841 AS INT)
+         AS srm_flag
+FROM c
+"""
+
+
 SPECS = [
     QuerySpec("event_value_winsorized", event_value_winsorized, _WINSORIZED_SQL, ("stats", "robust")),
     QuerySpec(
         "ab_cuped_adjusted_means", ab_cuped_adjusted_means, _CUPED_SQL, ("stats", "experiment")
     ),
+    QuerySpec("ab_srm_check", ab_srm_check, _SRM_SQL, ("stats", "experiment")),
     QuerySpec(
         "event_user_cms_frequency", event_user_cms_frequency, _CMS_SQL, ("agg", "sketch")
     ),
