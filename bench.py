@@ -141,6 +141,8 @@ HEADLINE = [
     "quality_lang_bias_auc",
     "quality_model_calibration",
     "ab_srm_check",
+    "dup_cluster_size_histogram",
+    "dedup_threshold_sweep",
 ]
 
 

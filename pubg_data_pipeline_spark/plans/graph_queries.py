@@ -573,6 +573,113 @@ LEFT JOIN csize cs ON cs.component = comp.component
 """
 
 
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many clusters of size 2,
+    3, 4... the corpus contains (singletons counted from the doc total
+    minus clustered docs) — the first chart a dedup tuning session
+    reads: a fat tail of giant clusters means boilerplate is stitching
+    unrelated docs together (threshold too low / df-cap too loose);
+    all-pairs-of-2 means the threshold is conservative.
+
+    Reuses the shared materialized CC closure (`_components_cached`);
+    the histogram is two aggregates over the component table, which is
+    orders smaller than the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _components_cached(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    clustered = comp.agg(F.count(F.lit(1)).alias("__nc"))
+    singletons = (
+        n_docs.crossJoin(F.broadcast(clustered))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("__nd") - F.col("__nc")).alias("n_clusters"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return hist.unionByName(singletons)
+
+
+_CLUSTER_HIST_SQL = _CLOSURE_PRELUDE + """
+, csizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+), hist AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters FROM csizes GROUP BY cluster_size
+), singles AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp)
+           AS n_clusters
+)
+SELECT * FROM hist
+UNION ALL SELECT * FROM singles WHERE n_clusters > 0
+"""
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity report: near-dup pair count and
+    number of affected documents at each candidate Jaccard threshold,
+    from ONE pass over the shared materialized pair table (built once
+    at the lowest threshold 0.02 / df-cap 8 — `_neardup_pairs_cached`).
+    This is the tuning curve a curation run reads before committing a
+    threshold: where the pair count elbows is where boilerplate stops
+    and real duplication starts. Costs 5 tiny aggregates over the
+    cached edge list, never a shingle re-scan."""
+    pairs = _neardup_pairs_cached(spark, sf_dir)
+    thresholds = [0.02, 0.05, 0.1, 0.2, 0.4]
+    sweep = pairs.select(
+        F.explode(F.array(*[F.lit(t) for t in thresholds])).alias("threshold"),
+        F.round("jaccard", 6).alias("j"),
+        "id_a",
+        "id_b",
+    ).filter(F.col("j") >= F.col("threshold"))
+    ids = sweep.select(
+        "threshold", F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    )
+    return ids.groupBy("threshold").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("doc_id").alias("n_docs_affected"),
+    )
+
+
+_THRESHOLD_SWEEP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(arr) - 2, 0)),
+                                      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM toks
+), ex_all AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), ex AS (
+  SELECT doc_id, shingle FROM ex_all QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 8
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b,
+         ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+), t(threshold) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (0.02), (0.05), (0.1), (0.2), (0.4)) v(x)),
+ids AS (
+  SELECT t.threshold, p.id_a AS doc_id FROM pairs p JOIN t ON p.j >= t.threshold
+  UNION ALL
+  SELECT t.threshold, p.id_b FROM pairs p JOIN t ON p.j >= t.threshold
+)
+SELECT threshold,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+       COUNT(DISTINCT doc_id) AS n_docs_affected
+FROM ids GROUP BY threshold
+"""
+
+
 def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph construction over embeddings: for EVERY vector, its
     top-3 cosine neighbors WITHIN its cell (`label` stands in for the
@@ -669,6 +776,18 @@ SPECS = [
         doc_softdedup_weights,
         _SOFTDEDUP_SQL,
         ("llm", "dedup", "graph", "curation"),
+    ),
+    QuerySpec(
+        "dup_cluster_size_histogram",
+        dup_cluster_size_histogram,
+        _CLUSTER_HIST_SQL,
+        ("llm", "dedup", "graph", "eval"),
+    ),
+    QuerySpec(
+        "dedup_threshold_sweep",
+        dedup_threshold_sweep,
+        _THRESHOLD_SWEEP_SQL,
+        ("llm", "dedup", "eval"),
     ),
     QuerySpec(
         "neardup_pagerank", neardup_pagerank, _pagerank_sql(), ("llm", "graph", "dedup")
