@@ -453,9 +453,14 @@ def doc_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFram
     the capped shingle universe, so numerator and denominator stay
     consistent; the oracle applies the identical cap."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT wired to the shared persisted shingle table: the df-cap path
+    # has three consumers of the exploded frame (keep aggregate, the
+    # semi-join, the posting groupBy) which Catalyst serves from ONE
+    # reused exchange when built inline — explode-from-cache x3 beats
+    # the saved regex pass by ~30% the wrong way (measured 1.08 s
+    # inline vs 1.42 s shared at sf0.1).
     pairs = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", shingle_n=3, threshold=0.05, max_doc_freq=4,
-        shingles=_shingles_cached(spark, sf_dir),
+        docs, "text", "doc_id", shingle_n=3, threshold=0.05, max_doc_freq=4
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -696,9 +701,10 @@ def doc_overlap_coeff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A|/|B|. Same single-shuffle posting-list machinery as the Jaccard
     family, so the scale profile is identical."""
     docs = load_table(spark, sf_dir, "documents")
+    # inline shingles for the same reused-exchange reason as the capped
+    # Jaccard variant (see doc_ngram_jaccard_pairs_capped)
     pairs = dedup.ngram_overlap_pairs(
-        docs, "text", "doc_id", shingle_n=3, threshold=0.5, max_doc_freq=4,
-        shingles=_shingles_cached(spark, sf_dir),
+        docs, "text", "doc_id", shingle_n=3, threshold=0.5, max_doc_freq=4
     )
     return pairs.select("id_a", "id_b", "n_inter", F.round("overlap", 6).alias("overlap"))
 
