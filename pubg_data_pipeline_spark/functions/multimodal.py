@@ -45,6 +45,19 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:IMAGE_FEATURE_DIM]]
 
 
+def _null_or(fn):
+    """NULL-payload guard for the per-row decode callables: a corrupt
+    upload or missing media row arrives as None in the Arrow batch —
+    it must yield NULL features, not a bytes(None) TypeError that
+    kills the whole decode job."""
+    def wrapped(b):
+        if b is None or (isinstance(b, float) and b != b):
+            return None
+        return fn(b)
+
+    return wrapped
+
+
 def _id_dtype(df: DataFrame, id_col: str) -> str:
     """The operators' output schemas carry the caller's id column
     unchanged — file-path ids are strings, synthetic ids are longs."""
@@ -78,8 +91,15 @@ def decode_image_features(
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "byte_size": pdf[payload_col].map(len),
-                    "features": pdf[payload_col].map(lambda b: decoder(bytes(b))),
+                    "byte_size": pdf[payload_col].map(_null_or(len)),
+                    # object-dtype Series: a mixed list/None column
+                    # must not collapse to a numpy array Arrow can't
+                    # convert to list<double>
+                    "features": pd.Series(
+                        [_null_or(lambda b: decoder(bytes(b)))(v)
+                         for v in pdf[payload_col]],
+                        dtype=object, index=pdf.index,
+                    ),
                 }
             )
 
@@ -113,13 +133,13 @@ def resize_image(
 
     def run(batches):
         for pdf in batches:
-            resized = pdf[payload_col].map(lambda b: resizer(bytes(b)))
+            resized = pdf[payload_col].map(_null_or(lambda b: resizer(bytes(b))))
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "orig_bytes": pdf[payload_col].map(len),
+                    "orig_bytes": pdf[payload_col].map(_null_or(len)),
                     "payload_resized": resized,
-                    "resized_bytes": resized.map(len),
+                    "resized_bytes": resized.map(_null_or(len)),
                 }
             )
 
@@ -151,8 +171,12 @@ def audio_features(
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "byte_size": pdf[payload_col].map(len),
-                    "coeffs": pdf[payload_col].map(lambda b: decoder(bytes(b))),
+                    "byte_size": pdf[payload_col].map(_null_or(len)),
+                    "coeffs": pd.Series(
+                        [_null_or(lambda b: decoder(bytes(b)))(v)
+                         for v in pdf[payload_col]],
+                        dtype=object, index=pdf.index,
+                    ),
                 }
             )
 
@@ -195,10 +219,15 @@ def frame_sample(
         for pdf in batches:
             ids, idxs, feats = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue  # null media row: contributes no frames
                 for frame_idx, fv in extractor(bytes(payload)):
                     ids.append(mid)
                     idxs.append(frame_idx)
                     feats.append(fv)
+            if not ids:
+                continue  # all-null batch: an EMPTY default-dtype frame
+                # would reach Arrow as float64 columns it can't cast
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "features": feats})
 
     out = spread.select(id_col, payload_col).mapInPandas(
@@ -278,7 +307,9 @@ def perceptual_hash(
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "phash": pdf[payload_col].map(lambda p: hasher(bytes(p))),
+                    "phash": pdf[payload_col].map(
+                        _null_or(lambda p: hasher(bytes(p)))
+                    ),
                 }
             )
 

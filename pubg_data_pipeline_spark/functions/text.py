@@ -258,10 +258,16 @@ def winnowing_fingerprints(
     )
     w_seq = Window.partitionBy(id_col).orderBy("__j")
     gram = F.lit(0).cast("long")
+    # pmod EVERY step (same discipline as rolling_fingerprint): folding
+    # k codes unreduced overflows int64 around k ~ 8 on ordinary text,
+    # which under ANSI mode is an ARITHMETIC_OVERFLOW job kill
     for i in range(k):
-        gram = gram * ROLLING_HASH_BASE + F.lead("__c", i, None).over(w_seq)
+        gram = F.pmod(
+            gram * ROLLING_HASH_BASE + F.lead("__c", i, None).over(w_seq),
+            F.lit(ROLLING_HASH_MOD),
+        )
     grams = (
-        toks.withColumn("__h", F.pmod(gram, F.lit(ROLLING_HASH_MOD)))
+        toks.withColumn("__h", gram)
         .filter(F.col("__h").isNotNull())  # tail positions with < k tokens
         .select(id_col, F.col("__j").alias("__g"), "__h")
     )

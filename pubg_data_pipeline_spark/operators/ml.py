@@ -75,15 +75,27 @@ def train_logistic(
     step."""
     d = len(feature_cols)
     weights = [0.0] * (d + 1)
+    # Rows with ANY null feature or a null label are excluded up front:
+    # F.sum skips them in every gradient term, so dividing by the full
+    # row count would silently attenuate the weights toward zero (the
+    # gradient mean must be over the rows that actually contributed).
+    usable = df
+    for c in [*feature_cols, label_col]:
+        usable = usable.filter(c.isNotNull())
     xs = [F.lit(1.0)] + list(feature_cols)
     y = label_col.cast("double")
     for _ in range(iterations):
         err = sigmoid(logit(weights, feature_cols)) - y
-        row = df.agg(
+        row = usable.agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(err * x).alias(f"g{j}") for j, x in enumerate(xs)],
         ).first()
         n = float(row["n"])
+        if n == 0:
+            raise ValueError(
+                "train_logistic: no usable training rows "
+                "(every row has a null feature or label)"
+            )
         weights = [
             round(w - lr * float(row[f"g{j}"]) / n, round_dp)
             for j, w in enumerate(weights)

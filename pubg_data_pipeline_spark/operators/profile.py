@@ -51,11 +51,19 @@ def profile_columns(
     One aggregation job regardless of column count; the wide single
     row is then unpivoted driver-free via ``stack``.
     """
+    if not cols:
+        raise ValueError("profile_columns: empty column list")
     _check_safe_names(cols)
     nd = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        # coalesce: F.sum over ZERO rows is NULL — an empty (healthy)
+        # table must report n_nulls = 0, not NULL
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0).cast("long")
+            ).alias(f"__nulls_{c}")
+        )
         aggs.append(nd(F.col(c)).alias(f"__nd_{c}"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
@@ -71,7 +79,11 @@ def profile_columns(
         "column_name",
         F.col("__n").alias("n_rows"),
         "n_nulls",
-        F.round(F.col("n_nulls") / F.col("__n"), 6).alias("null_frac"),
+        # guard the ANSI 0/0 on an empty table: null_frac of 0 rows is 0
+        F.round(
+            F.when(F.col("__n") > 0, F.col("n_nulls") / F.col("__n")).otherwise(0.0),
+            6,
+        ).alias("null_frac"),
         "n_distinct",
         "min_value",
         "max_value",
@@ -92,10 +104,15 @@ def expectations_report(
     one projected expression, never another job.
     """
     _check_safe_names([name for name, _ in rules])
+    if not rules:
+        raise ValueError("expectations_report: empty rule list")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, cond in rules:
         aggs.append(
-            F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(f"__v_{name}")
+            F.coalesce(
+                F.sum((~F.coalesce(cond, F.lit(False))).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"__v_{name}")
         )
     wide = df.agg(*aggs)
     stack_args = ", ".join(f"'{name}', __v_{name}" for name, _ in rules)
@@ -145,8 +162,15 @@ def distribution_drift(
         F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
     )
     out = joined.crossJoin(F.broadcast(tot))
-    p_base = F.col("n_base") / F.col("t_base") + F.lit(eps)
-    p_cur = F.col("n_cur") / F.col("t_cur") + F.lit(eps)
+    # an EMPTY side (first deployment day, new category universe) must
+    # yield NULL psi_contrib, not an ANSI DIVIDE_BY_ZERO that kills the
+    # monitor the moment it has nothing to compare against
+    p_base = (
+        F.when(F.col("t_base") > 0, F.col("n_base") / F.col("t_base")) + F.lit(eps)
+    )
+    p_cur = (
+        F.when(F.col("t_cur") > 0, F.col("n_cur") / F.col("t_cur")) + F.lit(eps)
+    )
     return out.select(
         key_name,
         "n_base",

@@ -160,7 +160,11 @@ def _proc_cpu_percent(sample_sec: float = 0.1) -> float:
             parts = f.readline().split()
         vals = [int(v) for v in parts[1:]]
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
-        return idle, sum(vals)
+        # guest/guest_nice (fields 9-10) are ALREADY included in
+        # user/nice per the /proc/stat ABI; summing them again inflates
+        # the denominator and underreports utilisation on VM hosts
+        # (psutil subtracts them for the same reason)
+        return idle, sum(vals[:8])
 
     idle0, total0 = snap()
     time.sleep(sample_sec)

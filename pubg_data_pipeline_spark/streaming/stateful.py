@@ -20,14 +20,18 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_RUNNING_SCHEMA = StructType(
-    [
-        StructField("key", StringType()),
-        StructField("events_total", LongType()),
-        StructField("value_total", DoubleType()),
-        StructField("batches_seen", LongType()),
-    ]
-)
+def _running_schema(keyed: "DataFrame", key_col: str) -> StructType:
+    """Output schema carrying the CALLER's key column — name and type
+    — instead of a hardcoded string 'key' (a long key would fail the
+    Arrow conversion; a renamed key broke downstream joins)."""
+    return StructType(
+        [
+            StructField(key_col, keyed.schema[key_col].dataType),
+            StructField("events_total", LongType()),
+            StructField("value_total", DoubleType()),
+            StructField("batches_seen", LongType()),
+        ]
+    )
 
 _STATE_SCHEMA = StructType(
     [
@@ -50,8 +54,12 @@ def running_totals(
             state.get if state.exists else (0, 0.0, 0)
         )
         for pdf in pdfs:
-            events += len(pdf)
-            total += float(pdf[value_col].sum())
+            # count and sum the SAME row population: rows with a null
+            # value are excluded from both totals (counting them only
+            # in events_total silently deflated downstream averages)
+            vals = pdf[value_col].dropna()
+            events += len(vals)
+            total += float(vals.sum())
         batches += 1
         state.update((events, total, batches))
         import pandas as pd
@@ -59,7 +67,7 @@ def running_totals(
         yield pd.DataFrame(
             [
                 {
-                    "key": key[0],
+                    key_col: key[0],
                     "events_total": events,
                     "value_total": total,
                     "batches_seen": batches,
@@ -69,7 +77,7 @@ def running_totals(
 
     return keyed.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=_RUNNING_SCHEMA,
+        outputStructType=_running_schema(keyed, key_col),
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -102,14 +110,15 @@ def running_totals_tws(
                 self._totals.get() if self._totals.exists() else (0, 0.0, 0)
             )
             for pdf in rows:
-                events += len(pdf)
-                total += float(pdf[value_col].sum())
+                vals = pdf[value_col].dropna()
+                events += len(vals)
+                total += float(vals.sum())
             batches += 1
             self._totals.update((events, total, batches))
             yield pd.DataFrame(
                 [
                     {
-                        "key": key[0],
+                        key_col: key[0],
                         "events_total": events,
                         "value_total": total,
                         "batches_seen": batches,
@@ -122,7 +131,7 @@ def running_totals_tws(
 
     return keyed.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=RunningTotals(),
-        outputStructType=_RUNNING_SCHEMA,
+        outputStructType=_running_schema(keyed, key_col),
         outputMode="update",
         timeMode="none",
     )

@@ -151,3 +151,26 @@ def test_perceptual_hash_edge_payloads(spark):
     assert got[1] == 0  # empty payload -> zero signature, no crash
     assert got[2] == 0  # single byte: block mean == doc mean, strict > fails
     assert got[3] == 0  # constant payload -> no block above the mean
+
+
+def test_null_payload_rows_yield_nulls_not_crash(spark):
+    from pubg_data_pipeline_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefgh"), (2, None)], "media_id long, payload binary"
+    )
+    feats = {r["media_id"]: r for r in mm.decode_image_features(df, "media_id", "payload").collect()}
+    assert feats[1]["features"] is not None
+    assert feats[2]["features"] is None and feats[2]["byte_size"] is None
+
+    rs = {r["media_id"]: r for r in mm.resize_image(df, "media_id", "payload").collect()}
+    assert rs[2]["payload_resized"] is None
+
+    au = {r["media_id"]: r for r in mm.audio_features(df, "media_id", "payload").collect()}
+    assert au[2]["coeffs"] is None
+
+    frames = mm.frame_sample(df, "media_id", "payload").collect()
+    assert all(r["media_id"] == 1 for r in frames)  # null row skipped
+
+    ph = {r["media_id"]: r for r in mm.perceptual_hash(df, "media_id", "payload").collect()}
+    assert ph[2]["phash"] is None

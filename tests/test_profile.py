@@ -100,3 +100,49 @@ def test_distribution_drift_one_sided_category_and_reference_value(spark):
         assert math.isclose(got, psi(nb, nc), rel_tol=1e-12), (c, got, psi(nb, nc))
     # disappeared/new categories dominate the drift score, as PSI should
     assert out["z"][2] > out["a"][2] and out["b"][2] > out["a"][2]
+
+
+def test_profile_empty_table_and_empty_inputs(spark):
+    import pytest
+
+    from pubg_data_pipeline_spark.operators import profile
+
+    empty = spark.createDataFrame([], "v double")
+    row = profile.profile_columns(empty, ["v"]).collect()[0]
+    assert row["n_rows"] == 0 and row["n_nulls"] == 0
+    assert row["null_frac"] == 0.0  # not NULL, not DIVIDE_BY_ZERO
+
+    with pytest.raises(ValueError):
+        profile.profile_columns(empty, [])
+    with pytest.raises(ValueError):
+        profile.expectations_report(empty, [])
+
+
+def test_drift_with_empty_baseline_yields_null_not_crash(spark):
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import profile
+
+    base = spark.createDataFrame([], "c string")
+    cur = spark.createDataFrame([("a",), ("b",)], "c string")
+    rows = profile.distribution_drift(base, cur, F.col("c")).collect()
+    assert len(rows) == 2
+    assert all(r["psi_contrib"] is None for r in rows)  # no ANSI crash
+
+
+def test_train_logistic_null_rows_excluded_and_empty_raises(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import ml
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (None, 0), (0.0, 0)], "x double, y int"
+    )
+    # one iteration, lr=1: gradient mean over the 2 usable rows
+    w = ml.train_logistic(df, [F.col("x")], F.col("y"), iterations=1, lr=1.0)
+    assert abs(w[1] - 0.25) < 1e-9  # was 1/6 when divided by all 3 rows
+
+    empty = spark.createDataFrame([], "x double, y int")
+    with _pytest.raises(ValueError, match="no usable training rows"):
+        ml.train_logistic(empty, [F.col("x")], F.col("y"), iterations=1)

@@ -122,3 +122,30 @@ def test_running_totals_tws_accumulate_across_batches(spark, tmp_path):
     assert latest["a"]["value_total"] == pytest.approx(7.0)
     assert latest["a"]["batches_seen"] == 2
     assert latest["b"]["events_total"] == 1
+
+
+def test_running_totals_long_key_and_null_values(spark, tmp_path):
+    """Round-4 fixes: a non-string key column keeps its name and type
+    in the output (the schema was hardcoded StringType 'key'), and
+    null values are excluded from BOTH events_total and value_total."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    pd.DataFrame({"uid": [7, 7, 7], "value": [1.0, None, 3.0]}).to_parquet(
+        src / "p.parquet" if src.mkdir() is None else src / "p.parquet"
+    )
+    stream = spark.readStream.schema("uid long, value double").parquet(str(src))
+    out = stateful.running_totals(stream, "uid", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rt_longkey")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rt_longkey").collect()
+    assert rows and rows[-1]["uid"] == 7  # caller's name + long type
+    assert rows[-1]["events_total"] == 2  # null-value row in neither total
+    assert abs(rows[-1]["value_total"] - 4.0) < 1e-9
