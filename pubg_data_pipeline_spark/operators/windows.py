@@ -115,6 +115,24 @@ def lag_lead_features(
     )
 
 
+def ntile_expr(rank_col: str = "__r", n_col: str = "__n", k: int = 4):
+    """Exact NTILE placement from a precomputed (global) rank: the
+    first ``n % k`` tiles take ``(n div k) + 1`` rows, the rest
+    ``n div k`` — bit-identical to SQL NTILE at any n, in pure integer
+    arithmetic (the first branch also covers n < k, so the ``div
+    (n div k)`` in the second branch can never divide by zero). Pair
+    with :func:`global_rank` so no single-partition window touches the
+    data; the correctness argument lives HERE once instead of being
+    re-audited at every NTILE-shaped query (order_quartiles,
+    rfm_segments)."""
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= ({n_col} % {k}) * (({n_col} div {k}) + 1) "
+        f"THEN ({rank_col} - 1) div (({n_col} div {k}) + 1) + 1 "
+        f"ELSE ({n_col} % {k}) + ({rank_col} - ({n_col} % {k}) * (({n_col} div {k}) + 1) - 1) div ({n_col} div {k}) + 1 "
+        f"END AS INT)"
+    )
+
+
 def global_rank(
     df: DataFrame,
     score: Column,

@@ -313,15 +313,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = df.agg(F.count(F.lit(1)).alias("__n"))
         return (
             ranked.crossJoin(F.broadcast(n))
-            .withColumn(
-                out,
-                F.expr(
-                    "CAST(CASE WHEN __r <= (__n % 4) * ((__n div 4) + 1) "
-                    "THEN (__r - 1) div ((__n div 4) + 1) + 1 "
-                    "ELSE (__n % 4) + (__r - (__n % 4) * ((__n div 4) + 1) - 1) div (__n div 4) + 1 "
-                    "END AS INT)"
-                ),
-            )
+            .withColumn(out, W.ntile_expr("__r", "__n", 4))
             .drop("__r", "__n")
         )
 

@@ -577,7 +577,10 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_SQL = f"""
 WITH dl AS (
-  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl FROM documents
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+  FROM documents
 ), toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
   FROM documents
@@ -777,7 +780,10 @@ def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HYBRID_SQL = f"""
 WITH dl AS (
-  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl FROM documents
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+  FROM documents
 ), toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
   FROM documents

@@ -904,10 +904,9 @@ def alert_severity_sqlfn(spark: SparkSession, sf_dir: str) -> DataFrame:
     severity semantics as alert_severity_breakdown (reference:
     monitoring/alert_manager.py:366-396)."""
     from pubg_data_pipeline_spark.functions.sql_udfs import register_sql_functions
-    from pubg_data_pipeline_spark.sources.tables import load_table as _lt
 
     register_sql_functions(spark)
-    _lt(spark, sf_dir, "events").createOrReplaceTempView("events_sqlfn")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_sqlfn")
     return spark.sql(
         f"""
         WITH perf AS (

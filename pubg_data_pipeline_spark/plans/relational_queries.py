@@ -450,13 +450,7 @@ def order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer arithmetic (div), so placement is bit-identical to
     # SQL NTILE at any n: first n%4 tiles take (n div 4)+1 rows each
     tiled = ranked.crossJoin(F.broadcast(n)).withColumn(
-        "quartile",
-        F.expr(
-            "CAST(CASE WHEN __r <= (__n % 4) * ((__n div 4) + 1) "
-            "THEN (__r - 1) div ((__n div 4) + 1) + 1 "
-            "ELSE (__n % 4) + (__r - (__n % 4) * ((__n div 4) + 1) - 1) div (__n div 4) + 1 "
-            "END AS INT)"
-        ),
+        "quartile", windows.ntile_expr("__r", "__n", 4)
     )
     agged = tiled.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -787,8 +781,6 @@ def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     those customers — the reconciliation semantics a plain = join
     silently drops. Counts per matched label prove the NULL<->NULL
     matches happened on both engines."""
-    from pubg_data_pipeline_spark.operators import relational
-
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(

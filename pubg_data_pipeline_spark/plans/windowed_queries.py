@@ -70,8 +70,12 @@ def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same epoch-aligned 1800s grid as F.window: for each offset in
 # {0, 1800}, the unique window start on that sub-grid containing ts.
+# make_timestamp (tz-NAIVE, like every other oracle here) rather than
+# to_timestamp, which returns TIMESTAMPTZ and renders through DuckDB's
+# session TimeZone — on a non-UTC host every window_start string would
+# shift while the Spark side stays pinned to UTC.
 _SLIDING_SQL = """
-SELECT strftime(to_timestamp(CAST(FLOOR((epoch(ts) - off) / 3600) AS BIGINT) * 3600 + off),
+SELECT strftime(make_timestamp((CAST(FLOOR((epoch(ts) - off) / 3600) AS BIGINT) * 3600 + off) * 1000000),
                 '%Y-%m-%d %H:%M') AS window_start,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users
