@@ -43,3 +43,59 @@ def test_parses_driver_tail_format(tmp_path):
 
 def test_no_history_no_flags(tmp_path):
     assert bench._regressions_vs_last_recorded({"q": 5.0}, root=str(tmp_path)) == {}
+
+
+def test_prefers_detail_file_over_round_artifacts(tmp_path):
+    # BENCH_DETAIL.json is the previous completed run's full per-query
+    # map (the driver tail no longer carries one); it wins over any
+    # BENCH_r{N}.json.
+    _write(tmp_path / "BENCH_r09.json", {"queries": {"q": 10.0}})
+    _write(tmp_path / "BENCH_DETAIL.json", {"queries": {"q": 1.0}})
+    out = bench._regressions_vs_last_recorded({"q": 2.0}, root=str(tmp_path))
+    assert out["q"]["prev"] == 1.0  # vs detail, not the r09 artifact
+
+
+def test_compact_round_tail_falls_back_to_older_queries(tmp_path):
+    # From round 5 on the driver tail ends with the compact summary
+    # line (no "queries") — the tracker must fall back past it.
+    compact = json.dumps({"metric": "headline_queries_total", "value": 90.0, "n_queries": 121})
+    _write(tmp_path / "BENCH_r05.json", {"tail": f"...truncated...\n{compact}"})
+    _write(tmp_path / "BENCH_r03.json", {"queries": {"q": 1.0}})
+    out = bench._regressions_vs_last_recorded({"q": 3.0}, root=str(tmp_path))
+    assert out["q"]["prev"] == 1.0
+
+
+def test_skips_baselines_recorded_at_a_different_sf(tmp_path):
+    # A dev bench run at sf0.01 must not be compared against (or
+    # poison) an sf0.1 baseline — per-query times differ by the data
+    # scale, not by regressions.
+    _write(tmp_path / "BENCH_DETAIL.json", {"sf": 0.01, "queries": {"q": 0.1}})
+    _write(tmp_path / "BENCH_r03.json", {"sf": 0.1, "queries": {"q": 1.0}})
+    out = bench._regressions_vs_last_recorded({"q": 2.0}, root=str(tmp_path), sf=0.1)
+    assert out["q"]["prev"] == 1.0  # skipped the sf0.01 detail file
+    # sf-less legacy records still compare (backward compatible)
+    _write(tmp_path / "BENCH_DETAIL.json", {"queries": {"q": 0.5}})
+    out = bench._regressions_vs_last_recorded({"q": 2.0}, root=str(tmp_path), sf=0.1)
+    assert out["q"]["prev"] == 0.5
+
+
+def test_compact_summary_line_fits_any_tail_window():
+    # The driver records only the last 2000 chars of stdout; the final
+    # compact line must always be complete inside that window.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 12345.678,
+            "unit": "sec",
+            "sf": 0.1,
+            "n_queries": 9999,
+            "n_errors": 9999,
+            "n_regressions": 9999,
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
+    )
+    assert len(compact) < 200
+    parsed = json.loads(compact)
+    assert parsed["metric"] == "headline_queries_total"
+    assert "value" in parsed and "queries" not in parsed
