@@ -201,6 +201,8 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = 1000,
+    hot_bucket: str = "star",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): docs sharing ≥1 band key.
 
@@ -208,18 +210,92 @@ def minhash_candidate_pairs(
     (band_idx, band_key) replaces the O(n²) all-pairs comparison.
     Pass ``shingles`` (a shingle_table result) to share one shingle
     computation with other consumers (e.g. jaccard_verify).
+
+    ``max_bucket_size`` is the 100 TB hot-bucket guard: a band bucket
+    with m members emits m(m-1)/2 pairs, so one viral boilerplate page
+    (10⁶ near-identical docs hashing into one bucket) is a ~5·10¹¹-row
+    single-key blow-up no partitioning can save — the LSH twin of the
+    n-gram path's ``max_doc_freq``. The guarded form replaces the
+    band self-join entirely: ONE aggregation collects each bucket's
+    (distinct) member ids into a sorted array — a single shuffle of
+    the band rows, vs two exchanges + a sort-merge join — and pairs
+    are generated JVM-side inside each array row (measured ~2x faster
+    than the unguarded join at sf0.1, besides being bounded). The
+    membership array costs 8 bytes/member (8 MB for a 10⁶-member
+    viral bucket — fine; the window/join formulations buffer the same
+    bucket rows per-partition anyway). Buckets over the cap are
+    handled per ``hot_bucket``:
+
+    - ``"star"`` (default): collapse through the bucket-keeper rule —
+      emit only (bucket-min doc, member) pairs, O(m) rows per bucket.
+      Connectivity inside the bucket is preserved (every member links
+      to the keeper), so connected-component clustering of an
+      exact/near-exact dup avalanche is unchanged; a downstream
+      pairwise verify may reject a star edge where some member-member
+      edge would have passed, so borderline-threshold recall inside
+      oversized buckets is approximate (documented trade, like
+      stop-word removal).
+    - ``"skip"``: drop oversized buckets before pairing (mirrors
+      ``max_doc_freq``) — near-dups landing ONLY in a viral bucket are
+      missed; most true pairs also collide in other bands.
+
+    ``max_bucket_size=None`` restores the unguarded join (exact LSH
+    semantics; only safe on corpora known to lack viral buckets).
     """
     banded = band_table(df, text_col, id_col, num_hashes, bands, shingle_n, shingles)
-    left = banded.alias("a")
-    right = banded.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    if max_bucket_size is None:
+        left = banded.alias("a")
+        right = banded.alias("b")
+        return (
+            left.join(
+                right,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+    if hot_bucket not in ("star", "skip"):
+        raise ValueError(f"hot_bucket must be 'star' or 'skip', got {hot_bucket!r}")
+    if max_bucket_size < 2:
+        raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
+    # size >= 2 BEFORE the pair expressions: the overwhelming majority
+    # of buckets are singletons (they can't pair), and the filter saves
+    # evaluating the quadratic higher-order pair-gen on every one.
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_list("doc")).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    m = F.col("m")
+    # all i<j pairs inside a small bucket (ascending ids, so id_a < id_b)
+    all_pairs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.filter(m, lambda _, j: j > i),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    # fat bucket, "star": keeper (bucket min = m[0]) -> every other member
+    star_pairs = F.transform(
+        F.slice(m, 2, F.greatest(F.size(m) - 1, F.lit(0))),
+        lambda y: F.struct(m[0].alias("id_a"), y.alias("id_b")),
+    )
+    # "skip": an EMPTY array of the same struct type (filter-to-false
+    # keeps the element type without spelling the doc id type)
+    over_cap = (
+        star_pairs if hot_bucket == "star" else F.filter(star_pairs, lambda _: F.lit(False))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.when(F.size(m) <= max_bucket_size, all_pairs).otherwise(over_cap)
+            ).alias("p")
+        )
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -688,15 +764,61 @@ def write_band_index(
     ``bands`` longs + an id per doc, orders smaller than the text —
     so each new crawl batch can be near-dup-checked against ALL of
     history without rescanning or re-shingling historical text. At
-    full scale write it bucketed on (band_idx, band_key)
-    (sources/io.py:write_bucketed_table) so the per-batch probe join
-    is shuffle-free on the index side."""
+    full scale use :func:`write_band_index_table` — the same rows as
+    a catalog table bucketed on (band_idx, band_key), which makes the
+    per-batch probe join shuffle-free on the index side
+    (plan-asserted in tests/test_io.py)."""
     (
         band_table(df, text_col, id_col, num_hashes, bands, shingle_n)
         .select("band_idx", "band_key", F.col("doc").alias("keeper_id"))
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_band_index_table(
+    df: DataFrame,
+    table_name: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    num_buckets: int = 32,
+) -> None:
+    """The full-scale layout :func:`write_band_index`'s docstring
+    promises: the same (band_idx, band_key, keeper_id) rows saved as a
+    catalog table BUCKETED on (band_idx, band_key) — the index scan
+    then already satisfies the probe join's hash distribution, so
+    every per-batch probe is shuffle-free on the index side (only the
+    O(bands·batch) probe rows are ever exchanged; the index, which is
+    orders larger, is read in place). Plan-asserted in
+    tests/test_io.py::test_bucketed_band_index_probe_is_shuffle_free_on_index_side."""
+    from pubg_data_pipeline_spark.sources.io import write_bucketed_table
+
+    bt = band_table(df, text_col, id_col, num_hashes, bands, shingle_n).select(
+        "band_idx", "band_key", F.col("doc").alias("keeper_id")
+    )
+    write_bucketed_table(bt, table_name, ["band_idx", "band_key"], num_buckets)
+
+
+def incremental_neardup_ingest_table(
+    spark,
+    index_table: str,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`incremental_neardup_ingest` probing a BUCKETED catalog
+    index (:func:`write_band_index_table`) instead of a parquet path —
+    identical policy and results; the bucketed layout just drops the
+    index-side shuffle from the probe join."""
+    bt = band_table(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
+    index = spark.table(index_table).select("band_idx", "band_key")
+    return neardup_survivor_bands(bt, index)
 
 
 def incremental_neardup_ingest(
@@ -721,15 +843,18 @@ def incremental_neardup_ingest(
     - HISTORY: a batch doc sharing ≥1 (band_idx, band_key) with the
       index is a near-dup of something already ingested — dropped
       (history always wins; the index row's keeper stays).
-    - WITHIN BATCH, greedy-by-id: a doc sharing a bucket with a
-      smaller-id batch doc is dropped; i.e. a doc survives iff it is
-      the bucket minimum in EVERY band bucket it occupies. This is the
-      single-aggregation analog of first-seen-wins ingestion order.
-      It differs from single-linkage closure only on chain cases
-      (a~c and b~c but not a~b keeps {a, b}; the closure keeps {a}) —
-      for full transitive clustering run the batch analytics path
-      (minhash_candidate_pairs → graph.connected_components) instead;
-      an ingest epoch must stay one-pass.
+    - WITHIN BATCH, greedy-by-id: a doc sharing a bucket with ANY
+      smaller-id batch doc is dropped — regardless of whether that
+      smaller doc itself survives; i.e. a doc survives iff it is the
+      bucket minimum in EVERY band bucket it occupies. This is
+      STRICTER than sequential first-seen-wins on chains (1~2 and 2~3
+      but not 1~3: sequential keeps {1, 3}; this rule keeps {1} —
+      doc 3 is beaten by the already-dropped 2) and differs from
+      single-linkage closure on forks (a~c and b~c but not a~b keeps
+      {a, b}; the closure keeps {a}). For exact transitive clustering
+      run the batch analytics path (minhash_candidate_pairs →
+      graph.connected_components) instead; an ingest epoch must stay
+      one-pass and single-aggregation.
 
     Scale: the history check shuffles only the batch's O(bands·n) band
     rows and the (semi-join-pruned) index — never historical text; the

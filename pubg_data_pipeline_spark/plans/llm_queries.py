@@ -914,7 +914,11 @@ def minhash_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_found",
             (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
-            F.round(F.col("n_found") / F.col("n_exact"), 4).alias("recall"),
+            # A corpus with zero exact near-dup pairs (clean dataset)
+            # must report NULL recall, not ANSI-throw on 0/0.
+            F.round(
+                F.when(F.col("n_exact") > 0, F.col("n_found") / F.col("n_exact")), 4
+            ).alias("recall"),
         )
     )
 
@@ -947,6 +951,25 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_top_k(
         emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
         k=5, nlist=8, nprobe=3, cache_key=dataset_cache_tag(sf_dir, "embeddings"),
+    )
+
+
+def embedding_ivf_balanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_ivf_topk with the BALANCED quantizer
+    (operators.similarity.train_ivf_centers_balanced): oversized
+    k-means cells are split until occupancy fits capacity, bounding
+    what one nprobe scan can touch — the skew-hardened trainer a
+    clustered production corpus needs. Rows-only check (k-means);
+    the balance bound and agreement with brute force are
+    property-tested in tests/test_llm_ops.py."""
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_top_k(
+        emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
+        k=5, nlist=8, nprobe=3, cache_key=dataset_cache_tag(sf_dir, "embeddings"),
+        balanced=True,
     )
 
 
@@ -1021,16 +1044,20 @@ def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is pinned in tests/test_llm_ops.py."""
     import os
 
-    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag, ensure_index_cache
 
     emb = load_table(spark, sf_dir, "embeddings")
     tag = dataset_cache_tag(sf_dir, "embeddings")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo_root, ".ivf_cache", f"index_{tag}")
-    if not os.path.isdir(os.path.join(path, "centers")):
-        similarity.write_ivf_index(
+    # centers/ is written last, so its _SUCCESS implies cells/ committed.
+    ensure_index_cache(
+        path,
+        lambda: similarity.write_ivf_index(
             emb, path, id_col="vec_id", vec_col="embedding", nlist=8, seed=42
-        )
+        ),
+        marker_subdir="centers",
+    )
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_index_top_k(
         spark, path, queries, id_col="vec_id", vec_col="embedding", k=5, nprobe=3
@@ -1047,16 +1074,18 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch. The oracle replays the same split and logic in SQL."""
     import os
 
-    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag, ensure_index_cache
 
     docs = load_table(spark, sf_dir, "documents")
     tag = dataset_cache_tag(sf_dir, "documents")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo_root, ".index_cache", f"fingerprints_{tag}")
-    if not os.path.isdir(path):
-        dedup.write_fingerprint_index(
+    ensure_index_cache(
+        path,
+        lambda: dedup.write_fingerprint_index(
             docs.filter(F.col("doc_id") % 4 < 3), path, text_col="text", id_col="doc_id"
-        )
+        ),
+    )
     batch = docs.filter(F.col("doc_id") % 4 == 3)
     return dedup.incremental_ingest_dedup(spark, path, batch, text_col="text", id_col="doc_id")
 
@@ -1075,16 +1104,18 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-batch near-dups) in tests/test_ingest_neardup.py."""
     import os
 
-    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag, ensure_index_cache
 
     docs = load_table(spark, sf_dir, "documents")
     tag = dataset_cache_tag(sf_dir, "documents")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo_root, ".index_cache", f"bands_{tag}")
-    if not os.path.isdir(path):
-        dedup.write_band_index(
+    ensure_index_cache(
+        path,
+        lambda: dedup.write_band_index(
             docs.filter(F.col("doc_id") % 4 < 3), path, text_col="text", id_col="doc_id"
-        )
+        ),
+    )
     batch = docs.filter(F.col("doc_id") % 4 == 3)
     return (
         dedup.incremental_neardup_ingest(spark, path, batch, text_col="text", id_col="doc_id")
@@ -1635,6 +1666,9 @@ SPECS = [
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ml_lsh_topk", embedding_ml_lsh_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, ("llm", "ann")),
+    QuerySpec(
+        "embedding_ivf_balanced_topk", embedding_ivf_balanced_topk, None, ("llm", "ann")
+    ),
     QuerySpec("embedding_ivfpq_topk", embedding_ivfpq_topk, None, ("llm", "ann")),
     QuerySpec("embedding_ivf_index_topk", embedding_ivf_index_topk, None, ("llm", "ann", "io")),
     QuerySpec(

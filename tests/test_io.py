@@ -59,6 +59,43 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_bucketed_band_index_probe_is_shuffle_free_on_index_side(spark, tmp_path):
+    """dedup.py's band-index docstring promise, plan-asserted: probing
+    a band index written BUCKETED on (band_idx, band_key) must not
+    exchange the index side — same probe against a plain parquet index
+    pays exactly one more Exchange (the index re-shuffle), with
+    identical survivor results."""
+    from pubg_data_pipeline_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    hist = docs.filter(F.col("doc_id") % 4 < 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # index >> batch at scale
+    try:
+        dedup.write_band_index_table(hist, "band_index_b", "text", "doc_id", num_buckets=8)
+        path = str(tmp_path / "band_index_plain")
+        dedup.write_band_index(hist, path, "text", "doc_id")
+
+        bucketed = dedup.incremental_neardup_ingest_table(
+            spark, "band_index_b", batch, "text", "doc_id"
+        )
+        plain = dedup.incremental_neardup_ingest(spark, path, batch, "text", "doc_id")
+        plan_b, plan_p = _plan(bucketed), _plan(plain)
+        assert "Bucketed: true" in plan_b, plan_b  # the index scan really is bucket-aware
+        n_ex_b = plan_b.count("Exchange") - plan_b.count("ReusedExchange")
+        n_ex_p = plan_p.count("Exchange") - plan_p.count("ReusedExchange")
+        assert n_ex_b == n_ex_p - 1, (
+            f"bucketed index probe should drop exactly the index-side shuffle "
+            f"(bucketed={n_ex_b}, plain={n_ex_p})\n{plan_b}"
+        )
+        got_b = {tuple(r) for r in bucketed.collect()}
+        got_p = {tuple(r) for r in plain.collect()}
+        assert got_b == got_p and got_b
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS band_index_b")
+
+
 def test_csv_json_roundtrip(spark, tmp_path):
     csv = tmp_path / "t.csv"
     csv.write_text("k,v\na,1\nb,2\nnot-a-number-row,xyz")
@@ -332,6 +369,30 @@ def test_propagate_deletes_rejects_remote_uri(spark):
     kill = spark.createDataFrame([(1,)], "user_id long")
     with pytest.raises(ValueError, match="DELETE"):
         sio.propagate_deletes(spark, "s3a://b/t", kill, "user_id", "day")
+
+
+def test_propagate_deletes_guards_high_cardinality_partitions(spark, tmp_path):
+    # A delete sweep hitting more partitions than the cap must fail
+    # loudly (driver-OOM guard), leaving the table untouched.
+    import pytest
+
+    from pubg_data_pipeline_spark.sources import io as sio
+
+    path = str(tmp_path / "t_hc")
+    spark.createDataFrame(
+        [(k, k) for k in range(8)], "user_id long, day int"
+    ).write.partitionBy("day").parquet(path)
+    kill = spark.createDataFrame([(k,) for k in range(8)], "user_id long")
+    with pytest.raises(ValueError, match="max_affected_partitions"):
+        sio.propagate_deletes(
+            spark, path, kill, "user_id", "day", max_affected_partitions=3
+        )
+    assert spark.read.parquet(path).count() == 8  # nothing rewritten
+    # raising the cap lets the same sweep through
+    stats = sio.propagate_deletes(
+        spark, path, kill, "user_id", "day", max_affected_partitions=8
+    )
+    assert stats == {"affected_partitions": 8, "deleted_rows": 8}
 
 
 def test_expire_partitions_drops_old_without_reading(spark, tmp_path):

@@ -34,6 +34,46 @@ def test_minhash_finds_planted_duplicates(spark, docs_df):
     assert all(4 not in p and 5 not in p for p in got)  # unrelated docs excluded
 
 
+def test_minhash_hot_bucket_guard_bounds_viral_buckets(spark):
+    # 100 TB design gate (r4 verdict finding #1): a viral page — here
+    # 2000 byte-identical docs, so every band bucket holds all 2000 —
+    # must NOT emit m(m-1)/2 pairs per bucket. With the default star
+    # collapse the candidate set is exactly the (keeper, member) star:
+    # O(m) rows, and connectivity (hence CC clustering) is preserved.
+    m = 2000
+    viral = spark.createDataFrame(
+        [(i, "the same viral boilerplate page text repeated everywhere online") for i in range(m)]
+        + [(m, "an unrelated document about spark physical plans and shuffles")],
+        "doc_id int, text string",
+    )
+    pairs = dedup.minhash_candidate_pairs(
+        viral, "text", "doc_id", num_hashes=16, bands=4, max_bucket_size=100
+    )
+    rows = pairs.collect()
+    assert len(rows) == m - 1  # star: keeper 0 -> each of 1..m-1, not ~2e6 pairs
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, i) for i in range(1, m)}
+    # skip mode drops the viral bucket entirely
+    skipped = dedup.minhash_candidate_pairs(
+        viral, "text", "doc_id", num_hashes=16, bands=4, max_bucket_size=100, hot_bucket="skip"
+    )
+    assert skipped.count() == 0
+
+
+def test_minhash_guard_is_inert_below_cap(spark, docs_df):
+    # Buckets at or below the cap must produce the identical pair set
+    # as the unguarded join (the guard only rewrites oversized buckets).
+    guarded = dedup.minhash_candidate_pairs(docs_df, "text", "doc_id", max_bucket_size=5)
+    unguarded = dedup.minhash_candidate_pairs(docs_df, "text", "doc_id", max_bucket_size=None)
+    assert {tuple(r) for r in guarded.collect()} == {tuple(r) for r in unguarded.collect()}
+
+
+def test_minhash_guard_rejects_bad_args(spark, docs_df):
+    with pytest.raises(ValueError, match="hot_bucket"):
+        dedup.minhash_candidate_pairs(docs_df, "text", "doc_id", hot_bucket="nope")
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup.minhash_candidate_pairs(docs_df, "text", "doc_id", max_bucket_size=1)
+
+
 def test_ngram_jaccard_matches_minhash_on_dups(spark, docs_df):
     exact = {
         (r["id_a"], r["id_b"]): r["jaccard"]
@@ -41,6 +81,46 @@ def test_ngram_jaccard_matches_minhash_on_dups(spark, docs_df):
     }
     assert exact[(1, 2)] == 1.0
     assert (1, 3) in exact
+
+
+def test_ensure_index_cache_rejects_partial_builds(tmp_path):
+    # A crash mid-build leaves a directory without Spark's _SUCCESS
+    # marker; ensure_index_cache must rebuild instead of silently
+    # trusting it (r4 ADVICE: wrong survivor sets until hand-deleted).
+    import os
+
+    from pubg_data_pipeline_spark.plans.base import ensure_index_cache
+
+    path = tmp_path / "idx"
+    calls = []
+
+    def build():
+        calls.append(1)
+        os.makedirs(path, exist_ok=True)
+        (path / "part-00000.parquet").write_bytes(b"x")
+        (path / "_SUCCESS").write_bytes(b"")
+
+    # partial leftover: data file but no _SUCCESS
+    os.makedirs(path)
+    (path / "part-00000.parquet").write_bytes(b"stale-partial")
+    ensure_index_cache(str(path), build)
+    assert calls == [1]  # rebuilt
+    assert (path / "part-00000.parquet").read_bytes() == b"x"  # stale file gone
+    ensure_index_cache(str(path), build)
+    assert calls == [1]  # complete index trusted, no rebuild
+
+    # multi-component index: marker checked in the LAST-written subdir
+    path2 = tmp_path / "ivf"
+    os.makedirs(path2 / "cells")
+    (path2 / "cells" / "_SUCCESS").write_bytes(b"")  # cells done, centers missing
+
+    def build2():
+        calls.append(2)
+        os.makedirs(path2 / "centers", exist_ok=True)
+        (path2 / "centers" / "_SUCCESS").write_bytes(b"")
+
+    ensure_index_cache(str(path2), build2, marker_subdir="centers")
+    assert calls == [1, 2]
 
 
 def test_uncapped_ngram_jaccard_guard_trips_and_escapes(spark, docs_df):
@@ -270,6 +350,74 @@ def test_ivf_finds_duplicate_vector_and_recall(spark):
     exact = similarity.brute_force_top_k(df, queries, k=3).collect()
     full = similarity.ivf_top_k(df, queries, dim=4, k=3, nlist=2, nprobe=2).collect()
     assert [r["neighbor_id"] for r in full] == [r["neighbor_id"] for r in exact]
+
+
+def test_balanced_ivf_splits_fat_cells_and_keeps_recall(spark):
+    """A clustered corpus (80% of points in one tight blob) makes plain
+    k-means concentrate occupancy in a few cells; the balanced trainer
+    must split until every cell fits capacity_factor * N / nlist, and
+    the balanced index must still serve the planted twin + agree with
+    brute force at full probe width."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_blob, n_rest, nlist = 800, 200, 8
+    blob = rng.normal(loc=[10.0, 0.0, 0.0, 0.0], scale=0.05, size=(n_blob, 4))
+    rest = rng.normal(loc=0.0, scale=5.0, size=(n_rest, 4))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([blob, rest]))]
+    rows.append((1000, rows[0][1]))  # exact twin of vec 0, inside the blob
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    c = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    n_total = len(rows)
+    capacity = math.ceil(2.0 * n_total / nlist)
+
+    def max_occupancy(centers):
+        sizes = (
+            c.withColumn("cell", similarity._cell_ranking(centers, F.col("cv"))[0]["cell"])
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in sizes)
+
+    plain = similarity.train_ivf_centers(c, nlist, seed=42)
+    balanced = similarity.train_ivf_centers_balanced(c, nlist, seed=42)
+    assert max_occupancy(plain) > capacity  # the skew is real
+    assert max_occupancy(balanced) <= capacity, (
+        f"balanced trainer left a cell above capacity={capacity}"
+    )
+    assert len(balanced) > len(plain)  # splitting grew the center set
+
+    queries = df.filter(F.col("vec_id") == 0)
+    got = similarity.ivf_top_k(
+        df, queries, dim=4, k=2, nlist=nlist, nprobe=2, balanced=True
+    ).collect()
+    assert got[0]["neighbor_id"] == 1000 and got[0]["cos_sim"] == pytest.approx(1.0)
+    # full probe width over the balanced center set == exact search
+    wide = similarity.ivf_top_k(
+        df, queries, dim=4, k=5, nlist=nlist, nprobe=len(balanced), balanced=True
+    ).collect()
+    exact = similarity.brute_force_top_k(df, queries, k=5).collect()
+    assert [r["neighbor_id"] for r in wide] == [r["neighbor_id"] for r in exact]
+
+
+def test_balanced_ivf_duplicate_point_terminates(spark):
+    """All-identical corpus: the fat cell is ONE duplicated point —
+    splitting cannot help; the trainer must terminate (no-progress
+    break) and return a usable center set."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    c = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    centers = similarity.train_ivf_centers_balanced(c, nlist=4, seed=1)
+    assert 1 <= len(centers) <= 8  # converged, no blow-up
 
 
 def test_ivf_persisted_index_matches_inmemory_and_prunes_partitions(spark, tmp_path):
