@@ -316,26 +316,28 @@ def frequent_items(
 
     # One mapInPandas pass produces BOTH the candidate summaries and
     # the per-partition row totals (part_rows), so N needs no second
-    # full scan — the operator now reads the input exactly twice
-    # (sketch pass + exact recount), down from three. The summary is
-    # bounded (<= k rows per partition) — persist so candidates and
-    # the total aggregate share one materialization.
+    # full scan — the operator reads the input exactly twice (sketch
+    # pass + exact recount). The summary is bounded (<= k rows per
+    # partition), so candidates and N are materialized EAGERLY here
+    # from one persisted pass, then the cache is released in the same
+    # call — a persist left for "the caller's action" leaks for the
+    # process lifetime when the plan is executed repeatedly (the bench
+    # runs every query 4x) or never.
     per_part = df.select(*keys).mapInPandas(
         _mg_partition_gen(keys, k), _mg_schema(df, keys)
     ).persist()
-    candidates = (
-        per_part.filter(F.col("weight") > 0).select(*keys).distinct()
-    )
-    total = per_part.agg(F.sum("part_rows").alias("__n"))
-    counted = (
+    try:
+        cand_df = per_part.filter(F.col("weight") > 0).select(*keys).distinct()
+        cand_rows = cand_df.collect()  # bounded: <= k rows per input partition
+        n_total = per_part.agg(F.sum("part_rows").alias("__n")).collect()[0][0] or 0
+    finally:
+        per_part.unpersist()
+    candidates = df.sparkSession.createDataFrame(cand_rows, cand_df.schema)
+    return (
         df.join(F.broadcast(candidates), keys, "left_semi")
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return (
-        counted.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.lit(float(support)) * F.col("__n"))
-        .drop("__n")
+        .filter(F.col("cnt") >= F.lit(float(support)) * F.lit(n_total).cast("long"))
     )
 
 

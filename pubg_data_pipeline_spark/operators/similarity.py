@@ -307,8 +307,13 @@ def train_ivf_centers(
     if distinct_n < nlist:
         train = corpus_vecs.withColumn("features", array_to_vector(F.col("cv")))
         distinct_n = train.select("cv").distinct().limit(nlist).count()
+    if distinct_n <= 1:
+        # MLlib KMeans rejects k=1; a corpus with one distinct point
+        # (or empty) needs no quantizer — its single point IS the center.
+        one = train.select("cv").limit(1).collect()
+        return [list(map(float, one[0][0]))] if one else []
     model = KMeans(
-        k=max(1, min(nlist, distinct_n)),
+        k=max(2, min(nlist, distinct_n)),
         seed=seed,
         maxIter=5,
         initMode="random",
@@ -316,6 +321,72 @@ def train_ivf_centers(
         predictionCol="cell",
     ).fit(train)
     return [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+
+def train_ivf_centers_balanced(
+    corpus_vecs: DataFrame,
+    nlist: int,
+    seed: int = 42,
+    capacity_factor: float = 2.0,
+    max_rounds: int = 3,
+) -> list:
+    """Skew-resistant coarse quantizer: plain k-means on a CLUSTERED
+    corpus (the common case — near-dup families, one dominant domain)
+    can dump most vectors into a few giant cells, so the probe join
+    reads a large corpus fraction for most queries and nprobe tail
+    latency is the fattest cell, not N/nlist. This refinement measures
+    ACTUAL cell occupancy and SPLITS every cell holding more than
+    ``capacity_factor * N / nlist`` vectors by re-running k-means over
+    just that cell's members (k = the cell's overflow multiple),
+    replacing the one fat center with the sub-centers — the
+    hierarchical split used by IMI/Faiss-style quantizers, expressed
+    as bounded driver rounds.
+
+    Cost model at scale: each round is one corpus assignment pass
+    (persisted for the round, released after), one nlist-row count
+    aggregate, and k-means fits touching ONLY oversized-cell members;
+    centers remain kilobytes of metadata. The returned list may exceed
+    ``nlist`` (by at most ~N/capacity): probing code is unchanged —
+    more, tighter cells just give _cell_ranking more resolution and
+    bound what an nprobe scan can touch. Deterministic given the data:
+    fixed seeds, hash-sampled training, occupancy from exact counts.
+    Convergence to all-cells-under-capacity is property-tested in
+    tests/test_llm_ops.py; duplicate-heavy corpora where one POINT
+    exceeds capacity stop splitting when a split no longer helps."""
+    import math
+
+    n_total = corpus_vecs.count()
+    if n_total == 0:
+        return []
+    capacity = max(1, math.ceil(capacity_factor * n_total / nlist))
+    centers = train_ivf_centers(corpus_vecs, nlist, seed)
+    for _ in range(max_rounds):
+        assigned = corpus_vecs.withColumn(
+            "cell", _cell_ranking(centers, F.col("cv"))[0]["cell"]
+        ).persist()
+        try:
+            sizes = {r["cell"]: r["n"] for r in assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+            fat = sorted(c for c, s in sizes.items() if s > capacity)
+            if not fat:
+                break
+            kept = [ctr for i, ctr in enumerate(centers) if i not in set(fat)]
+            new = []
+            for cell in fat:
+                members = assigned.filter(F.col("cell") == cell).select("neighbor_id", "cv")
+                sub_k = min(int(math.ceil(sizes[cell] / capacity)) + 1, 2 * nlist)
+                new.extend(train_ivf_centers(members, sub_k, seed + 1 + cell))
+            # A split that produced no extra resolution (e.g. the cell
+            # is one duplicated point — sub-k-means collapses to a
+            # single distinct center) cannot make progress; keep the
+            # result and stop rather than loop to max_rounds for free.
+            made_progress = len(kept) + len(new) > len(centers)
+            centers = kept + new
+            if not made_progress:
+                break
+        finally:
+            assigned.unpersist()
+    return centers
 
 
 def ivf_top_k(
@@ -329,6 +400,7 @@ def ivf_top_k(
     nprobe: int = 4,
     seed: int = 42,
     cache_key: str | None = None,
+    balanced: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index:
     k-means coarse quantizer → corpus partitioned into ``nlist``
@@ -351,11 +423,15 @@ def ivf_top_k(
     c = corpus.repartition(sc_parallelism).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     )
-    key = (cache_key, nlist, seed, dim)
+    key = (cache_key, nlist, seed, dim, balanced)
     if cache_key is not None and key in _IVF_CENTERS_CACHE:
         centers = _IVF_CENTERS_CACHE[key]
     else:
-        centers = train_ivf_centers(c, nlist, seed)
+        centers = (
+            train_ivf_centers_balanced(c, nlist, seed)
+            if balanced
+            else train_ivf_centers(c, nlist, seed)
+        )
         if cache_key is not None:
             _IVF_CENTERS_CACHE[key] = centers
 

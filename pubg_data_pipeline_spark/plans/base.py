@@ -41,6 +41,27 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default=())
 
 
+def ensure_index_cache(path: str, build: Callable[[], object], marker_subdir: str | None = None) -> None:
+    """Build-once gate for persisted derived indexes (fingerprint /
+    band / IVF caches keyed by :func:`dataset_cache_tag`): an existing
+    directory is trusted ONLY when Spark's ``_SUCCESS`` commit marker
+    is present — under ``marker_subdir`` when the index has multiple
+    components (pass the one written LAST, so its marker implies the
+    rest committed). A bare ``isdir()`` check treats the partial
+    leftovers of a crashed build as a complete index and silently
+    serves wrong survivor sets until the cache is hand-deleted; here
+    the partial directory is removed and the index rebuilt instead."""
+    import os
+    import shutil
+
+    marker_dir = os.path.join(path, marker_subdir) if marker_subdir else path
+    if os.path.exists(os.path.join(marker_dir, "_SUCCESS")):
+        return
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    build()
+
+
 def dataset_cache_tag(sf_dir: str, *tables: str) -> str:
     """Cache key for per-dataset derived artifacts (persisted IVF /
     fingerprint indexes, bucketed tables): hashes the sf_dir PLUS the

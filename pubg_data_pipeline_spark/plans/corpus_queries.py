@@ -102,6 +102,113 @@ FROM c
 """
 
 
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., 2023) with a static
+    reference-loss proxy: each source's EXCESS LOSS over the corpus
+    baseline drives an exponentiated-gradient update of its sampling
+    weight — domains the reference model finds harder than average get
+    up-weighted, easy/boilerplate domains get down-weighted. The full
+    DoReMi loop retrains a proxy model between updates; with a fixed
+    reference model the multiplicative-weights iteration collapses to
+    its closed one-step form used here:
+
+        α_d ∝ p_d · exp(η · max(0, L_d − L̄)),  then
+        α'_d = (1−c) · α_d / Σα + c / K        (uniform smoothing)
+
+    where p_d is the domain's token share (the init distribution),
+    L_d its mean per-token negative log-probability under the corpus
+    unigram LM (the same oracle-reproducible scorer as
+    doc_unigram_logprob), L̄ the corpus mean, η=1, c=0.1, K=#domains.
+    Complements source_mixture_weights (temperature mixing by size
+    only) with a loss-aware weighting.
+
+    Determinism: L_d and L̄ are rounded to 4dp BEFORE the excess/exp
+    (sum-of-ln agg-order noise ~1e-13 — the base.py stddev rule), so
+    every softmax numerator is bit-equal across engines; the Σα
+    denominator spans only K≈5 rows and lands under 6dp rounding.
+
+    Scale: one vocab aggregate broadcast back to the token stream, one
+    per-source aggregate (K rows), then windows over the K-row frame —
+    the same broadcast-dim + tiny-frame-window shape as
+    source_mixture_weights. No UDF, no collect."""
+    eta, c = 1.0, 0.1
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    per_source = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(-F.log(F.col("c").cast("double") / F.col("n"))).alias("__nll"),
+        )
+    )
+    w_all = Window.partitionBy()
+    mean_nll = F.round(F.col("__nll") / F.col("n_tokens"), 4)
+    corpus_nll = F.round(F.sum("__nll").over(w_all) / F.sum("n_tokens").over(w_all), 4)
+    scored = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        mean_nll.alias("mean_nll"),
+        F.greatest(mean_nll - corpus_nll, F.lit(0.0)).alias("excess_loss"),
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)).alias("__p"),
+    )
+    alpha = F.col("__p") * F.exp(F.lit(eta) * F.col("excess_loss"))
+    k = F.count(F.lit(1)).over(w_all)
+    # 0.9 spelled as a LITERAL on both sides: the Python expression
+    # `1.0 - 0.1` is one ulp off the double literal `0.9` the SQL
+    # oracle parses (the round-4 IEEE-literal lesson).
+    weight = F.lit(0.9) * alpha / F.sum(alpha).over(w_all) + F.lit(c) / k
+    return scored.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_nll",
+        F.round("excess_loss", 4).alias("excess_loss"),
+        F.round(weight, 6).alias("doremi_weight"),
+    )
+
+
+_DOREMI_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), n AS (
+  SELECT COUNT(*) AS n FROM toks
+), per_source AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+         SUM(-LN(CAST(c AS DOUBLE) / n.n)) AS nll
+  FROM toks JOIN vocab USING (w) CROSS JOIN n
+  GROUP BY source
+), scored AS (
+  SELECT source, n_docs, n_tokens,
+         ROUND(nll / n_tokens, 4) AS mean_nll,
+         GREATEST(ROUND(nll / n_tokens, 4)
+                  - ROUND(SUM(nll) OVER () / SUM(n_tokens) OVER (), 4),
+                  0.0) AS excess_loss,
+         CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS p
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens, mean_nll,
+       ROUND(excess_loss, 4) AS excess_loss,
+       ROUND(0.9 * (p * EXP(1.0 * excess_loss))
+             / SUM(p * EXP(1.0 * excess_loss)) OVER ()
+             + 0.1 / COUNT(*) OVER (), 6) AS doremi_weight
+FROM scored
+"""
+
+
 def paragraph_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span removal across the corpus (Dolma/RefinedWeb
     paragraph dedup): each document's token stream is cut into
@@ -972,6 +1079,9 @@ SPECS = [
     QuerySpec("corpus_vocabulary", corpus_vocabulary, _VOCAB_SQL, ("curation", "text")),
     QuerySpec(
         "source_mixture_weights", source_mixture_weights, _MIXTURE_SQL, ("curation",)
+    ),
+    QuerySpec(
+        "doremi_domain_weights", doremi_domain_weights, _DOREMI_SQL, ("curation", "llm")
     ),
     QuerySpec(
         "paragraph_block_dedup", paragraph_block_dedup, _BLOCK_DEDUP_SQL, ("curation", "dedup")

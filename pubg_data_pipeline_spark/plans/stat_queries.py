@@ -1057,8 +1057,13 @@ def ab_cuped_adjusted_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    theta = (d("sxy") * d("n") - d("sx") * d("sy")) / (
-        d("sxx") * d("n") - d("sx") * d("sx")
+    # Zero pooled variance of x (e.g. no pre-period events at all) must
+    # yield NULL theta — and hence NULL adjusted means, raw means intact
+    # — not an ANSI DIVIDE_BY_ZERO (0/0) that kills the query.
+    theta_den = d("sxx") * d("n") - d("sx") * d("sx")
+    theta = F.when(
+        theta_den != 0,
+        (d("sxy") * d("n") - d("sx") * d("sy")) / theta_den,
     )
     xbar = d("sx") / d("n")
     v = per_user.groupBy("variant").agg(
@@ -1091,10 +1096,13 @@ WITH per_user AS (
          SUM(x * x) AS sxx, SUM(x * y) AS sxy
   FROM per_user
 ), t AS (
-  SELECT (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+  SELECT CASE WHEN (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+              THEN (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         END AS theta,
          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
   FROM g
 ), v AS (

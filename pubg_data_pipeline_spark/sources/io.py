@@ -288,6 +288,7 @@ def propagate_deletes(
     delete_keys: DataFrame,
     key_col: str,
     partition_col: str,
+    max_affected_partitions: int = 100_000,
 ) -> dict:
     """Right-to-be-forgotten propagation into a partitioned parquet
     table: remove every row whose ``key_col`` appears in
@@ -324,14 +325,28 @@ def propagate_deletes(
         )
     table = spark.read.parquet(table_path)
     keys = delete_keys.select(F.col(key_col)).distinct()
+    # limit(cap+1) bounds BOTH the driver memory of this collect and
+    # the later `kept` collect (kept ⊆ affected): a delete sweep over a
+    # high-cardinality partition column (e.g. partitioned by user_id)
+    # must fail loudly instead of OOMing the driver with millions of
+    # partition values.
     affected = [
         r[0]
         for r in table.select(key_col, partition_col)
         .join(F.broadcast(keys), key_col, "left_semi")
         .select(partition_col)
         .distinct()
+        .limit(max_affected_partitions + 1)
         .collect()
     ]
+    if len(affected) > max_affected_partitions:
+        raise ValueError(
+            f"propagate_deletes: more than {max_affected_partitions} partitions of "
+            f"{table_path!r} contain delete keys — the per-partition rewrite plan "
+            "degenerates to a full-table rewrite and the partition list would be "
+            "collected to the driver. Rewrite the whole table with a plain "
+            "anti-join instead, or raise max_affected_partitions explicitly."
+        )
     if not affected:
         return {"affected_partitions": 0, "deleted_rows": 0}
     sub = table.filter(F.col(partition_col).isin(affected))

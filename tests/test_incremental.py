@@ -173,6 +173,19 @@ def test_frequent_items_boundary_and_validation(spark):
         inc.frequent_items(df, ["k"], support=0.0)
 
 
+def test_frequent_items_leaves_no_cached_rdds(spark):
+    """The sketch pass persist must be released inside the call — a
+    leaked cache accumulates for the process lifetime when the query is
+    run repeatedly (bench runs each query 4x)."""
+    from pubg_data_pipeline_spark.operators import incremental as inc
+
+    df = spark.createDataFrame([("a",)] * 10 + [("b",)] * 2, "k string")
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    inc.frequent_items(df, ["k"], support=0.5).collect()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before
+
+
 def test_maintain_join_view_counts_cross_term_once(spark):
     """The ΔA⋈ΔB cross term must appear exactly once (it hides in
     ΔA⋈(B ∪ ΔB)); keys present only in the deltas prove it."""
