@@ -239,7 +239,11 @@ def main() -> None:
         with open(detail_path, "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
     except OSError as exc:
+        # re-bind into result: when no query errors preceded this,
+        # `errors` was empty at the binding above and the message would
+        # otherwise vanish from every printed artifact.
         errors["__detail_write__"] = f"{type(exc).__name__}: {exc}"[:200]
+        result["errors"] = errors
     print(json.dumps(result))
     # Final COMPACT summary line (<200 chars, no per-query map): always
     # fully inside any stdout tail window, so the driver's parse finds a

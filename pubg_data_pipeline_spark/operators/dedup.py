@@ -242,6 +242,10 @@ def minhash_candidate_pairs(
     ``max_bucket_size=None`` restores the unguarded join (exact LSH
     semantics; only safe on corpora known to lack viral buckets).
     """
+    if hot_bucket not in ("star", "skip"):
+        raise ValueError(f"hot_bucket must be 'star' or 'skip', got {hot_bucket!r}")
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
     banded = band_table(df, text_col, id_col, num_hashes, bands, shingle_n, shingles)
     if max_bucket_size is None:
         left = banded.alias("a")
@@ -256,16 +260,16 @@ def minhash_candidate_pairs(
             .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
             .distinct()
         )
-    if hot_bucket not in ("star", "skip"):
-        raise ValueError(f"hot_bucket must be 'star' or 'skip', got {hot_bucket!r}")
-    if max_bucket_size < 2:
-        raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
-    # size >= 2 BEFORE the pair expressions: the overwhelming majority
-    # of buckets are singletons (they can't pair), and the filter saves
-    # evaluating the quadratic higher-order pair-gen on every one.
+    # collect_SET, not collect_list: duplicate id rows in the input
+    # must not create [x, x] bucket arrays, whose positional pair-gen
+    # would emit (x, x) self-pairs the unguarded a.doc < b.doc join
+    # never produces. size >= 2 BEFORE the pair expressions: the
+    # overwhelming majority of buckets are singletons (they can't
+    # pair), and the filter saves evaluating the quadratic
+    # higher-order pair-gen on every one.
     buckets = (
         banded.groupBy("band_idx", "band_key")
-        .agg(F.array_sort(F.collect_list("doc")).alias("m"))
+        .agg(F.array_sort(F.collect_set("doc")).alias("m"))
         .filter(F.size("m") >= 2)
     )
     m = F.col("m")
@@ -279,9 +283,10 @@ def minhash_candidate_pairs(
             ),
         )
     )
-    # fat bucket, "star": keeper (bucket min = m[0]) -> every other member
+    # fat bucket, "star": keeper (bucket min = m[0]) -> every other
+    # member; size(m) - 1 >= 1 is guaranteed by the size filter above
     star_pairs = F.transform(
-        F.slice(m, 2, F.greatest(F.size(m) - 1, F.lit(0))),
+        F.slice(m, 2, F.size(m) - 1),
         lambda y: F.struct(m[0].alias("id_a"), y.alias("id_b")),
     )
     # "skip": an EMPTY array of the same struct type (filter-to-false

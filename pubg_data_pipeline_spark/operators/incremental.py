@@ -304,8 +304,14 @@ def frequent_items(
        filter, then an ordinary hash aggregation over only candidate
        rows. False positives from phase 1 are eliminated exactly.
 
-    Result is bit-identical to GROUP BY/HAVING (the oracle form); the
-    sketch only prunes the shuffle, never the answer.
+    Result is bit-identical to GROUP BY/HAVING (the oracle form) over
+    the data as of THIS CALL: the sketch pass (candidates + N) runs
+    eagerly here — like the k-means trainers, the operator does its
+    bounded index/sketch work at build time and returns the serving
+    plan — so data appended to the source between construction and the
+    action is counted by the recount but not by the frozen
+    candidates/N. Construct and execute in the same step (every
+    registry consumer does), or rebuild for fresh data.
     """
     import math
 

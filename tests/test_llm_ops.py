@@ -70,8 +70,34 @@ def test_minhash_guard_is_inert_below_cap(spark, docs_df):
 def test_minhash_guard_rejects_bad_args(spark, docs_df):
     with pytest.raises(ValueError, match="hot_bucket"):
         dedup.minhash_candidate_pairs(docs_df, "text", "doc_id", hot_bucket="nope")
+    # a typo'd mode must raise even when the guard itself is opted out
+    with pytest.raises(ValueError, match="hot_bucket"):
+        dedup.minhash_candidate_pairs(
+            docs_df, "text", "doc_id", max_bucket_size=None, hot_bucket="nope"
+        )
     with pytest.raises(ValueError, match="max_bucket_size"):
         dedup.minhash_candidate_pairs(docs_df, "text", "doc_id", max_bucket_size=1)
+
+
+def test_minhash_guard_emits_no_self_pairs_on_duplicate_id_rows(spark):
+    # Duplicate id rows (upstream union without dedupe) must not
+    # produce (x, x) pairs from the bucket member arrays — the
+    # unguarded a.doc < b.doc join never emits them, and guarded mode
+    # must agree.
+    text = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [(1, text), (1, text), (2, text), (3, text)], "doc_id int, text string"
+    )
+    # small-bucket path: distinct member set {1,2,3} -> all i<j pairs
+    got = {tuple(r) for r in dedup.minhash_candidate_pairs(
+        df, "text", "doc_id", max_bucket_size=1000
+    ).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}, got
+    # star path (cap=2 < 3 distinct members): keeper star, still no (1,1)
+    got = {tuple(r) for r in dedup.minhash_candidate_pairs(
+        df, "text", "doc_id", max_bucket_size=2
+    ).collect()}
+    assert got == {(1, 2), (1, 3)}, got
 
 
 def test_ngram_jaccard_matches_minhash_on_dups(spark, docs_df):
