@@ -149,6 +149,9 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "doremi_domain_weights",
     "embedding_ivf_balanced_topk",
+    "retrieval_eval_bm25",
+    "quality_rater_agreement",
+    "quality_token_budget_sample",
 ]
 
 

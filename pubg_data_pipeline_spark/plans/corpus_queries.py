@@ -713,6 +713,132 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """
 
 
+def retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 ranker: per query term,
+    MRR and NDCG@10 against a graded relevance oracle — the acceptance
+    metrics a RAG/search pipeline gates an index or scorer change on
+    (the eval-harness sibling of embedding_ann_recall, for the lexical
+    leg). The synthetic corpus has no human judgments, so graded
+    relevance is proxied deterministically: a document is relevant to
+    a term iff it contains it at least twice, with gain = min(tf, 3) —
+    the eval MACHINERY (rank windows, DCG/IDCG, reciprocal rank) is
+    the deliverable, and judged-label tables drop in by replacing one
+    CTE.
+
+    Scale shape: the token scan filters to the query terms before any
+    aggregation; rankings are per-term row_number windows over the
+    (terms x matching docs) frame — WindowGroupLimit prunes at rank
+    10; the DCG/IDCG/MRR reductions are per-term aggregates over <= 10
+    rows each. Scores are rounded (6dp) before ranking with doc_id
+    tie-breaks, so ranks are engine-stable; DCG sums of <= 10 terms
+    land under 4dp output rounding."""
+    from pubg_data_pipeline_spark.functions.text import token_count, word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            ),
+        )
+        .withColumn(
+            "rel",
+            F.when(F.col("tf") >= 2, F.least(F.col("tf"), F.lit(3))).otherwise(F.lit(0)),
+        )
+    )
+    w_rank = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    w_ideal = Window.partitionBy("term").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w_rank)).withColumn(
+        "irank", F.row_number().over(w_ideal)
+    )
+    gain = F.col("rel").cast("double") / F.log2(F.col("rank") + 1)
+    igain = F.col("rel").cast("double") / F.log2(F.col("irank") + 1)
+    per_term = ranked.groupBy("term").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).alias("n_relevant"),
+        F.sum(F.when(F.col("rank") <= 10, gain).otherwise(F.lit(0.0))).alias("__dcg"),
+        F.sum(F.when(F.col("irank") <= 10, igain).otherwise(F.lit(0.0))).alias("__idcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("__first_rel"),
+    )
+    return per_term.select(
+        "term",
+        "n_relevant",
+        F.round("__dcg", 4).alias("dcg10"),
+        F.when(
+            F.col("__idcg") > 0, F.round(F.col("__dcg") / F.col("__idcg"), 4)
+        ).alias("ndcg10"),
+        F.when(
+            F.col("__first_rel") <= 10, F.round(F.lit(1.0) / F.col("__first_rel"), 4)
+        ).otherwise(F.lit(0.0)).alias("rr"),
+    )
+
+
+_RETRIEVAL_EVAL_SQL = f"""
+WITH dl AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY 1, 2
+), df_t AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), scored AS (
+  SELECT tf.term, tf.doc_id,
+         ROUND(ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)), 6)
+           AS score,
+         CASE WHEN tf.tf >= 2 THEN LEAST(tf.tf, 3) ELSE 0 END AS rel
+  FROM tf JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), ranked AS (
+  SELECT term, rel,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS irank
+  FROM scored
+), agg AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+         SUM(CASE WHEN rank <= 10 THEN CAST(rel AS DOUBLE) / log2(rank + 1)
+                  ELSE 0.0 END) AS dcg,
+         SUM(CASE WHEN irank <= 10 THEN CAST(rel AS DOUBLE) / log2(irank + 1)
+                  ELSE 0.0 END) AS idcg,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel
+  FROM ranked GROUP BY term
+)
+SELECT term, n_relevant,
+       ROUND(dcg, 4) AS dcg10,
+       CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 4) END AS ndcg10,
+       CASE WHEN first_rel <= 10 THEN ROUND(1.0 / first_rel, 4) ELSE 0.0 END AS rr
+FROM agg
+"""
+
+
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The inner-loop aggregation of BPE tokenizer training: corpus-
     weighted counts of adjacent symbol pairs (here: character bigrams
@@ -1070,6 +1196,9 @@ SPECS = [
         "doc_importance_weights", doc_importance_weights, _DSIR_SQL, ("llm", "curation")
     ),
     QuerySpec("doc_bm25_search", doc_bm25_search, _BM25_SQL, ("llm", "search", "window")),
+    QuerySpec(
+        "retrieval_eval_bm25", retrieval_eval_bm25, _RETRIEVAL_EVAL_SQL, ("llm", "search", "eval")
+    ),
     QuerySpec(
         "bigram_pmi_collocations", bigram_pmi_collocations, _PMI_SQL, ("curation", "text")
     ),

@@ -19,6 +19,7 @@ from pubg_data_pipeline_spark.functions.text import (
     lang_id_expr,
     quality_score,
     text_stats_columns,
+    token_count,
 )
 from pubg_data_pipeline_spark.operators import dedup, similarity
 from pubg_data_pipeline_spark.plans.base import QuerySpec
@@ -335,6 +336,186 @@ WITH t AS (
 SELECT bucket, n, n_pos, mean_score, pos_rate,
        ROUND(ABS(mean_score - pos_rate), 4) AS gap
 FROM agg
+"""
+
+
+def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa) between the two quality
+    labelers the pipeline already runs — the heuristic triad
+    (quality_score >= 0.6) and the logistic model
+    (doc_quality_model_score >= 0.5). Kappa corrects raw agreement for
+    chance: kappa = (p_o - p_e) / (1 - p_e). The label-audit a data
+    team runs before swapping quality filters (high kappa -> the
+    cheap heuristic can gate ingestion with the model reserved for
+    borderline re-scoring; low kappa -> the filters disagree on real
+    mass and the swap changes the corpus).
+
+    Determinism: both labels compare ROUNDED scores (exact across
+    engines), all four agreement cells are integer counts, and
+    p_o/p_e/kappa are derived from those integers with the identical
+    expression shape on both sides (single double divisions — bit
+    equal), rounded 6dp. One corpus scan, one global aggregate; the
+    guard leaves kappa NULL when p_e = 1 (both raters constant — kappa
+    undefined) instead of ANSI-throwing on 0/0."""
+    docs = _docs(spark, sf_dir)
+    cols = text_stats_columns(F.col("text"))
+    z = F.round(
+        F.lit(-2.0)
+        + F.least(cols["n_tokens"].cast("double"), F.lit(200.0)) * 0.02
+        + cols["stop_ratio"] * 6.0
+        - cols["punct_ratio"] * 8.0,
+        6,
+    )
+    rater_b = (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4) >= 0.5).cast("long")
+    rater_a = (quality_score(F.col("text")) >= 0.6).cast("long")
+    agg = docs.select(rater_a.alias("a"), rater_b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("n_a_keep"),
+        F.sum("b").alias("n_b_keep"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("n_agree"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    po = d("n_agree") / d("n")
+    pe = (d("n_a_keep") / d("n")) * (d("n_b_keep") / d("n")) + (
+        (d("n") - d("n_a_keep")) / d("n")
+    ) * ((d("n") - d("n_b_keep")) / d("n"))
+    return agg.select(
+        "n",
+        "n_a_keep",
+        "n_b_keep",
+        "n_agree",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round(F.when(F.lit(1.0) - pe != 0, (po - pe) / (F.lit(1.0) - pe)), 6).alias(
+            "kappa"
+        ),
+    )
+
+
+_KAPPA_SQL = rf"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x IN ({_STOPS}))) AS stop_hits,
+         length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) * 1.0
+           / GREATEST(length(text), 1) AS praw
+  FROM documents
+), lab AS (
+  SELECT CASE WHEN ROUND((LEAST(n_tokens / 100.0, 1.0)
+                  + LEAST(stop_hits * 1.0 / GREATEST(n_tokens, 1) * 4, 1.0)
+                  + (1.0 - LEAST(praw * 10, 1.0))) / 3.0, 6) >= 0.6
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN ROUND(1.0 / (1.0 + exp(-ROUND(-2.0
+                  + LEAST(CAST(n_tokens AS DOUBLE), 200.0) * 0.02
+                  + (stop_hits * 1.0 / GREATEST(n_tokens, 1)) * 6.0
+                  - praw * 8.0, 6))), 4) >= 0.5
+              THEN 1 ELSE 0 END AS b
+  FROM t
+), agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(a) AS BIGINT) AS n_a_keep,
+         CAST(SUM(b) AS BIGINT) AS n_b_keep,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM lab
+)
+SELECT n, n_a_keep, n_b_keep, n_agree,
+       ROUND(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+       ROUND((CAST(n_a_keep AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n_b_keep AS DOUBLE) / CAST(n AS DOUBLE))
+             + ((CAST(n AS DOUBLE) - CAST(n_a_keep AS DOUBLE)) / CAST(n AS DOUBLE))
+               * ((CAST(n AS DOUBLE) - CAST(n_b_keep AS DOUBLE)) / CAST(n AS DOUBLE)),
+             6) AS p_chance,
+       CASE WHEN 1.0 - ((CAST(n_a_keep AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(n_b_keep AS DOUBLE) / CAST(n AS DOUBLE))
+                        + ((CAST(n AS DOUBLE) - CAST(n_a_keep AS DOUBLE)) / CAST(n AS DOUBLE))
+                          * ((CAST(n AS DOUBLE) - CAST(n_b_keep AS DOUBLE)) / CAST(n AS DOUBLE))) <> 0
+            THEN ROUND((CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+                        - ((CAST(n_a_keep AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(n_b_keep AS DOUBLE) / CAST(n AS DOUBLE))
+                           + ((CAST(n AS DOUBLE) - CAST(n_a_keep AS DOUBLE)) / CAST(n AS DOUBLE))
+                             * ((CAST(n AS DOUBLE) - CAST(n_b_keep AS DOUBLE)) / CAST(n AS DOUBLE))))
+                       / (1.0 - ((CAST(n_a_keep AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(n_b_keep AS DOUBLE) / CAST(n AS DOUBLE))
+                                 + ((CAST(n AS DOUBLE) - CAST(n_a_keep AS DOUBLE)) / CAST(n AS DOUBLE))
+                                   * ((CAST(n AS DOUBLE) - CAST(n_b_keep AS DOUBLE)) / CAST(n AS DOUBLE)))),
+                       6)
+       END AS kappa
+FROM agg
+"""
+
+
+def quality_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: fill a fixed training-token budget with
+    the best documents — rank the corpus by the heuristic quality
+    score (ties by doc_id), run an exact token prefix-sum over that
+    total order, keep every document whose inclusive running total
+    fits the budget, and report the kept mass per source. This is the
+    "give me the best 200k tokens" cut a data team takes from a
+    scored corpus (the quality-ordered sibling of token_shard_packing).
+
+    Scale: the total-order scan is operators.windows.global_prefix_sum
+    — bucket-decomposed, NO single-partition sort (a naive SUM OVER
+    (ORDER BY ...) funnels the corpus through one task; the oracle
+    runs exactly that naive form, which is the point of the pairing).
+    Token counts are integers, so the running total is exact and the
+    budget cut is engine-stable; the quality key is rounded 6dp with
+    doc_id tie-break, so the order is too."""
+    from pubg_data_pipeline_spark.operators.windows import global_prefix_sum
+
+    budget = 200_000
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    scanned = global_prefix_sum(
+        docs,
+        F.col("q"),
+        tiebreak="doc_id",
+        value_col="n_tokens",
+        n_buckets=64,
+        out_col="cum_tokens",
+    )
+    kept = scanned.filter(F.col("cum_tokens") <= budget)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.round(F.min("q"), 6).alias("min_quality"),
+    )
+
+
+_TOKEN_BUDGET_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x IN ({_STOPS}))) AS stop_hits,
+         length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) * 1.0
+           / GREATEST(length(text), 1) AS praw
+  FROM documents
+), q AS (
+  SELECT doc_id, source, n_tokens,
+         ROUND((LEAST(n_tokens / 100.0, 1.0)
+                + LEAST(stop_hits * 1.0 / GREATEST(n_tokens, 1) * 4, 1.0)
+                + (1.0 - LEAST(praw * 10, 1.0))) / 3.0, 6) AS q
+  FROM t
+), scanned AS (
+  SELECT source, n_tokens, q,
+         SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM q
+)
+SELECT source,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+       ROUND(MIN(q), 6) AS min_quality
+FROM scanned
+WHERE cum_tokens <= 200000
+GROUP BY source
 """
 
 
@@ -1651,6 +1832,13 @@ SPECS = [
     QuerySpec("minhash_dedup_recall", minhash_dedup_recall, None, ("llm", "dedup", "eval")),
     QuerySpec("quality_lang_bias_auc", quality_lang_bias_auc, _LANG_BIAS_AUC_SQL, ("llm", "quality", "eval")),
     QuerySpec("quality_model_calibration", quality_model_calibration, _CALIBRATION_SQL, ("llm", "quality", "eval")),
+    QuerySpec("quality_rater_agreement", quality_rater_agreement, _KAPPA_SQL, ("llm", "quality", "eval")),
+    QuerySpec(
+        "quality_token_budget_sample",
+        quality_token_budget_sample,
+        _TOKEN_BUDGET_SQL,
+        ("llm", "quality", "curation"),
+    ),
     QuerySpec(
         "doc_ngram_jaccard_pairs_capped",
         doc_ngram_jaccard_pairs_capped,
