@@ -234,6 +234,14 @@ def winnowing_fingerprints(
     fingerprint: guaranteed to share a selection for any match of
     length >= window + k - 1, at ~2/(window+1) sampling density.
 
+    Coverage floor (by the same guarantee): documents SHORTER than
+    window + k - 1 tokens (default 6) form no full window and emit
+    ZERO fingerprints — two identical 5-token docs share no winnowing
+    fingerprints here. That is inside the algorithm's contract (it
+    only promises matches of guarantee length), but consumers needing
+    short-doc coverage must pair this with exact_text_dedup /
+    ngram_jaccard_pairs, which have no length floor.
+
     ROW form, not array expressions: tokens explode once, the k-gram
     hash is a lead() composition (each gram hashed exactly once), and
     the per-window rightmost-min is one frame aggregate —

@@ -41,7 +41,7 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
-    )
+    ).filter(F.col("token") != "")  # split('') -> [''] — not a vocabulary term
     return (
         toks.groupBy("token")
         .agg(
@@ -60,7 +60,7 @@ WITH t AS (
   FROM documents
 )
 SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
-FROM t GROUP BY token
+FROM t WHERE token <> '' GROUP BY token
 ORDER BY n_occurrences DESC, token ASC
 LIMIT 50
 """
@@ -127,21 +127,28 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     every softmax numerator is bit-equal across engines; the Σα
     denominator spans only K≈5 rows and lands under 6dp rounding.
 
-    Scale: one vocab aggregate broadcast back to the token stream, one
-    per-source aggregate (K rows), then windows over the K-row frame —
-    the same broadcast-dim + tiny-frame-window shape as
-    source_mixture_weights. No UDF, no collect."""
+    Scale: one vocab aggregate joined back to the token stream on the
+    natural key (AQE broadcasts it at runtime when it fits — no static
+    hint, since a web-scale vocab exceeds the 8GB broadcast cap), one
+    per-source aggregate (K rows), then windows over the K-row frame.
+    The token total derives from the vocab aggregate, so the corpus is
+    tokenized exactly once. No UDF, no collect."""
     eta, c = 1.0, 0.1
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "source",
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
-    )
+    ).filter(F.col("w") != "")  # split('') -> [''] — not a real token
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    # n derives from the vocab aggregate — no third corpus tokenization
+    # pass just to count rows. No static broadcast hint on the vocab
+    # join: a web-scale corpus has billions of distinct tokens (past
+    # the 8GB broadcast cap); AQE broadcasts at runtime when the vocab
+    # actually fits, else this stays an equi-join on the natural key.
+    n = vocab.agg(F.sum("c").alias("n"))
     per_source = (
-        toks.join(F.broadcast(vocab), "w")
+        toks.join(vocab, "w")
         .crossJoin(F.broadcast(n))
         .groupBy("source")
         .agg(
@@ -178,14 +185,16 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOREMI_SQL = r"""
-WITH toks AS (
+WITH toks0 AS (
   SELECT source, doc_id,
          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
   FROM documents
+), toks AS (
+  SELECT * FROM toks0 WHERE w <> ''
 ), vocab AS (
   SELECT w, COUNT(*) AS c FROM toks GROUP BY w
 ), n AS (
-  SELECT COUNT(*) AS n FROM toks
+  SELECT SUM(c) AS n FROM vocab
 ), per_source AS (
   SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
          SUM(-LN(CAST(c AS DOUBLE) / n.n)) AS nll
@@ -502,7 +511,9 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus tokens, no Python, no collect."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    tokened = docs.select(toks.alias("arr")).filter(F.size("arr") > 0)
+    # trim(text) != '' (not size(arr) > 0, which is vacuously true):
+    # split('') yields [''], whose phantom '' unigram inflates N1
+    tokened = docs.filter(F.trim(F.col("text")) != "").select(toks.alias("arr"))
     uni = (
         tokened.select(F.explode("arr").alias("w"))
         .groupBy("w")
@@ -561,7 +572,7 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PMI_SQL = r"""
 WITH toks AS (
   SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS arr
-  FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+  FROM documents WHERE trim(text) <> ''
 ), uni AS (
   SELECT w, COUNT(*) AS c FROM (SELECT unnest(arr) AS w FROM toks) GROUP BY 1
 ), n1 AS (
@@ -590,24 +601,36 @@ LIMIT 15
 
 def token_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index slice: per token with document
-    frequency >= 5, the df and the first 10 posting-list doc ids (sorted,
-    joined) — the bounded-payload form of an index build. The cap is
-    the scale property: collect_set is bounded per group by the df
-    band filter, and the emitted sample is sliced to 10 ids, so no
-    unbounded list ever materializes (a full posting-list table at
-    100 TB would instead WRITE grouped-sorted parquet via
-    sources/io.write_bucketed, same plan minus the slice)."""
+    frequency >= 5, the df and the first 10 posting-list doc ids
+    (sorted, joined) — the bounded-payload form of an index build.
+
+    Scale shape: ONE shuffle on the token, then df and the 10 smallest
+    doc ids both come from window functions over the sorted partition
+    — a SORT-based pipeline that spills to disk on a stopword token's
+    billion-row posting list. The previous collect_set formulation
+    held every posting id in an in-memory aggregation array before
+    slicing (a stopword = executor OOM; its df >= 5 filter ran AFTER
+    aggregation and bounded nothing). The final per-token gather
+    touches <= 10 rows and rides the same partitioning, no second
+    exchange. (A full posting-list table at 100 TB would instead WRITE
+    grouped-sorted parquet via sources/io.write_bucketed_table, same
+    plan minus the row_number cap.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     ex = docs.select("doc_id", F.explode(toks).alias("token"))
-    g = ex.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.expr(
-            "concat_ws(',', transform(slice(sort_array(collect_set(doc_id)), 1, 10),"
-            " x -> cast(x as string)))"
-        ).alias("sample_docs"),
+    w_all = Window.partitionBy("token")
+    w_ord = Window.partitionBy("token").orderBy("doc_id")
+    top = (
+        ex.withColumn("df", F.count(F.lit(1)).over(w_all))
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .filter((F.col("__rn") <= 10) & (F.col("df") >= 5))
     )
-    return g.filter(F.col("df") >= 5)
+    return top.groupBy("token", "df").agg(
+        F.expr(
+            "concat_ws(',', transform(sort_array(collect_list(doc_id)),"
+            " x -> cast(x as string)))"
+        ).alias("sample_docs")
+    )
 
 
 _POSTING_SQL = r"""
@@ -629,33 +652,25 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval for a fixed keyword query — the relevance
-    scoring a corpus-curation pipeline uses to pull topic-matched
-    training documents (and the engine-side form of full-text search
-    the reference's dashboards lack entirely).
-
-    Scale shape: tokens are FILTERED to the query terms before any
-    aggregation (the per-(doc,term) tf agg sees only matching tokens,
-    not the corpus vocabulary), document-frequency and corpus stats
-    are tiny aggregates broadcast back, and the final top-20 is a
-    TakeOrderedAndProject on the rounded score with doc_id tie-break.
-    Lucene-style IDF: ln(1 + (N - df + 0.5)/(df + 0.5)).
-    """
+def _bm25_term_scores(docs: DataFrame) -> DataFrame:
+    """Shared BM25 per-(term, doc) scorer — the ONE place the formula
+    lives, consumed by both the shipped ranker (doc_bm25_search) and
+    its eval harness (retrieval_eval_bm25), so a formula change cannot
+    make the eval silently measure a different ranker than the one
+    serving. Emits (term, doc_id, tf, term_score-unrounded); tokens
+    are filtered to the query terms BEFORE any aggregation.
+    Lucene-style IDF: ln(1 + (N - df + 0.5)/(df + 0.5))."""
     from pubg_data_pipeline_spark.functions.text import token_count, word_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
     toks = docs.select(
         "doc_id", F.explode(word_tokens(F.lower(F.col("text")))).alias("term")
     ).filter(F.col("term").isin(*_BM25_TERMS))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
-    scored = (
+    return (
         tf.join(F.broadcast(df_t), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -672,18 +687,37 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("tf") * (k1 + 1.0))
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
         )
+        .select("term", "doc_id", "tf", "term_score")
     )
-    ranked = (
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed keyword query — the relevance
+    scoring a corpus-curation pipeline uses to pull topic-matched
+    training documents (and the engine-side form of full-text search
+    the reference's dashboards lack entirely).
+
+    Scale shape: tokens are FILTERED to the query terms before any
+    aggregation (the per-(doc,term) tf agg sees only matching tokens,
+    not the corpus vocabulary), document-frequency and corpus stats
+    are tiny aggregates broadcast back, and the final top-20 is a
+    TakeOrderedAndProject on the rounded score with doc_id tie-break.
+    Lucene-style IDF: ln(1 + (N - df + 0.5)/(df + 0.5)).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _bm25_term_scores(docs)
+    return (
         scored.groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
-    return ranked
 
 
-_BM25_SQL = f"""
-WITH dl AS (
+# Shared CTE chain for every BM25 SQL oracle — one copy of the formula
+# (mirrors _bm25_term_scores; bm25_scored emits term, doc_id, tf and
+# the UNROUNDED per-term score).
+_BM25_CTES_SQL = f"""dl AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
@@ -699,16 +733,19 @@ WITH dl AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
 ), stats AS (
   SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
-), scored AS (
-  SELECT tf.doc_id,
+), bm25_scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
          ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
          * (tf.tf * ({_BM25_K1} + 1.0))
          / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
            AS term_score
   FROM tf JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-)
+)"""
+
+_BM25_SQL = f"""
+WITH {_BM25_CTES_SQL}
 SELECT doc_id, ROUND(SUM(term_score), 4) AS bm25
-FROM scored GROUP BY 1
+FROM bm25_scored GROUP BY 1
 ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """
 
@@ -732,33 +769,10 @@ def retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows each. Scores are rounded (6dp) before ranking with doc_id
     tie-breaks, so ranks are engine-stable; DCG sums of <= 10 terms
     land under 4dp output rounding."""
-    from pubg_data_pipeline_spark.functions.text import token_count, word_tokens
-
     docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
-    toks = docs.select(
-        "doc_id", F.explode(word_tokens(F.lower(F.col("text")))).alias("term")
-    ).filter(F.col("term").isin(*_BM25_TERMS))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
     scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "score",
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * (k1 + 1.0))
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-                6,
-            ),
-        )
+        _bm25_term_scores(docs)
+        .withColumn("score", F.round(F.col("term_score"), 6))
         .withColumn(
             "rel",
             F.when(F.col("tf") >= 2, F.least(F.col("tf"), F.lit(3))).otherwise(F.lit(0)),
@@ -791,31 +805,10 @@ def retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RETRIEVAL_EVAL_SQL = f"""
-WITH dl AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
-  FROM documents
-), toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-  FROM documents
-), tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM toks
-  WHERE term IN {_BM25_TERMS!r}
-  GROUP BY 1, 2
-), df_t AS (
-  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
-), stats AS (
-  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
-), scored AS (
-  SELECT tf.term, tf.doc_id,
-         ROUND(ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
-               * (tf.tf * ({_BM25_K1} + 1.0))
-               / (tf.tf + {_BM25_K1}
-                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)), 6)
-           AS score,
-         CASE WHEN tf.tf >= 2 THEN LEAST(tf.tf, 3) ELSE 0 END AS rel
-  FROM tf JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+WITH {_BM25_CTES_SQL}, scored AS (
+  SELECT term, doc_id, ROUND(term_score, 6) AS score,
+         CASE WHEN tf >= 2 THEN LEAST(tf, 3) ELSE 0 END AS rel
+  FROM bm25_scored
 ), ranked AS (
   SELECT term, rel,
          ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank,

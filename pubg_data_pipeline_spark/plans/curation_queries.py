@@ -53,6 +53,15 @@ list_reduce(
   (acc, x) -> (acc * 131 + x) % 9007199254740881)
 """
 
+# Salted variant for SAMPLING decisions: the unsalted fingerprint is
+# what split_bucket assigns train/val/test from, so any keep-rule on
+# the same `fp % k` buckets is deterministically CORRELATED with split
+# membership (e.g. rate <= 80 would keep only train-split docs). A
+# literal salt token prepended to the text gives sampling its own
+# independent hash stream — the same discipline as the 'shuffle-' /
+# 'cap-' md5 salts elsewhere in this file.
+_FP_SAMPLE_SQL = _FP_SQL.replace("lower(text)", "lower('sample ' || text)")
+
 # DuckDB twin of functions.text.word_shingles (distinct word 3-grams).
 _SHINGLES_SQL = r"""
 list_distinct(list_transform(
@@ -88,7 +97,8 @@ WITH f AS (
   SELECT CASE WHEN ({_FP_SQL}) % 100 < 80 THEN 'train'
               WHEN ({_FP_SQL}) % 100 < 90 THEN 'val'
               ELSE 'test' END AS split,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
   FROM documents
 )
 SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
@@ -107,7 +117,13 @@ def stratified_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     idx = F.substring(F.col("source"), 4, 10).cast("int")
     rate = F.greatest(F.lit(10), F.lit(100) - F.lit(5) * idx)
-    keep = (F.pmod(rolling_fingerprint(F.col("text")), F.lit(100)) < rate).cast("int")
+    # SALTED fingerprint: the unsalted stream is the split_bucket
+    # assignment, so keep-buckets must not alias train/val/test buckets
+    # (rate <= 80 on the unsalted hash keeps ONLY train-split docs).
+    keep = (
+        F.pmod(rolling_fingerprint(F.concat(F.lit("sample "), F.col("text"))), F.lit(100))
+        < rate
+    ).cast("int")
     return (
         docs.select("source", rate.alias("rate_pct"), keep.alias("keep"))
         .groupBy("source", "rate_pct")
@@ -122,7 +138,7 @@ _STRATIFIED_SQL = rf"""
 SELECT source,
        GREATEST(10, 100 - 5 * CAST(substr(source, 4) AS INT)) AS rate_pct,
        COUNT(*) AS total_docs,
-       CAST(SUM(CASE WHEN ({_FP_SQL}) % 100
+       CAST(SUM(CASE WHEN ({_FP_SAMPLE_SQL}) % 100
                      < GREATEST(10, 100 - 5 * CAST(substr(source, 4) AS INT))
                 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
 FROM documents
@@ -131,10 +147,20 @@ GROUP BY 1, 2
 
 
 def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy token-budget shard packing: within each source, documents
-    (in doc_id order) are packed into shards of <=500 tokens by an
-    exclusive running token sum — the sequence-packing layout step of a
-    training-data build. Output: per (source, shard) doc/token counts.
+    """START-OFFSET shard packing: within each source, documents (in
+    doc_id order) are assigned to shard floor(exclusive_token_offset /
+    500) — every doc whose stream START falls in [500k, 500(k+1))
+    lands in shard k. Output: per (source, shard) doc/token counts.
+
+    The guarantee is on offsets, not totals: a shard's token count can
+    exceed 500 by up to (last doc's length - 1), because a document
+    straddling a boundary stays whole in the shard it started in —
+    the standard closed-form layout (one prefix sum, no sequential
+    state). TRUE close-when-full greedy packing needs a running reset
+    (inherently sequential, not a window expression); the
+    overflow-free splitting form is context_window_packing, which cuts
+    documents AT the boundary. The DuckDB oracle encodes this same
+    start-offset rule.
 
     Partitioning by source keeps the window distributed (one partition
     per source, never a global sort); at 100 TB the unit would be a
@@ -160,7 +186,8 @@ def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARD_SQL = r"""
 WITH t AS (
   SELECT source, doc_id,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
   FROM documents
 ), s AS (
   SELECT source, n_tok,
@@ -456,7 +483,10 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated to per-source totals. One map-side projection + one
     aggregate at any scale."""
     docs = _docs(spark, sf_dir)
-    fp = rolling_fingerprint(F.col("text"))
+    # salted like stratified_source_sample: fp % 1000 buckets contain
+    # the split's fp % 100 buckets, so an unsalted weighted keep-rule
+    # systematically under-samples the val/test splits.
+    fp = rolling_fingerprint(F.concat(F.lit("sample "), F.col("text")))
     kept = (F.pmod(fp, F.lit(1000)) < F.least(F.col("n_chars"), F.lit(1000))).cast("long")
     return (
         docs.select("source", kept.alias("k"))
@@ -470,7 +500,7 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WEIGHTED_SAMPLE_SQL = rf"""
 SELECT source, COUNT(*) AS n_docs,
-       CAST(SUM(CASE WHEN ({_FP_SQL}) % 1000 < LEAST(n_chars, 1000)
+       CAST(SUM(CASE WHEN ({_FP_SAMPLE_SQL}) % 1000 < LEAST(n_chars, 1000)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents GROUP BY source
 """
@@ -485,21 +515,25 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring with the n-gram model swapped for the oracle-checkable
     unigram one.
 
-    Scale: one vocabulary aggregate (map-side partial), broadcast back
-    to the exploded token stream (the vocab is orders smaller than the
-    corpus), one per-doc aggregate. No UDF, no collect; at 100 TB the
-    vocab join is the textbook broadcast-dim pattern. avg of ln() is
+    Scale: one vocabulary aggregate (map-side partial), joined back to
+    the exploded token stream on the natural key — AQE broadcasts it
+    at runtime when it fits; no static hint, because a web-scale vocab
+    (billions of distinct tokens) exceeds the 8GB broadcast cap. One
+    per-doc aggregate; the corpus is tokenized once. avg of ln() is
     agg-order noise ~1e-13, five orders under the 4dp rounding (the
     base.py stddev rule)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
-    )
+    ).filter(F.col("w") != "")  # split('') -> [''] — a blank doc has no tokens
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    # n from the vocab aggregate (no second tokenization pass); no
+    # static broadcast hint — a web-scale vocab exceeds the 8GB
+    # broadcast cap, so AQE decides at runtime (see doremi twin).
+    n = vocab.agg(F.sum("c").alias("n"))
     scored = (
-        toks.join(F.broadcast(vocab), "w")
+        toks.join(vocab, "w")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id")
         .agg(
@@ -516,13 +550,15 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _UNIGRAM_LP_SQL = r"""
-WITH toks AS (
+WITH toks0 AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
   FROM documents
+), toks AS (
+  SELECT * FROM toks0 WHERE w <> ''
 ), vocab AS (
   SELECT w, COUNT(*) AS c FROM toks GROUP BY w
 ), n AS (
-  SELECT COUNT(*) AS n FROM toks
+  SELECT SUM(c) AS n FROM vocab
 ), scored AS (
   SELECT doc_id, COUNT(*) AS n_tokens,
          SUM(LN(CAST(c AS DOUBLE) / n.n)) AS lp
@@ -873,7 +909,9 @@ def source_epoch_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EPOCH_MIX_SQL = r"""
 WITH c AS (
   SELECT source, COUNT(*) AS n_docs,
-         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, n_tokens,

@@ -216,3 +216,33 @@ def test_signup_latency_counts_purchase_before_signup_users(spark, tmp_path):
     row = signup_purchase_latency(spark, str(d)).collect()[0]
     assert row["n_converters"] == 1
     assert abs(row["p50_sec"] - 60.0) < 1e-6
+
+
+def test_sampling_decisions_are_independent_of_split_buckets(spark):
+    """The r5 review fix: sampling keep-rules hash a SALTED fingerprint,
+    so kept documents must span all three train/val/test splits (the
+    unsalted rule kept ONLY train-split docs whenever rate <= 80)."""
+    from pubg_data_pipeline_spark.functions.text import (
+        rolling_fingerprint,
+        split_bucket,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = F.substring(F.col("source"), 4, 10).cast("int")
+    rate = F.greatest(F.lit(10), F.lit(100) - F.lit(5) * idx)
+    keep = (
+        F.pmod(rolling_fingerprint(F.concat(F.lit("sample "), F.col("text"))), F.lit(100))
+        < rate
+    )
+    split = split_bucket(rolling_fingerprint(F.col("text")))
+    kept_splits = {
+        r["split"]
+        for r in docs.filter(keep & (rate <= 80))
+        .select(split.alias("split"))
+        .distinct()
+        .collect()
+    }
+    assert kept_splits == {"train", "val", "test"}, (
+        f"sampled docs collapsed onto splits {kept_splits} — sampling is "
+        "correlated with the split assignment again"
+    )
