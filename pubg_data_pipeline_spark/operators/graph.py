@@ -27,8 +27,38 @@ rounds (components are near-cliques of duplicates, diameter ~1-2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _persisted_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every RDD currently registered with the block manager.
+    localCheckpoint registers its backing RDD here at CALL time (even
+    eager=False), so diffing before/after a checkpoint identifies
+    exactly the blocks that checkpoint owns."""
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.keysIterator()
+    out: set[int] = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out
+
+
+def _release_rdds(spark: SparkSession, ids: set[int]) -> None:
+    """Unpersist the given RDD ids. DataFrame.unpersist() is a NO-OP
+    for localCheckpoint blocks (they are registered at the RDD layer,
+    not the Dataset cache manager — verified: the persistent-RDD count
+    is unchanged after df.unpersist()), so superseded per-round
+    checkpoints must be released through the block manager's own
+    registry or they accumulate for the process lifetime."""
+    if not ids:
+        return
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.valuesIterator()
+    while it.hasNext():
+        r = it.next()
+        if r.id() in ids:
+            r.unpersist(False)
 
 
 def connected_components(
@@ -55,13 +85,17 @@ def connected_components(
     cost of one distributed write per round.
     """
 
+    spark = edges.sparkSession
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=eager)
-        return df.localCheckpoint(eager=eager)
+    def _ckpt(df: DataFrame, eager: bool) -> tuple[DataFrame, set[int]]:
+        """Checkpoint + the set of RDD ids the checkpoint registered,
+        so superseded rounds can be released (reliable-checkpoint mode
+        registers nothing block-side; its ids set is simply empty)."""
+        before = _persisted_rdd_ids(spark)
+        out = df.checkpoint(eager=eager) if checkpoint_dir is not None else df.localCheckpoint(eager=eager)
+        return out, _persisted_rdd_ids(spark) - before
 
     # Materialize the raw edge projection EAGERLY before symmetrizing:
     # union(e, e.swapped) duplicates the entire upstream subtree in the
@@ -69,8 +103,8 @@ def connected_components(
     # explode + 3 aggregates for the Jaccard case) would be analyzed
     # and executed twice — measured 2x the whole-query cost at sf0.1.
     # After the checkpoint the union reads a cached RDD twice instead.
-    e0 = _ckpt(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), eager=True)
-    e = _ckpt(
+    e0, e0_ids = _ckpt(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), eager=True)
+    sym, sym_ids = _ckpt(
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct(),
@@ -82,30 +116,56 @@ def connected_components(
     # of 32-way shuffles over a few thousand edges spends everything on
     # task scheduling. The count also materializes the symmetrized
     # checkpoint so each loop round starts from cached edges.
-    n_parts = max(1, min(e.sparkSession.sparkContext.defaultParallelism, e.count() // 500_000))
+    n_edges = sym.count()
+    n_parts = max(1, min(sym.sparkSession.sparkContext.defaultParallelism, n_edges // 500_000))
     # Partition by "b" — the loop's only join against e keys on b
     # (labels renamed node->b), so the edge side never reshuffles
     # inside the loop.
-    e = _ckpt(e.repartition(n_parts, "b"), eager=False)
+    e, _e_ids = _ckpt(sym.repartition(n_parts, "b"), eager=True)
     # Initialize at least(node, min_neighbor) — the first half of a
     # propagation round folded into the init aggregate. Dup graphs are
     # near-cliques, and a clique is already at fixpoint after this, so
     # the loop's first round detects convergence immediately (one full
     # round saved on the dominant shape; chains just shift by one).
-    # Every node of the symmetrized edge list appears as "a", so the
-    # groupBy covers all nodes.
-    labels = _ckpt(
+    # Every node of the symmetrized edge list appears as "a"; nodes
+    # whose ONLY edges were self-loops vanished in the a != b filter,
+    # so they are unioned back as their own singleton component — the
+    # documented contract is every node appearing in ``edges``.
+    init = (
         e.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("__mn"))
-        .select("node", F.least(F.col("node"), F.col("__mn")).alias("comp")),
-        eager=False,
+        .select("node", F.least(F.col("node"), F.col("__mn")).alias("comp"))
     )
-    # Convergence detection: labels only ever decrease, so
+    loop_nodes = e.select(F.col("a").alias("node")).distinct()
+    self_only = (
+        e0.select(F.col("a").alias("node"))
+        .union(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .join(loop_nodes, "node", "left_anti")
+        .select("node", F.col("node").alias("comp"))
+    )
+    labels, labels_ids = _ckpt(init.unionByName(self_only), eager=True)
+    # e0 fed sym, e, and the self-loop union; sym fed e. Both are dead
+    # weight once labels materialize — release their blocks so repeated
+    # CC calls in one session don't accumulate checkpoint storage.
+    _release_rdds(spark, e0_ids | sym_ids)
+    if n_edges == 0:
+        # only self-loops (or no edges): already at fixpoint; the edge
+        # table won't be read again
+        _release_rdds(spark, _e_ids)
+        return labels.select("node", F.col("comp").alias("component"))
+    # Convergence detection: labels only ever decrease. For NUMERIC ids
     # sum(comp) is strictly monotone until fixpoint — two equal
-    # consecutive sums mean no label moved. One tiny aggregation per
+    # consecutive sums mean no label moved, one tiny aggregation per
     # round (which doubles as the action materializing the round's
-    # checkpoint) instead of a join against the previous labels.
-    # decimal(38,0) keeps the sum exact under ANSI mode at any id scale.
+    # checkpoint); decimal(38,0) keeps it exact under ANSI at any id
+    # scale. Non-numeric ids (string doc keys) cannot be cast — ANSI
+    # throws, and legacy NULL sums would fake instant convergence — so
+    # they use an exact changed-row probe against the previous labels
+    # (limit(1) short-circuits; one small extra join per round).
+    numeric_comp = dict(labels.dtypes)["comp"] in (
+        "tinyint", "smallint", "int", "bigint",
+    ) or dict(labels.dtypes)["comp"].startswith("decimal")
     prev_sum = None
     for _ in range(max_iter):
         # 1. neighbor min: comp'(n) = min(comp(n), min_{m in N(n)} comp(m))
@@ -127,7 +187,7 @@ def connected_components(
         ptr = stepped.select(
             F.col("node").alias("comp"), F.col("comp").alias("comp2")
         )
-        jumped = _ckpt(
+        jumped, jumped_ids = _ckpt(
             stepped.join(ptr, "comp", "left")
             .select(
                 "node",
@@ -137,13 +197,32 @@ def connected_components(
             ),
             eager=False,
         )
-        cur_sum = jumped.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = jumped
-        if cur_sum == prev_sum:
+        if numeric_comp:
+            cur_sum = jumped.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            converged = prev_sum is not None and cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (
+                jumped.join(
+                    labels.select("node", F.col("comp").alias("__prev")), "node"
+                )
+                .filter(F.col("comp") != F.col("__prev"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        # the action above materialized `jumped`; the superseded round's
+        # blocks are now dead — release before rebinding (the final
+        # round's blocks back the returned frame and stay)
+        _release_rdds(spark, labels_ids)
+        labels, labels_ids = jumped, jumped_ids
+        if converged:
             break
-        prev_sum = cur_sum
+    # only the final labels blocks back the returned frame; the edge
+    # table is loop-internal
+    _release_rdds(spark, _e_ids)
     return labels.select("node", F.col("comp").alias("component"))
 
 
@@ -259,11 +338,14 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     # generation) would otherwise be re-executed once per reference —
     # measured 4x the whole-query cost on the near-dup graph. Same
     # rationale as connected_components' edge checkpoint above.
+    spark = edges.sparkSession
+    before = _persisted_rdd_ids(spark)
     e0 = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .localCheckpoint(eager=True)
     )
+    e0_ids = _persisted_rdd_ids(spark) - before
     und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # attach both endpoint degrees, keep each undirected edge once,
@@ -279,9 +361,12 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
             | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
-        # three join legs read this; checkpoint so orientation runs once
-        .localCheckpoint(eager=False)
+        # three join legs read this; checkpoint so orientation runs
+        # once (EAGER: lets e0's blocks be released right away — the
+        # returned plan must not re-read e0 after that)
+        .localCheckpoint(eager=True)
     )
+    _release_rdds(spark, e0_ids)
     d1 = with_deg
     d2 = with_deg.select(F.col("u").alias("v"), F.col("v").alias("w"))
     d3 = with_deg.select(F.col("u").alias("u"), F.col("v").alias("w"))
@@ -374,18 +459,22 @@ def pagerank(
     edge list); undirected edges contribute in both directions, so
     there are no dangling nodes and total rank mass stays 1.
     """
+    spark = edges.sparkSession
+    before = _persisted_rdd_ids(spark)
     e0 = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .localCheckpoint(eager=True)
     )
+    e0_ids = _persisted_rdd_ids(spark) - before
     und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     edges_deg = und.join(deg, "u").localCheckpoint(eager=True)
     # e0's blocks fed the eager edges_deg materialization and are dead
-    # weight afterwards — release them so repeated pagerank calls in
-    # one session don't accumulate checkpoint storage.
-    e0.unpersist()
+    # weight afterwards — release them (via the block-manager registry;
+    # DataFrame.unpersist() is a no-op for checkpoint blocks) so
+    # repeated pagerank calls don't accumulate checkpoint storage.
+    _release_rdds(spark, e0_ids)
     nodes = edges_deg.select(F.col("u").alias("node")).distinct()
     n = nodes.count()
     if n == 0:

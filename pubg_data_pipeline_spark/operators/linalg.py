@@ -20,7 +20,7 @@ reduction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -55,6 +55,16 @@ def second_moments(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
             if not vecs:
                 continue
             x = np.asarray(vecs, dtype=np.float64)
+            # A NULL ELEMENT inside a vector arrives from Arrow as NaN
+            # and would poison whole dimensions of s/g (NaN sums ->
+            # NULL on the way back -> silently masked to 0 downstream,
+            # i.e. wrong statistics from one corrupt row). Such rows
+            # are invalid exactly like NULL/wrong-length vectors:
+            # counted out of n.
+            ok = ~np.isnan(x).any(axis=1)
+            x = x[ok]
+            if x.shape[0] == 0:
+                continue
             n += x.shape[0]
             s += x.sum(axis=0)
             g += x.T @ x
@@ -73,23 +83,47 @@ def reduce_moment_states(states: DataFrame, dim: int) -> DataFrame:
     moment states are element-wise sums, so per-partition, per-epoch,
     or per-stream accumulators merge associatively (the property the
     streaming twin `streaming/app.py:moments_epoch` stores epochs
-    under). All JVM-side: one zero-key aggregate + two ``zip_with``
-    array folds over O(states) rows."""
+    under).
 
-    def _addv(col: Column, length: int) -> Column:
-        return F.aggregate(
-            col,
-            F.array_repeat(F.lit(0.0), length),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    Shape: ONE pass over the states (the upstream is the full-corpus
+    Gramian scan — it must not re-execute per output column):
+    posexplode the concatenated s||g array to (pos, value) rows, SUM
+    per pos as an ordinary distributed aggregation (partial combine
+    map-side, so the reduce stays bounded at any state count), then
+    assemble the final arrays from the d + d² summed rows. The
+    previous collect_list-then-fold formulation concentrated EVERY
+    state's full d² array into one aggregation row (O(states · d²)
+    bytes on a single task: ~26 GB at 100 TB's ~800k scan partitions
+    with d=64 — past executor memory and the 2 GB row limit); here the
+    single-row stage only ever assembles the FINAL d²-length arrays."""
+    exploded = states.select(
+        "n", F.posexplode(F.concat(F.col("s"), F.col("g"))).alias("__p", "__v")
+    )
+    # each state contributes exactly one row per position, so group 0's
+    # n-sum is the total row count — no second pass over the states
+    per_pos = exploded.groupBy("__p").agg(
+        F.sum("__v").alias("__v"),
+        F.sum(F.when(F.col("__p") == 0, F.col("n"))).alias("__n"),
+    )
+
+    def _arr(cond, offset: int, length: int):
+        picked = F.transform(
+            F.array_sort(
+                F.collect_list(F.when(cond, F.struct("__p", "__v")))
+            ),
+            lambda t: t["__v"],
+        )
+        # zero states (empty input) -> empty list: keep the documented
+        # all-zeros identity state
+        return (
+            F.when(F.size(picked) == length, picked)
+            .otherwise(F.array_repeat(F.lit(0.0), length))
         )
 
-    red = states.agg(
-        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
-        F.collect_list("s").alias("__ss"),
-        F.collect_list("g").alias("__gs"),
-    )
-    return red.select(
-        "n", _addv(F.col("__ss"), dim).alias("s"), _addv(F.col("__gs"), dim * dim).alias("g")
+    return per_pos.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("n"),
+        _arr(F.col("__p") < dim, 0, dim).alias("s"),
+        _arr(F.col("__p") >= dim, dim, dim * dim).alias("g"),
     )
 
 

@@ -21,6 +21,35 @@ from pyspark.sql import functions as F
 from pubg_data_pipeline_spark.functions.vectors import as_double_vec, cosine, dot
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan arrives with fewer
+    splits than the session parallelism — the synthetic single-row-
+    group parquet scans as ONE partition, which would serialize every
+    downstream map stage. A real pre-split table (any sanely-written
+    100 TB corpus) passes through UNTOUCHED: an unconditional
+    repartition here would shuffle the whole corpus for zero
+    algorithmic benefit (the broadcast-join parallelism already comes
+    from the scan splits)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
+def _empty_topk(corpus: DataFrame, queries: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (query_id, neighbor_id, cos_sim, rank) frame with the
+    id types of the inputs — what every top-k entry point returns for
+    an EMPTY corpus instead of crashing plan analysis (an empty center
+    list renders _cell_ranking's literal as array<void>)."""
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .limit(0)
+        .crossJoin(corpus.select(F.col(id_col).alias("neighbor_id")).limit(0))
+        .withColumn("cos_sim", F.lit(0.0))
+        .withColumn("rank", F.lit(1))
+    )
+
+
 def brute_force_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -39,7 +68,7 @@ def brute_force_top_k(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     )
-    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     )
     sim = cosine(F.col("qv"), F.col("cv"))
@@ -104,7 +133,7 @@ def ml_euclidean_lsh_top_k(
             array_to_vector(as_double_vec(F.col(vec_col))).alias("features"),
         )
 
-    c = prep(corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism), "neighbor_id")
+    c = prep(_spread(corpus), "neighbor_id")
     q = prep(queries, "query_id")
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
@@ -201,15 +230,19 @@ def _ivf_probe_and_rerank(
     scan (ivf_index_top_k) — in the latter case the broadcast probe
     join triggers dynamic partition pruning, so only probed cell
     directories are read."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
-    )
-    probes = _l2_normalized(
-        q.withColumn(
-            "probe", F.explode(F.slice(_cell_ranking(centers, F.col("qv")), 1, nprobe))
-        ).select("query_id", "qv", F.col("probe.cell").alias("cell")),
+    # normalize BEFORE cell ranking: the centers live in the
+    # L2-normalized space (the quantizer trains and assigns on unit
+    # vectors — cosine geometry), so ranking cells with a raw-norm
+    # query would probe the wrong cells entirely on non-unit corpora.
+    q = _l2_normalized(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+        ),
         "qv",
     )
+    probes = q.withColumn(
+        "probe", F.explode(F.slice(_cell_ranking(centers, F.col("qv")), 1, nprobe))
+    ).select("query_id", "qv", F.col("probe.cell").alias("cell"))
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -241,13 +274,22 @@ def write_ivf_index(
     probing becomes an equi-join against a scan that reads ONLY the
     probed cell directories (dynamic partition pruning — asserted in
     tests/test_llm_ops.py). Returns the centers."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    # L2-normalize BEFORE training/assignment: the serving metric is
+    # cosine, so the quantizer must partition the unit sphere — cells
+    # trained on raw norms put a query's true cosine neighbors in
+    # distant raw-space cells (total recall collapse on non-unit
+    # corpora; the Faiss IP/cosine discipline).
+    c = _l2_normalized(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+        ),
+        "cv",
     )
     centers = train_ivf_centers(c, nlist, seed)
-    assigned = _l2_normalized(
-        c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"]), "cv"
-    )
+    if not centers:  # empty corpus: write an empty but well-formed index
+        assigned = c.withColumn("cell", F.lit(0))
+    else:
+        assigned = c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"])
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     spark = corpus.sparkSession
     spark.createDataFrame(
@@ -275,6 +317,10 @@ def ivf_index_top_k(
         row["center"]
         for row in spark.read.parquet(f"{path}/centers").orderBy("cell").collect()
     ]
+    if not centers:
+        # index built from an empty corpus — its cells/ dir has no part
+        # files to even infer a schema from
+        return _empty_topk(queries, queries, id_col)
     assigned = spark.read.parquet(f"{path}/cells")
     return _ivf_probe_and_rerank(assigned, queries, centers, id_col, vec_col, k, nprobe)
 
@@ -305,8 +351,17 @@ def train_ivf_centers(
     # distinct count actually available (fewer cells, same semantics).
     distinct_n = train.select("cv").distinct().limit(nlist).count()
     if distinct_n < nlist:
-        train = corpus_vecs.withColumn("features", array_to_vector(F.col("cv")))
-        distinct_n = train.select("cv").distinct().limit(nlist).count()
+        # Widen to the full corpus ONLY when the sample itself is tiny
+        # (small corpus — widening is cheap and recovers distinct
+        # points the 1/8 hash sample missed). A LARGE sample that is
+        # still distinct-poor means the corpus is genuinely repetitive:
+        # the sample already carries all the information, so clamp k
+        # to it rather than paying the full-corpus k-means this
+        # docstring forbids at 100 TB (~6 whole-corpus passes).
+        sample_rows = train.limit(100_000).count()
+        if sample_rows < 100_000:
+            train = corpus_vecs.withColumn("features", array_to_vector(F.col("cv")))
+            distinct_n = train.select("cv").distinct().limit(nlist).count()
     if distinct_n <= 1:
         # MLlib KMeans rejects k=1; a corpus with one distinct point
         # (or empty) needs no quantizer — its single point IS the center.
@@ -419,9 +474,15 @@ def ivf_top_k(
     by cell. Recall is tuned by nprobe/nlist; checked against
     brute_force_top_k in property tests (no SQL oracle — k-means is
     not expressible)."""
-    sc_parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(sc_parallelism).select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    # L2-normalize BEFORE training/assignment — cosine serving needs
+    # the quantizer to partition the unit sphere; cells trained on raw
+    # norms route queries away from their true cosine neighbors on any
+    # non-unit-norm corpus (see write_ivf_index).
+    c = _l2_normalized(
+        _spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+        ),
+        "cv",
     )
     key = (cache_key, nlist, seed, dim, balanced)
     if cache_key is not None and key in _IVF_CENTERS_CACHE:
@@ -434,10 +495,9 @@ def ivf_top_k(
         )
         if cache_key is not None:
             _IVF_CENTERS_CACHE[key] = centers
-
-    assigned = _l2_normalized(
-        c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"]), "cv"
-    )
+    if not centers:
+        return _empty_topk(corpus, queries, id_col)
+    assigned = c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"])
     return _ivf_probe_and_rerank(assigned, queries, centers, id_col, vec_col, k, nprobe)
 
 
@@ -464,7 +524,7 @@ def lsh_bucketed_top_k(
             bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
-    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(F.col(vec_col)).alias("cv"),
     ).withColumn("bucket", sketch(F.col("cv")))
@@ -525,10 +585,18 @@ def train_pq_codebooks(
                 F.slice("cv", j * dsub + 1, dsub).alias("sv")
             ).withColumn("features", array_to_vector(F.col("sv")))
             # same degenerate-input guard as train_ivf_centers: k-means
-            # needs >= k distinct points; clamp k to what exists.
+            # needs >= k distinct points; clamp k to what exists, and a
+            # single-distinct-point subspace (MLlib rejects k=1) IS its
+            # own one-entry codebook.
             distinct_n = sub.select("sv").distinct().limit(ksub).count()
+            if distinct_n <= 1:
+                one = sub.select("sv").limit(1).collect()
+                books.append(
+                    [list(map(float, one[0][0]))] if one else [[0.0] * dsub]
+                )
+                continue
             model = KMeans(
-                k=max(1, min(ksub, distinct_n)),
+                k=max(2, min(ksub, distinct_n)),
                 seed=seed + j,
                 maxIter=5,
                 initMode="random",
@@ -625,9 +693,20 @@ def ivfpq_top_k(
     No SQL oracle (two k-means stages); recall and the
     duplicate-vector guarantee are property-tested against
     brute_force_top_k."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(par).select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    if dim % m != 0:
+        # Faiss raises on d % m != 0 for the same reason: dsub = dim//m
+        # slices would silently DROP the last dim % m components from
+        # every code and every ADC LUT — vectors differing only in the
+        # tail dims become indistinguishable to the shortlist.
+        raise ValueError(f"ivfpq_top_k: m={m} must divide dim={dim}")
+    # normalized BEFORE coarse training/assignment (cosine geometry —
+    # see ivf_top_k) AND before PQ, keeping quantizer, codebooks, and
+    # codes all in the same unit-sphere space.
+    c = _l2_normalized(
+        _spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+        ),
+        "cv",
     )
     ckey = (cache_key, nlist, seed, dim)
     if cache_key is not None and ckey in _IVF_CENTERS_CACHE:
@@ -636,9 +715,9 @@ def ivfpq_top_k(
         centers = train_ivf_centers(c, nlist, seed)
         if cache_key is not None:
             _IVF_CENTERS_CACHE[ckey] = centers
-    vectors = _l2_normalized(
-        c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"]), "cv"
-    )
+    if not centers:
+        return _empty_topk(corpus, queries, id_col)
+    vectors = c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"])
     bkey = (cache_key, nlist, m, ksub, seed, dim)
     if cache_key is not None and bkey in _PQ_BOOKS_CACHE:
         books = _PQ_BOOKS_CACHE[bkey]
@@ -662,15 +741,19 @@ def ivfpq_top_k(
             vectors = vectors.localCheckpoint(eager=True)
             codes = codes.localCheckpoint(eager=True)
             _PQ_INDEX_CACHE[bkey] = (vectors, codes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
-    )
-    probes = _l2_normalized(
-        q.withColumn(
-            "probe", F.explode(F.slice(_cell_ranking(centers, F.col("qv")), 1, nprobe))
-        ).select("query_id", "qv", F.col("probe.cell").alias("cell")),
+    # normalize BEFORE cell ranking and LUT building — centers and
+    # codebooks live in the normalized space (see ivf_top_k)
+    q = _l2_normalized(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+        ),
         "qv",
-    ).withColumn("__lut", _pq_luts(books, F.col("qv")))
+    )
+    probes = q.withColumn(
+        "probe", F.explode(F.slice(_cell_ranking(centers, F.col("qv")), 1, nprobe))
+    ).select("query_id", "qv", F.col("probe.cell").alias("cell")).withColumn(
+        "__lut", _pq_luts(books, F.col("qv"))
+    )
     adc = F.aggregate(
         F.zip_with(F.col("__lut"), F.col("codes"), lambda l, c_: F.element_at(l, c_ + 1)),
         F.lit(0.0),

@@ -1230,7 +1230,9 @@ def embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     tag = dataset_cache_tag(sf_dir, "embeddings")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(repo_root, ".ivf_cache", f"index_{tag}")
+    # v2: cells assigned in L2-NORMALIZED space (r5 fix — a v1 index
+    # quantized raw norms and is semantically stale for cosine serving)
+    path = os.path.join(repo_root, ".ivf_cache", f"index_v2_{tag}")
     # centers/ is written last, so its _SUCCESS implies cells/ committed.
     ensure_index_cache(
         path,

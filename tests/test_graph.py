@@ -167,3 +167,35 @@ def test_pagerank_empty_graph(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert graph.pagerank(df).count() == 0
+
+
+def test_string_node_ids_converge_exactly(spark):
+    """r5 review fix: component labels that can't cast to decimal must
+    use the exact changed-row convergence probe — under ANSI the old
+    sum-cast crashed, and under legacy mode NULL sums faked instant
+    convergence, silently under-merging chains of length >= 5."""
+    chain = [(chr(ord("a") + i), chr(ord("a") + i + 1)) for i in range(7)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    rows = graph.connected_components(edges).collect()
+    comp = {r["node"]: r["component"] for r in rows}
+    assert comp == {chr(ord("a") + i): "a" for i in range(8)}
+
+
+def test_self_loop_only_nodes_keep_their_singleton_component(spark):
+    """Contract: (node, component) for EVERY node appearing in edges —
+    a node whose only edge is a self-loop must still be emitted."""
+    comp = _cc(spark, [(5, 5), (1, 2)])
+    assert comp == {1: 1, 2: 1, 5: 5}
+
+
+def test_repeated_cc_calls_leave_no_cached_blocks(spark):
+    """Per-round checkpoints must be released: repeated calls in one
+    session must not accumulate storage (the bench runs queries 4x)."""
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    for _ in range(2):
+        _cc(spark, [(i, i + 1) for i in range(20)])
+    after = sc.getPersistentRDDs().size()
+    # the final labels frame of each call stays alive (it IS the
+    # result); everything intermediate must be gone
+    assert after - before <= 2, f"leaked {after - before} cached RDDs"

@@ -135,3 +135,25 @@ def test_streaming_moments_epochs_replay_and_covariance(spark, tmp_path):
         for r in linalg.covariance_pairs(b1.unionByName(b2), "v", 2).collect()
     }
     assert cov_stream == cov_direct
+
+
+def test_null_element_rows_are_excluded_not_poisoning(spark):
+    """r5 review fix (execution-confirmed): a NULL ELEMENT inside one
+    vector must invalidate that ROW (counted out of n), not silently
+    zero whole dimensions of s/g through the NaN->NULL->0 laundering
+    chain."""
+    from pubg_data_pipeline_spark.operators import linalg
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, None]), (2, [5.0, 6.0])],
+        "vec_id int, embedding array<double>",
+    )
+    row = linalg.second_moments(df, "embedding", dim=2).collect()[0]
+    assert row["n"] == 2  # the corrupt row is OUT
+    assert row["s"] == [6.0, 8.0]  # 1+5, 2+6
+    assert row["g"] == [26.0, 32.0, 32.0, 40.0]
+    cov = {
+        (r["dim_i"], r["dim_j"]): r["covar"]
+        for r in linalg.covariance_pairs(df, "embedding", dim=2).collect()
+    }
+    assert cov[(2, 2)] == 4.0  # var of {2, 6}, not zero

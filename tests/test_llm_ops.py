@@ -378,6 +378,43 @@ def test_ivf_finds_duplicate_vector_and_recall(spark):
     assert [r["neighbor_id"] for r in full] == [r["neighbor_id"] for r in exact]
 
 
+def test_ivf_quantizes_in_normalized_space(spark):
+    """r5 review fix (execution-confirmed bug): cells must be assigned
+    on L2-NORMALIZED vectors. With raw-space cells, a corpus mixing
+    small-norm orthogonal vectors and large-norm parallel ones routed
+    every query away from its true cosine neighbors (total recall
+    collapse); normalized-space cells must recover the exact answer."""
+    rows = [(i, [0.01, 0.0, 0.0, 0.0]) for i in range(20)]  # small norm, || query
+    rows += [(100 + i, [0.0, 120.0 + i, 0.0, 0.0]) for i in range(20)]  # big norm, orthogonal
+    rows.append((999, [1.0, 0.0, 0.0, 0.0]))  # the query itself
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 999)
+    exact = similarity.brute_force_top_k(df, queries, k=3).collect()
+    approx = similarity.ivf_top_k(df, queries, dim=4, k=3, nlist=4, nprobe=1).collect()
+    assert [r["neighbor_id"] for r in approx] == [r["neighbor_id"] for r in exact]
+    assert approx[0]["cos_sim"] == pytest.approx(1.0)  # found the parallel family
+    pq = similarity.ivfpq_top_k(
+        df, queries, dim=4, k=3, nlist=4, nprobe=1, m=2, ksub=4, refine=4
+    ).collect()
+    assert pq[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_ivf_empty_corpus_returns_empty_not_crash(spark, tmp_path):
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    queries = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])], "vec_id int, embedding array<double>")
+    assert similarity.ivf_top_k(empty, queries, dim=4, k=2, nlist=2).count() == 0
+    assert similarity.ivfpq_top_k(empty, queries, dim=4, k=2, nlist=2, m=2, ksub=4).count() == 0
+    path = str(tmp_path / "empty_ivf")
+    assert similarity.write_ivf_index(empty, path, nlist=2) == []
+    assert similarity.ivf_index_top_k(spark, path, queries, k=2).count() == 0
+
+
+def test_ivfpq_rejects_indivisible_subspaces(spark):
+    df = spark.createDataFrame([(0, [1.0] * 10)], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="must divide dim"):
+        similarity.ivfpq_top_k(df, df, dim=10, m=4)
+
+
 def test_balanced_ivf_splits_fat_cells_and_keeps_recall(spark):
     """A clustered corpus (80% of points in one tight blob) makes plain
     k-means concentrate occupancy in a few cells; the balanced trainer
