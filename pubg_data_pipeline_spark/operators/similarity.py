@@ -164,6 +164,11 @@ def ml_euclidean_lsh_top_k(
 # guessing whether two DataFrames are "the same corpus").
 _IVF_CENTERS_CACHE: dict[tuple, list] = {}
 
+# Normalized + cell-assigned corpus per cache_key (eager localCheckpoint)
+# — the IVF sibling of _PQ_INDEX_CACHE: index artifacts are built once
+# per (process, dataset), never per query.
+_IVF_ASSIGNED_CACHE: dict[tuple, DataFrame] = {}
+
 
 def _d2_expr(center: Column, v: Column) -> Column:
     """Squared Euclidean distance between two array<double> columns —
@@ -497,7 +502,21 @@ def ivf_top_k(
             _IVF_CENTERS_CACHE[key] = centers
     if not centers:
         return _empty_topk(corpus, queries, id_col)
-    assigned = c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"])
+    # The assigned table is a DERIVED INDEX ARTIFACT (like the PQ codes
+    # table): with cache_key set it is materialized once per (process,
+    # dataset) and every query serves from the checkpointed column.
+    # This matters doubly since the cosine fix: ranking cells over the
+    # normalize EXPRESSION inlines the transform into every center's
+    # distance lambda (measured 5x serving cost vs ranking over a
+    # materialized column — the winnowing inlining lesson); the
+    # checkpoint restores plain attribute references.
+    if cache_key is not None and key in _IVF_ASSIGNED_CACHE:
+        assigned = _IVF_ASSIGNED_CACHE[key]
+    else:
+        assigned = c.withColumn("cell", _cell_ranking(centers, F.col("cv"))[0]["cell"])
+        if cache_key is not None:
+            assigned = assigned.localCheckpoint(eager=True)
+            _IVF_ASSIGNED_CACHE[key] = assigned
     return _ivf_probe_and_rerank(assigned, queries, centers, id_col, vec_col, k, nprobe)
 
 
