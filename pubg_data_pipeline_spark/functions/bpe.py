@@ -198,12 +198,17 @@ def bpe_encode(
 
     mapInPandas over Arrow batches; the merge table rides the closure
     (kilobytes — a real 50k-merge table would go through
-    ``spark.sparkContext.broadcast``). No shuffle: per-doc work only.
+    ``spark.sparkContext.broadcast``). No shuffle on a pre-split input:
+    per-doc work over the scan's own partitioning — the repartition
+    fires ONLY when the scan arrives with fewer splits than the session
+    parallelism (the synthetic single-row-group parquet), never as an
+    unconditional corpus-wide shuffle of the text payload.
     """
     ranks = {p: i for i, p in enumerate(merges)}
-    spread = df.select(id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
+    spread = df.select(id_col, text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if spread.rdd.getNumPartitions() < par:
+        spread = spread.repartition(par)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

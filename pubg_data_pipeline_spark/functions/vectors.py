@@ -29,7 +29,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 for zero-norm vectors."""
+    """Cosine similarity; 0.0 for zero-norm vectors; NULL for NULL or
+    length-mismatched inputs. Missing/corrupt data must not score as
+    genuine orthogonality (the bare otherwise(0.0) silently ranked a
+    NULL embedding as "minimally similar") — NULL propagates, like the
+    SQL arithmetic an oracle would run, and sorts after real scores
+    under the descending rankings every consumer uses."""
     d = dot(a, b)
     na, nb = norm(a), norm(b)
-    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+    return (
+        F.when(a.isNull() | b.isNull() | (F.size(a) != F.size(b)), F.lit(None))
+        .when((na > 0) & (nb > 0), d / (na * nb))
+        .otherwise(F.lit(0.0))
+    )

@@ -332,18 +332,41 @@ def frequent_items(
     per_part = df.select(*keys).mapInPandas(
         _mg_partition_gen(keys, k), _mg_schema(df, keys)
     ).persist()
+    # The candidate union is <= k rows per input partition — small for
+    # any sane (support, partition-count) pairing, but it SCALES WITH
+    # PARTITIONS: at ~800k scan partitions and support=0.001 it could
+    # reach 10^8 rows, where collecting/broadcasting is itself the
+    # failure. Past the cap the sketch has lost its point, so fall back
+    # to the plain GROUP BY/HAVING plan — identical answer, one full
+    # shuffle, no driver round-trip.
+    max_candidates = 100_000
     try:
         cand_df = per_part.filter(F.col("weight") > 0).select(*keys).distinct()
-        cand_rows = cand_df.collect()  # bounded: <= k rows per input partition
+        cand_rows = cand_df.limit(max_candidates + 1).collect()
         n_total = per_part.agg(F.sum("part_rows").alias("__n")).collect()[0][0] or 0
     finally:
         per_part.unpersist()
+    threshold = F.lit(float(support)) * F.lit(n_total).cast("long")
+    if len(cand_rows) > max_candidates:
+        return (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= threshold)
+        )
     candidates = df.sparkSession.createDataFrame(cand_rows, cand_df.schema)
+    # eqNullSafe, not plain equality: NULL is a legitimate GROUP BY key
+    # (the classic empty-device-id hot key) and a NULL-keyed candidate
+    # must survive the recount semi-join, or the single heaviest item
+    # silently vanishes from the result.
+    cond = None
+    for key in keys:
+        clause = df[key].eqNullSafe(candidates[key])
+        cond = clause if cond is None else cond & clause
     return (
-        df.join(F.broadcast(candidates), keys, "left_semi")
+        df.join(F.broadcast(candidates), cond, "left_semi")
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= F.lit(float(support)) * F.lit(n_total).cast("long"))
+        .filter(F.col("cnt") >= threshold)
     )
 
 

@@ -36,7 +36,12 @@ def salted_aggregate(
     phase1_aggs, phase2_aggs = [], []
     for out, (col, fn) in aggs.items():
         if fn == "count":
-            phase1_aggs.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+            # SQL count semantics: count(col) skips the column's NULLs;
+            # pass "*" for row-count COUNT(*). The old form silently
+            # computed count(*) whatever column was named — breaking
+            # the claimed direct-groupBy equivalence on nullable input.
+            src = F.lit(1) if col == "*" else F.col(col)
+            phase1_aggs.append(F.count(src).alias(f"__p_{out}"))
             phase2_aggs.append(F.sum(f"__p_{out}").alias(out))
         elif fn == "sum":
             phase1_aggs.append(F.sum(col).alias(f"__p_{out}"))

@@ -164,18 +164,32 @@ def as_of_join(
         F.col(right_ts).alias("__rmt"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
+    # __tie keeps the tiebreak column's OWN type: casting to long would
+    # ANSI-crash on string tiebreaks and collapse distinct fractional
+    # values into ties (left rows carry a typed NULL — tie ordering
+    # only ever compares rows of the same side, __side sorts first).
+    tie_type = right.schema[tiebreak].dataType if tiebreak else "int"
     lhs = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast("long").alias("__tie"),
+        F.lit(None).cast(tie_type).alias("__tie"),
         F.struct(*left.columns).alias("__lrow"),
         F.lit(None).cast(
             right.select(rstruct_src.alias("__r")).schema["__r"].dataType
         ).alias("__rrow"),
     )
-    tie = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
-    rhs = right.select(
+    # Equi-join/ASOF NULL semantics (what the DuckDB oracle and pandas
+    # merge_asof do): a right row with a NULL key or NULL timestamp can
+    # never match anything — drop it here, or NULLS-FIRST ordering
+    # would hand it out as the "earliest" match of its partition. Left
+    # rows are NEVER dropped (left-join contract); NULL-ts left rows
+    # are null-masked after the pick below.
+    rhs_src = right.filter(F.col(right_ts).isNotNull())
+    for k in keys:
+        rhs_src = rhs_src.filter(F.col(k).isNotNull())
+    tie = F.col(tiebreak) if tiebreak else F.lit(0).cast(tie_type)
+    rhs = rhs_src.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__side"),
@@ -209,6 +223,16 @@ def as_of_join(
         picked = F.first("__rrow", ignorenulls=True).over(w).alias("__rrow")
     lefts = unioned.select("__side", "__ts", "__lrow", picked).filter(
         F.col("__side") == 0
+    )
+    # a NULL-ts left row satisfies no ASOF predicate: keep the row
+    # (left-join contract) but null the match — unmasked, NULLS-FIRST
+    # ordering would hand forward-mode NULL-ts rows the earliest right
+    # row of their key
+    lefts = lefts.select(
+        "__side",
+        "__ts",
+        "__lrow",
+        F.when(F.col("__ts").isNotNull(), F.col("__rrow")).alias("__rrow"),
     )
     if tolerance_seconds is not None:
         matched_ts = F.col("__rrow.__rmt")
@@ -276,13 +300,29 @@ def interval_join(
     pt = points.withColumn(
         "__bucket", F.floor(F.unix_micros(F.col(point_ts)) / usec).cast("long")
     )
+    b_start = F.floor(F.unix_micros(F.col(start_col)) / usec).cast("long")
+    b_end = F.floor(F.unix_micros(F.col(end_col)) / usec).cast("long")
+    # Fail fast on a pathological interval instead of letting one dirty
+    # row (an open-ended 9999-12-31 sentinel, an end in raw micros)
+    # explode into 10^8+ bucket elements — an array near the 2^31
+    # element limit or a multi-GB fan-out straggler that kills the
+    # whole join. 1e6 buckets (~19 years at the 600s default) is far
+    # beyond any legitimate interval; widen bucket_seconds for
+    # genuinely long intervals.
+    span_ok = F.assert_true(
+        (b_end - b_start) < F.lit(1_000_000),
+        F.lit(
+            "interval_join: an interval spans >= 1e6 buckets — dirty "
+            "open-ended row or bucket_seconds far too small for the "
+            "interval lengths; clean the interval or raise bucket_seconds"
+        ),
+    )
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / usec).cast("long"),
-                F.floor(F.unix_micros(F.col(end_col)) / usec).cast("long"),
-            )
+            # assert_true is NULL on pass, so coalesce keeps the check
+            # inside the used expression (survives column pruning)
+            F.coalesce(span_ok.cast("array<bigint>"), F.sequence(b_start, b_end))
         ),
     )
     cond = pt["__bucket"] == iv["__bucket"]

@@ -164,7 +164,16 @@ def global_rank(
     Determinism: ties on score are broken by ``tiebreak`` everywhere.
     Skew note: at most one bucket's rows sort together, so bucket width
     bounds the largest local sort; raise ``n_buckets`` for heavier
-    tails (cost of step 2 stays trivial).
+    tails (cost of step 2 stays trivial). CAVEAT — range bucketing can
+    never split EQUAL scores: a modal score value (40% of docs sharing
+    quality=0.5, or an all-equal column) lands that whole tie mass in
+    one bucket's sort regardless of ``n_buckets``, degrading toward
+    the single-task sort this operator exists to avoid (results stay
+    correct; the tie group's rows still sort by ``tiebreak`` within
+    one task — the local sort SPILLS rather than OOMs). For tie-heavy
+    score columns, rank on a higher-resolution score or a composite
+    (score, coarse-hash-of-tiebreak is NOT valid — it would break the
+    tiebreak total order).
     """
     bucketed = _score_buckets(df, score, ascending, n_buckets)
     counts = bucketed.groupBy("__gr_bucket").agg(F.count(F.lit(1)).alias("__gr_n"))

@@ -829,7 +829,7 @@ def event_type_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         {
-            "n_events": ("value", "count"),
+            "n_events": ("*", "count"),  # COUNT(*) — matches the oracle
             "scaled_total": ("v_cents", "sum"),
             "max_cents": ("v_cents", "max"),
         },

@@ -155,3 +155,64 @@ def test_asof_null_field_on_matched_row_stays_null(spark):
     ).collect()[0]
     assert row["right_rid"] == 102          # matched the nearest row...
     assert row["right_payload"] is None     # ...and kept ITS null, not 'old-value'
+
+
+def test_asof_null_timestamps_and_keys_never_match(spark):
+    """ASOF/equi-join NULL semantics (r5 review fix): a NULL right
+    timestamp or NULL key matches nothing; a NULL-ts left row is kept
+    null-padded (left-join contract) in BOTH directions — previously
+    NULLS-FIRST ordering handed such rows spurious matches."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:10:00")),
+            (2, 10, None),          # NULL left ts: kept, never matched
+            (3, None, _ts("2024-01-01T00:10:00")),  # NULL key: kept, never matched
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, None, "null-ts"),          # can never match
+            (102, None, _ts("2024-01-01T00:00:00"), "null-key"),  # can never match
+            (103, 10, _ts("2024-01-01T00:05:00"), "real"),
+        ],
+        "rid int, user_id int, ts timestamp, payload string",
+    )
+    for direction in ("backward", "forward"):
+        rows = {
+            r["event_id"]: r
+            for r in as_of_join(
+                left, right, keys=["user_id"], right_cols=["rid", "payload"],
+                direction=direction,
+            ).collect()
+        }
+        assert set(rows) == {1, 2, 3}  # every left row survives
+        assert rows[2]["right_rid"] is None, direction
+        assert rows[3]["right_rid"] is None, direction
+    back = {
+        r["event_id"]: r
+        for r in as_of_join(
+            left, right, keys=["user_id"], right_cols=["rid", "payload"]
+        ).collect()
+    }
+    assert back[1]["right_rid"] == 103  # the real row, not the NULL-ts one
+
+
+def test_asof_string_tiebreak_no_ansi_crash(spark):
+    """The tiebreak column keeps its own type: the old cast-to-long
+    ANSI-crashed on string tiebreaks and truncated fractional ones."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T00:10:00"))], "event_id int, user_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T00:05:00"), "uuid-aaa", "first"),
+            (10, _ts("2024-01-01T00:05:00"), "uuid-zzz", "second"),
+        ],
+        "user_id int, ts timestamp, rid string, payload string",
+    )
+    row = as_of_join(
+        left, right, keys=["user_id"], right_cols=["rid", "payload"], tiebreak="rid"
+    ).collect()[0]
+    # backward: largest tiebreak among equal-ts rows wins the carry
+    assert row["right_rid"] == "uuid-zzz"

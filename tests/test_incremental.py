@@ -173,6 +173,18 @@ def test_frequent_items_boundary_and_validation(spark):
         inc.frequent_items(df, ["k"], support=0.0)
 
 
+def test_frequent_items_reports_null_keyed_heavy_hitter(spark):
+    """NULL is a legitimate GROUP BY key (empty device id): the recount
+    semi-join must match it null-safely, or the heaviest item silently
+    vanishes (r5 review finding — plain equality never matches NULL)."""
+    from pubg_data_pipeline_spark.operators import incremental as inc
+
+    rows = [(None,)] * 12 + [("a",)] * 5 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    got = {(r["k"], r["cnt"]) for r in inc.frequent_items(df, ["k"], support=0.25).collect()}
+    assert got == {(None, 12), ("a", 5)}  # NULL group present, exact counts
+
+
 def test_frequent_items_leaves_no_cached_rdds(spark):
     """The sketch pass persist must be released inside the call — a
     leaked cache accumulates for the process lifetime when the query is
