@@ -268,7 +268,13 @@ def user_value_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_rows(v: pd.Series) -> int:
         return len(v)
 
-    events = load_table(spark, sf_dir, "events")
+    # The geometric mean is defined over POSITIVE values only: both
+    # sides filter value > 0 — unguarded, value=0 rows (present at
+    # sf0.1) crash the DuckDB oracle on LN(0) while the numpy UDF
+    # returns 0.0, and NEGATIVE values were silently dropped by
+    # pandas' NaN-skipping mean. n_events counts the positive subset,
+    # so the reported mean and its support stay consistent.
+    events = load_table(spark, sf_dir, "events").filter(F.col("value") > 0.0)
     return events.groupBy("user_id").agg(
         n_rows("value").alias("n_events"),
         F.round(gmean("value"), 4).alias("gmean_value"),
@@ -278,7 +284,7 @@ def user_value_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GMEAN_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
        ROUND(EXP(AVG(LN(value))), 4) AS gmean_value
-FROM events GROUP BY user_id
+FROM events WHERE value > 0.0 GROUP BY user_id
 """
 
 

@@ -175,26 +175,48 @@ def user_recent_value_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sum over the slice (the ArrayType handling the reference
     only touches via match_ids/size — SURVEY.md §2.3 J3)."""
     ev = load_table(spark, sf_dir, "events")
-    # structs sort lexicographically: (ts, event_id) gives event order
-    collected = ev.groupBy("user_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), exact_scaled(F.col("value")).alias("cents")))
-        ).alias("hist")
+    # Bounded per-group state: rank each user's events newest-first
+    # with a window (sort-based, SPILLS on a hot user) and collect only
+    # the rank<=3 survivors — collect_list over the FULL history would
+    # hold a hot user's millions of events in one non-spilling
+    # aggregation buffer just to slice 3. n_events rides the same
+    # window as count over the partition.
+    w_all = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
     )
-    last3 = F.slice(F.reverse(F.col("hist")), 1, 3)
-    return collected.select(
-        "user_id",
-        F.size("hist").alias("n_events"),
-        F.element_at(last3, 1)["event_id"].alias("latest_event_id"),
-        F.round(
-            F.aggregate(
-                F.transform(last3, lambda s: s["cents"]),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            / 100.0,
-            2,
-        ).alias("last3_value"),
+    top3 = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            exact_scaled(F.col("value")).alias("cents"),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__r", F.row_number().over(w_ord))
+        .filter(F.col("__r") <= 3)
+    )
+    # structs sort lexicographically: (ts, event_id) DESC == reverse order
+    last3 = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "cents")), asc=False
+    )
+    return (
+        top3.groupBy("user_id", F.col("__n").alias("n_events"))
+        .agg(last3.alias("last3"))
+        .select(
+            "user_id",
+            F.col("n_events").cast("int").alias("n_events"),
+            F.element_at("last3", 1)["event_id"].alias("latest_event_id"),
+            F.round(
+                F.aggregate(
+                    F.transform("last3", lambda s: s["cents"]),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                / 100.0,
+                2,
+            ).alias("last3_value"),
+        )
     )
 
 
@@ -317,16 +339,41 @@ def value_k_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "k", F.get_json_object("props", "$.k").cast("int")
     )
+    # Decomposed, GUARDED forms instead of F.corr/F.covar_samp: under
+    # ANSI mode Spark's corr THROWS DIVIDE_BY_ZERO on a zero-variance
+    # or single-row group (verified live) while DuckDB's corr returns
+    # NULL — the guards reproduce the SQL NULL contract. Pairwise-
+    # complete semantics (rows where either side is NULL are skipped)
+    # match both engines' built-ins.
+    both = F.col("value").isNotNull() & F.col("k").isNotNull()
+    x = F.when(both, F.col("value").cast("double"))
+    y = F.when(both, F.col("k").cast("double"))
     agged = ev.groupBy("event_type").agg(
-        F.corr("value", "k").alias("c"),
-        F.covar_samp("value", "k").alias("cv"),
         F.count(F.lit(1)).alias("n"),
+        F.count(x).alias("__np"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    np_ = F.col("__np").cast("double")
+    varx = np_ * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = np_ * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    corr = F.when(
+        (F.col("__np") > 1) & (varx > 0) & (vary > 0),
+        (np_ * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        / (F.sqrt(varx) * F.sqrt(vary)),
+    )
+    covar = F.when(
+        F.col("__np") > 1,
+        (F.col("__sxy") - F.col("__sx") * F.col("__sy") / np_) / (np_ - 1),
     )
     return agged.select(
         "event_type",
         "n",
-        F.round("c", 4).alias("corr_value_k"),
-        F.round("cv", 2).alias("covar_value_k"),
+        F.round(corr, 4).alias("corr_value_k"),
+        F.round(covar, 2).alias("covar_value_k"),
     )
 
 

@@ -243,7 +243,11 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    df = emb.withColumn("maxabs", F.array_max(F.transform("v", F.abs)))
+    # an all-zero vector has no quantization scale: 0.0/0.0 ANSI-throws
+    # on Spark and NULL-cascades on DuckDB — filter it on both sides
+    df = emb.withColumn("maxabs", F.array_max(F.transform("v", F.abs))).filter(
+        F.col("maxabs") > 0.0
+    )
     df = df.withColumn(
         "q",
         F.transform(
@@ -274,10 +278,12 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), m AS (
   SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e
+), mf AS (
+  SELECT * FROM m WHERE maxabs > 0.0
 ), q AS (
   SELECT vec_id, v, maxabs,
          list_transform(v, x -> CAST(ROUND(x * 127.0 / maxabs, 0) AS INT)) AS qv
-  FROM m
+  FROM mf
 )
 SELECT vec_id,
        ROUND(maxabs, 6) AS max_abs,
@@ -289,13 +295,13 @@ FROM q
 """
 
 
-def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid (elementwise mean) and mean member distance
-    to it — the cluster-quality diagnostic behind IVF cell training
-    (operators/similarity.py). posexplode → two grouped aggregations;
-    shuffles on (label, pos) then (label, vec_id), both well below
-    shuffle-partition granularity at any scale since dimensionality is
-    fixed (64)."""
+def _label_centroid_frames(spark: SparkSession, sf_dir: str):
+    """Shared per-label centroid pipeline (posexplode -> per-(label,
+    pos) mean -> per-vector squared distance) — the ONE definition both
+    embedding_centroid_distance and embedding_outlier_docs rank by, so
+    a guard or formula change cannot drift between the diagnostic and
+    its triage view. Returns (exploded, cent, d2) where d2 is the
+    UNROUNDED per-(label, vec_id) squared distance."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label",
@@ -303,11 +309,22 @@ def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
     cent = e.groupBy("label", "pos").agg(F.avg("x").alias("c"))
-    dist = (
+    d2 = (
         e.join(cent, ["label", "pos"])
         .groupBy("label", "vec_id")
         .agg(F.sum(F.pow(F.col("x") - F.col("c"), F.lit(2.0))).alias("d2"))
     )
+    return e, cent, d2
+
+
+def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean) and mean member distance
+    to it — the cluster-quality diagnostic behind IVF cell training
+    (operators/similarity.py). posexplode → two grouped aggregations;
+    shuffles on (label, pos) then (label, vec_id), both well below
+    shuffle-partition granularity at any scale since dimensionality is
+    fixed (64)."""
+    _, cent, dist = _label_centroid_frames(spark, sf_dir)
     per_label = dist.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg(F.sqrt("d2")), 4).alias("mean_dist"),
@@ -356,21 +373,11 @@ def embedding_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping. Ordering is on the ROUNDED distance with a vec_id
     tie-break (plans/base.py determinism rules); the 20-row result
     broadcasts into the documents join."""
-    emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "source", "lang", "n_chars"
     )
-    e = emb.select(
-        "label",
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
-    )
-    cent = e.groupBy("label", "pos").agg(F.avg("x").alias("c"))
-    dist = (
-        e.join(cent, ["label", "pos"])
-        .groupBy("label", "vec_id")
-        .agg(F.round(F.sqrt(F.sum(F.pow(F.col("x") - F.col("c"), F.lit(2.0)))), 4).alias("dist"))
-    )
+    _, _, d2 = _label_centroid_frames(spark, sf_dir)
+    dist = d2.select("label", "vec_id", F.round(F.sqrt("d2"), 4).alias("dist"))
     top = dist.orderBy(F.col("dist").desc(), F.col("vec_id").asc()).limit(20)
     # broadcast the 20-row TOP side into the (big) documents table —
     # never the other way around
@@ -424,7 +431,11 @@ _HIST_QUANTILES_SQL = """
 WITH h AS (
   SELECT LEAST(49, GREATEST(0, CAST(FLOOR((value - 0.0) / 10.0) AS INT))) AS bin,
          COUNT(*) AS n
-  FROM events GROUP BY 1
+  FROM events
+  -- mirror partial_value_histogram's exclusion: GREATEST(0, NULL) is 0
+  -- in DuckDB (NULL would land in bin 0), and CAST(NaN AS INT) throws
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
 ), c AS (
   SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum FROM h
 ), t AS (
@@ -807,7 +818,16 @@ def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bounds frame is |event_type| rows → broadcast back
     onto the fact scan; clip + sum is one map-side-combined groupBy.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # NULL/NaN values are MISSING, not clippable: greatest/least skip
+    # NULL args on BOTH engines (NULL would silently become p05) and
+    # NaN sorts greatest on both (silently p95) — the same trap
+    # partial_value_histogram guards; textbook winsorization excludes
+    # missing values from n and the mean.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
     pct = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.05)), 4).alias("p05"),
         F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
@@ -827,15 +847,18 @@ def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINSORIZED_SQL = f"""
-WITH pct AS (
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), pct AS (
   SELECT event_type,
          ROUND(quantile_cont(value, 0.05), 4) AS p05,
          ROUND(quantile_cont(value, 0.95), 4) AS p95
-  FROM events GROUP BY event_type
+  FROM ev GROUP BY event_type
 ), c AS (
   SELECT e.event_type, p05, p95,
          {sql_scaled('LEAST(GREATEST(value, p05), p95)', 4)} AS ws
-  FROM events e JOIN pct USING (event_type)
+  FROM ev e JOIN pct USING (event_type)
 )
 SELECT event_type, COUNT(*) AS n_events,
        MIN(p05) AS p05, MIN(p95) AS p95,
@@ -946,8 +969,12 @@ def order_price_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = o.select(
         "o_orderkey", "cents", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r")
     )
+    # reduce the key mod p BEFORE multiplying: (k % p) * (A % p) stays
+    # under 2^40, while k * A overflows int64 (ANSI-fatal on BOTH
+    # engines) once the key passes ~3.5e9 — reached far below the
+    # 100 TB framing. Same residues mod p, so identical weights.
     m = (
-        F.col("o_orderkey").cast("long") * F.lit(2654435761)
+        F.pmod(F.col("o_orderkey").cast("long"), F.lit(1000003)) * F.lit(427799)
         + F.col("r").cast("long") * F.lit(40503)
         + F.lit(9973)
     ) % F.lit(1000003)
@@ -995,7 +1022,7 @@ WITH o AS (
            ELSE 6
          END AS w
   FROM o CROSS JOIN generate_series(0, 31) r(r),
-  LATERAL (SELECT ((o.o_orderkey * 2654435761 + r.r * 40503 + 9973) % 1000003)
+  LATERAL (SELECT (((o.o_orderkey % 1000003) * 427799 + r.r * 40503 + 9973) % 1000003)
                   / 1000003.0 AS u) t
 ), means AS (
   SELECT r, ROUND(SUM(w * cents) * 1.0 / SUM(w) / 100.0, 4) AS mean_price
@@ -1017,8 +1044,8 @@ FROM pt, (SELECT mean_price FROM ranked WHERE rn = 2) lo,
 def ab_cuped_adjusted_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 —
     the standard large-scale experimentation technique): per-user
-    pre-period value (days 1-15) is the covariate x, post-period value
-    (days 16+) the metric y; theta = cov(x, y) / var(x) is estimated
+    pre-period value (before the fixed 2024-01-16 experiment start)
+    is the covariate x, post-period value the metric y; theta = cov(x, y) / var(x) is estimated
     on the pooled population and each variant (user_id parity) reports
     both the raw mean and the CUPED-adjusted mean
     ``mean(y) - theta * (mean_v(x) - mean(x))``.
@@ -1039,10 +1066,16 @@ def ab_cuped_adjusted_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         (F.col("user_id") % 2).cast("int").alias("variant"),
-        F.when(F.dayofmonth("ts") <= 15, exact_scaled(F.col("value")))
+        # the experiment boundary is a fixed DATE, not day-of-month:
+        # dayofmonth(ts) <= 15 only means "pre-period" while the data
+        # spans one calendar month — on multi-month data it would leak
+        # post-treatment observations (days 1-15 of every later month)
+        # into the covariate, biasing theta (CUPED requires x to be
+        # unaffected by treatment).
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), exact_scaled(F.col("value")))
         .otherwise(F.lit(0))
         .alias("__x"),
-        F.when(F.dayofmonth("ts") > 15, exact_scaled(F.col("value")))
+        F.when(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), exact_scaled(F.col("value")))
         .otherwise(F.lit(0))
         .alias("__y"),
     )
@@ -1088,8 +1121,8 @@ def ab_cuped_adjusted_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUPED_SQL = f"""
 WITH per_user AS (
   SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
-         SUM(CASE WHEN day(ts) <= 15 THEN {sql_scaled('value', 2)} ELSE 0 END) AS x,
-         SUM(CASE WHEN day(ts) > 15 THEN {sql_scaled('value', 2)} ELSE 0 END) AS y
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN {sql_scaled('value', 2)} ELSE 0 END) AS x,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN {sql_scaled('value', 2)} ELSE 0 END) AS y
   FROM events GROUP BY 1, 2
 ), g AS (
   SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
