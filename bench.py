@@ -152,6 +152,14 @@ HEADLINE = [
     "retrieval_eval_bm25",
     "quality_rater_agreement",
     "quality_token_budget_sample",
+    "daily_spine_rcte",
+    "event_bitwise_bool_aggs",
+    "ab_welch_ttest",
+    "event_hour_chi2",
+    "preference_pairs",
+    "session_incident_overlap",
+    "events_t_closeness",
+    "user_value_gini",
 ]
 
 

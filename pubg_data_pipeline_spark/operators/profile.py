@@ -219,3 +219,54 @@ def l_diversity_report(
         F.countDistinct(sensitive_col).alias("n_sensitive_values"),
         (F.countDistinct(sensitive_col) >= l).alias("l_diverse"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame, quasi_cols: Sequence[str], sensitive_col: str, t: float
+) -> DataFrame:
+    """Per-quasi-group t-closeness audit — the third leg of the release
+    gate after k-anonymity (size) and l-diversity (distinct count): a
+    group can be large and diverse yet still leak if its sensitive-value
+    DISTRIBUTION deviates from the corpus-wide one (skewness attack —
+    e.g. one day's releases being 90% 'error' reveals that day's users
+    were error-prone). Distance is total variation
+    ``0.5 * sum_v |p_group(v) - p_global(v)|`` — the t-closeness
+    paper's metric for unordered categorical attributes.
+
+    Plan: one (quasi..., sensitive) cell aggregate; group totals via a
+    window over the cell table (no re-scan); the |sensitive|-row global
+    distribution broadcast back. Missing values in a group contribute
+    their global mass to the distance via the identity
+    ``sum_{v in group} (|p-q| + q) - 1`` = TVD*2 adjusted below, so no
+    dense group x value expansion is materialized."""
+    from pyspark.sql import Window
+
+    if not 0 < t <= 1:
+        raise ValueError("t must be in (0, 1]")
+    cell = df.groupBy(*list(quasi_cols), sensitive_col).agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    wq = Window.partitionBy(*list(quasi_cols))
+    cell = cell.withColumn("group_size", F.sum("o").over(wq))
+    glob = (
+        df.groupBy(sensitive_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("g"))
+        .crossJoin(df.groupBy().agg(F.count(F.lit(1)).cast("double").alias("tot")))
+        .select(sensitive_col, (F.col("g") / F.col("tot")).alias("q"))
+    )
+    joined = cell.join(F.broadcast(glob), sensitive_col)
+    # Values absent from the group contribute q_v each to sum|p-q|;
+    # total absent mass = 1 - sum(present q), folded in without ever
+    # materializing the absent cells.
+    per_group = joined.groupBy(*list(quasi_cols)).agg(
+        F.first("group_size").cast("long").alias("group_size"),
+        F.sum(F.abs(F.col("o") / F.col("group_size") - F.col("q"))).alias("present_dist"),
+        F.sum("q").alias("present_q"),
+    )
+    tvd = 0.5 * (F.col("present_dist") + (1.0 - F.col("present_q")))
+    return per_group.select(
+        *list(quasi_cols),
+        "group_size",
+        F.round(tvd, 4).alias("tvd"),
+        (F.round(tvd, 4) <= t).alias("t_close"),
+    )

@@ -341,6 +341,81 @@ def interval_join(
     return out
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    keys: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner join of two INTERVAL tables on closed-interval overlap
+    (``left_start <= right_end AND right_start <= left_end``),
+    optionally also on equality ``keys`` — the interval-interval
+    generalization of :func:`interval_join` (point-in-interval).
+    Without an equi component Catalyst can only plan a nested-loop
+    join; this keeps the banding strategy.
+
+    Both sides explode to the ``bucket_seconds`` buckets they cover,
+    so a pair sharing k buckets would naively surface k times. The
+    dedup-free trick: overlap of closed intervals implies the later
+    start ``max(left_start, right_start)`` lies inside BOTH intervals,
+    hence its bucket is covered by both sides exactly once — so the
+    join keeps only the candidate where the shared bucket equals that
+    max-start bucket, emitting every qualifying pair EXACTLY once with
+    no distinct pass. (Same exactly-once argument as interval_join's
+    single point bucket, shifted to the pair's max start.)
+
+    Scale: shuffle partitions by (keys..., bucket); per-row fan-out is
+    ``len/bucket_seconds + 1`` — pick bucket_seconds near the typical
+    interval length. The 1e6-bucket fail-fast from interval_join
+    applies to each side (dirty open-ended intervals die loudly, not
+    as a multi-GB straggler). Column names of the two sides must be
+    disjoint (pre-alias if both derive from one table)."""
+    keys = list(keys)
+    usec = bucket_seconds * 1_000_000
+
+    def _banded(df: DataFrame, start_col: str, end_col: str, side: str) -> DataFrame:
+        b_start = F.floor(F.unix_micros(F.col(start_col)) / usec).cast("long")
+        b_end = F.floor(F.unix_micros(F.col(end_col)) / usec).cast("long")
+        span_ok = F.assert_true(
+            (b_end - b_start) < F.lit(1_000_000),
+            F.lit(
+                f"interval_overlap_join: a {side} interval spans >= 1e6 "
+                "buckets — dirty open-ended row or bucket_seconds far too "
+                "small; clean the interval or raise bucket_seconds"
+            ),
+        )
+        return df.withColumn(
+            "__bucket",
+            F.explode(F.coalesce(span_ok.cast("array<bigint>"), F.sequence(b_start, b_end))),
+        )
+
+    lt = _banded(left, left_start, left_end, "left")
+    rt = _banded(right, right_start, right_end, "right")
+    cond = lt["__bucket"] == rt["__bucket"]
+    for k in keys:
+        cond = cond & (lt[k] == rt[k])
+    max_start = F.greatest(
+        F.unix_micros(lt[left_start]), F.unix_micros(rt[right_start])
+    )
+    cond = (
+        cond
+        & (lt[left_start] <= rt[right_end])
+        & (rt[right_start] <= lt[left_end])
+        # exactly-once: keep only the shared bucket that contains the
+        # pair's later start
+        & (lt["__bucket"] == F.floor(max_start / usec).cast("long"))
+    )
+    joined = lt.join(rt, cond)
+    out = joined.drop(lt["__bucket"]).drop(rt["__bucket"])
+    for k in keys:
+        out = out.drop(rt[k])
+    return out
+
+
 def ewma(
     df: DataFrame,
     keys: Sequence[str],

@@ -27,7 +27,7 @@ to 4dp (see plans/base.py determinism rules).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubg_data_pipeline_spark.plans.base import QuerySpec, exact_scaled, sql_scaled
@@ -750,8 +750,168 @@ FROM seq WHERE cum <= 64
 """
 
 
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF/DPO preference-pair assembly: for every user with >= 2
+    purchase events, emit (chosen, rejected) = (highest-value,
+    lowest-value) purchase with the preference margin — the standard
+    reward-model / DPO training-pair shape, next to the SFT
+    conversation assembly (user_conversation_examples). One aggregation
+    per user via max_by/min_by over a composite ordering struct (no
+    self-join, no window): ties on value break to the SMALLEST event_id
+    on the chosen side and the LARGEST on the rejected side, so a user
+    whose purchases all tie still yields two distinct events. Scales as
+    a plain hash aggregate; margin is derived from per-row-rounded
+    values (exact double max/min, no agg-order noise)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select("user_id", "event_id", F.round("value", 2).alias("v"))
+    best = F.struct(F.col("v"), (-F.col("event_id")).alias("tb"))
+    worst = F.struct(F.col("v"), (-F.col("event_id")).alias("tb"))
+    agged = p.groupBy("user_id").agg(
+        F.max_by("event_id", best).alias("chosen_event_id"),
+        F.min_by("event_id", worst).alias("rejected_event_id"),
+        F.max("v").alias("v_max"),
+        F.min("v").alias("v_min"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        agged.where(F.col("n") >= 2)
+        .select(
+            "user_id",
+            "chosen_event_id",
+            "rejected_event_id",
+            F.round(F.col("v_max") - F.col("v_min"), 2).alias("margin"),
+        )
+    )
+
+
+# Oracle pins the same tie-break through two ROW_NUMBER orderings
+# (value DESC, event_id ASC for chosen; value ASC, event_id DESC for
+# rejected — identical to max_by/min_by over (v, -event_id)).
+_PREFERENCE_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ROUND(value, 2) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ROUND(value, 2) DESC, event_id ASC) AS rb,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ROUND(value, 2) ASC, event_id DESC) AS rw,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT b.user_id, b.event_id AS chosen_event_id, w.event_id AS rejected_event_id,
+       ROUND(b.v - w.v, 2) AS margin
+FROM p b JOIN p w ON b.user_id = w.user_id AND b.rb = 1 AND w.rw = 1
+WHERE b.n >= 2
+"""
+
+
+def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user total value within each
+    event_type — the inequality readout behind "do 1% of users drive
+    90% of revenue?" (and, on a corpus, "do 1% of domains dominate the
+    token mix?" — same operator over documents.source).
+
+    Scale design: the rank-sum formula
+    ``G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n`` needs a total order PER
+    GROUP, and a bare window partitioned only by event_type funnels
+    each type's full user set through one task. This uses the same
+    two-phase decomposition as operators/windows.global_rank,
+    generalized per group: range-bucket x within each type (per-type
+    min/max is a |types|-row broadcast), rank locally per
+    (type, bucket), and lift to the global rank contribution via
+    exclusive bucket offsets — ``sum_global(i*x) = sum_b(local_s1 +
+    offset_b * sum_b(x))``. Every sum is exact integer cents, so the
+    only float op is the final division (deterministic); the oracle
+    computes the same statistic through a plain rank window —
+    independent mechanisms, same math."""
+    ev = load_table(spark, sf_dir, "events")
+    peruser = (
+        ev.where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(exact_scaled(F.col("value"))).alias("x"))
+    )
+    n_buckets = 32
+    rng = peruser.groupBy("event_type").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    bucketed = peruser.join(F.broadcast(rng), "event_type").withColumn(
+        "bkt",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1)).otherwise(
+            F.least(
+                F.lit(n_buckets),
+                (
+                    F.floor(
+                        (F.col("x") - F.col("mn"))
+                        * n_buckets
+                        / (F.col("mx") - F.col("mn") + 1)
+                    )
+                    + 1
+                ).cast("int"),
+            )
+        ),
+    )
+    stats = bucketed.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("x").alias("sx")
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offsets = stats.withColumn("off", F.sum("n_b").over(w_off) - F.col("n_b"))
+    w_local = Window.partitionBy("event_type", "bkt").orderBy(
+        F.col("x").asc(), F.col("user_id").asc()
+    )
+    per_bucket = (
+        bucketed.withColumn("i", F.row_number().over(w_local))
+        .groupBy("event_type", "bkt")
+        .agg(F.sum(F.col("i") * F.col("x")).alias("s1"))
+    )
+    per_type = (
+        per_bucket.join(F.broadcast(offsets), ["event_type", "bkt"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("s1") + F.col("off") * F.col("sx")).alias("s"),
+            F.sum("n_b").alias("n_users"),
+            F.sum("sx").alias("t"),
+        )
+    )
+    gini = F.when(
+        (F.col("t") > 0) & (F.col("n_users") > 0),
+        F.round(
+            2.0 * F.col("s") / (F.col("n_users") * F.col("t"))
+            - (F.col("n_users") + 1.0) / F.col("n_users"),
+            6,
+        ),
+    )
+    return per_type.select("event_type", "n_users", gini.alias("gini"))
+
+
+_GINI_SQL = f"""
+WITH pu AS (
+  SELECT event_type, user_id, SUM({sql_scaled('value', 2)}) AS x
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY event_type, user_id
+), r AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+  FROM pu
+)
+SELECT event_type, COUNT(*) AS n_users,
+       CASE WHEN SUM(x) > 0 AND COUNT(*) > 0
+            THEN ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+                       - (COUNT(*) + 1.0) / COUNT(*), 6)
+       END AS gini
+FROM r GROUP BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("rfm_segments", rfm_segments, _RFM_SQL, ("behavior", "agg", "window")),
+    QuerySpec(
+        "preference_pairs", preference_pairs, _PREFERENCE_SQL, ("behavior", "llm", "curation")
+    ),
+    QuerySpec("user_value_gini", user_value_gini, _GINI_SQL, ("behavior", "stats", "window")),
     QuerySpec(
         "user_conversation_examples",
         user_conversation_examples,

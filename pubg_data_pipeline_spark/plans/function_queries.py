@@ -464,8 +464,43 @@ FROM wide UNPIVOT (total FOR measure IN (qty, price, discount))
 """
 
 
+def event_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_`` expression family: under the engine's default
+    ANSI mode a divide-by-zero or bad cast kills the whole job, so the
+    production-safe form for dirty data is ``try_divide``/``try_cast``
+    (NULL on failure, row survives). Exercised against the JSON
+    ``props.k`` payload where ``k - 50`` legitimately hits zero. The
+    per-row double division is IEEE-deterministic cross-engine, so the
+    quotient needs no rounding; only the dividend is pre-rounded to
+    pin the parquet double."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .where(F.col("k").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.try_divide(F.round("value", 2), F.col("k") - 50).alias("per_unit"),
+            F.expr("TRY_CAST(event_type AS INT)").alias("bad_parse"),
+        )
+    )
+
+
+# DuckDB has no try_divide; CASE WHEN denominator = 0 is the exact
+# NULL-on-zero semantics. TRY_CAST covers the parse leg.
+_TRY_SQL = r"""
+SELECT event_id,
+       CASE WHEN k - 50 = 0 THEN NULL ELSE ROUND(value, 2) / (k - 50) END AS per_unit,
+       TRY_CAST(event_type AS INT) AS bad_parse
+FROM (SELECT event_id, value, event_type,
+             TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k FROM events) t
+WHERE k IS NOT NULL AND value IS NOT NULL
+"""
+
+
 SPECS = [
     QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_SQL, ("reshape",)),
+    QuerySpec("event_try_arithmetic", event_try_arithmetic, _TRY_SQL, ("expr", "types")),
     QuerySpec("props_variant_extract", props_variant_extract, _VARIANT_SQL, ("semi", "types")),
     QuerySpec("top2_orders_lateral", top2_orders_lateral, _LATERAL_SQL, ("sql", "window")),
     QuerySpec("lineitem_measures_unpivot", lineitem_measures_unpivot, _UNPIVOT_SQL, ("reshape",)),

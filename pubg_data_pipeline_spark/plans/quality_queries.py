@@ -306,7 +306,53 @@ FROM per_feed, wm
 """
 
 
+def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/profile.t_closeness_report) —
+    completes the privacy release gate after events_k_anonymous (group
+    size) and events_l_diversity (distinct sensitive values): each
+    day's event_type distribution must stay within total-variation
+    distance 0.2 of the corpus-wide distribution, or the day leaks a
+    skewness signal even though it is large and diverse. NULL
+    sensitive values are excluded up front (both engines would
+    otherwise drop them asymmetrically at the join)."""
+    from pubg_data_pipeline_spark.operators import profile as prof
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "event_type")
+    )
+    return prof.t_closeness_report(ev, ["event_date"], "event_type", t=0.2)
+
+
+_T_CLOSENESS_SQL = """
+WITH base AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type
+  FROM events WHERE event_type IS NOT NULL
+), cell AS (
+  SELECT event_date, event_type, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM base GROUP BY event_date, event_type
+), w AS (
+  SELECT event_date, event_type, o,
+         SUM(o) OVER (PARTITION BY event_date) AS gs
+  FROM cell
+), g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM base) AS q
+  FROM base GROUP BY event_type
+)
+SELECT event_date, CAST(MAX(gs) AS BIGINT) AS group_size,
+       ROUND(0.5 * (SUM(ABS(o / gs - q)) + (1.0 - SUM(q))), 4) AS tvd,
+       ROUND(0.5 * (SUM(ABS(o / gs - q)) + (1.0 - SUM(q))), 4) <= 0.2 AS t_close
+FROM w JOIN g USING (event_type)
+GROUP BY event_date
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "events_t_closeness", events_t_closeness, _T_CLOSENESS_SQL, ("quality", "privacy")
+    ),
     QuerySpec(
         "event_value_psi_drift", event_value_psi_drift, _VALUE_PSI_SQL, ("quality", "stats", "drift")
     ),

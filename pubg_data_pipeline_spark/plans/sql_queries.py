@@ -84,6 +84,118 @@ def top_spenders_per_segment_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, ("customer", "orders"), _CTE_SQL)
 
 
+# Recursive CTE #1 — generator shape (single-row growth): a daily date
+# spine anchored on the data's own min/max, left-joined to per-day
+# counts so gap days surface as explicit zeros. Spark 4 recursive CTEs
+# (UnionLoopExec) default to a 100-iteration cap; the Spark text raises
+# it via MAX RECURSION LEVEL so a legitimately longer retention window
+# (up to ~13 months of days) still plans, while a dirty far-future row
+# fails fast at the cap instead of looping for years. The oracle is the
+# same query in DuckDB's dialect (strftime / no level clause).
+_SPINE_RCTE_SPARK = """
+WITH RECURSIVE spine(d) MAX RECURSION LEVEL 400 AS (
+  SELECT DATE_TRUNC('DAY', (SELECT MIN(ts) FROM events))
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM spine
+  WHERE d + INTERVAL 1 DAY <= (SELECT DATE_TRUNC('DAY', MAX(ts)) FROM events)
+),
+daily AS (
+  SELECT DATE_TRUNC('DAY', ts) AS d, COUNT(*) AS n
+  FROM events GROUP BY DATE_TRUNC('DAY', ts)
+)
+SELECT date_format(spine.d, 'yyyy-MM-dd') AS day, COALESCE(daily.n, 0) AS n_events
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+"""
+
+_SPINE_RCTE_ORACLE = """
+WITH RECURSIVE spine(d) AS (
+  SELECT DATE_TRUNC('DAY', (SELECT MIN(ts) FROM events))
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM spine
+  WHERE d + INTERVAL 1 DAY <= (SELECT DATE_TRUNC('DAY', MAX(ts)) FROM events)
+),
+daily AS (
+  SELECT DATE_TRUNC('DAY', ts) AS d, COUNT(*) AS n
+  FROM events GROUP BY DATE_TRUNC('DAY', ts)
+)
+SELECT strftime(spine.d, '%Y-%m-%d') AS day, COALESCE(daily.n, 0) AS n_events
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+"""
+
+
+def daily_spine_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date spine via Spark 4's recursive CTE (SPARK-24497): the
+    iterative twin of the ``sequence()``-based ``time_spine``
+    (operators/timeseries.py) — same zero-filled output, different
+    engine mechanism (UnionLoopExec batch iteration vs one array
+    explode). The sequence() form is the production path at scale
+    (one job, no per-iteration scheduling); this pins the SQL-dialect
+    feature itself cross-engine."""
+    return _sql(spark, sf_dir, ("events",), _SPINE_RCTE_SPARK)
+
+
+# Recursive CTE #2 — set-growth shape (graph traversal): BFS over the
+# observed event-type transition graph (distinct consecutive pairs per
+# user), min-hop distance from 'signup' bounded to 2 hops. The depth
+# bound makes termination data-independent; dedup-to-min happens in the
+# final aggregate, exactly how the CC operator's oracle works
+# (plans/graph_queries.py), so this also cross-checks the recursive
+# dialect path end-to-end. Identical text runs on both engines.
+_REACH_RCTE_SQL = """
+WITH RECURSIVE reach(node, hops) AS (
+  SELECT CAST('signup' AS VARCHAR(10)) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN (
+    SELECT DISTINCT src, dst FROM (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ) t WHERE dst IS NOT NULL AND dst <> src
+  ) e ON e.src = r.node
+  WHERE r.hops < 2
+)
+SELECT node, MIN(hops) AS min_hops FROM reach GROUP BY node
+"""
+
+
+def event_type_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS reachability through a recursive CTE — the
+    set-growth recursion shape (frontier join per iteration). For
+    unbounded-depth closure at 100 TB the pointer-jumping operator
+    (operators/graph.py:connected_components, O(log d) rounds) is the
+    scale path; a linear-depth recursive join is the right tool only
+    for small bounded depths like this 2-hop probe."""
+    return _sql(spark, sf_dir, ("events",), _REACH_RCTE_SQL)
+
+
+# Bitwise / boolean aggregate family — BOOL_AND/BOOL_OR (ANSI
+# every/any), BIT_AND/BIT_OR/BIT_XOR, COUNT_IF. All six are
+# commutative-associative JVM aggregates (map-side partials, one
+# shuffle) and order-independent by construction (bit ops on exact
+# integers), so no rounding is needed anywhere. Identical text runs on
+# both engines, except COUNT_IF: DuckDB's returns HUGEINT (int128 —
+# arrives in pandas as float64 and drifts the driver hash), so the
+# shared text pins it to BIGINT, a no-op for Spark.
+_BITS_SQL = """
+SELECT event_type,
+       BOOL_AND(value >= 0) AS all_nonneg,
+       BOOL_OR(value > 900) AS any_gt900,
+       BIT_AND(user_id) AS uid_and,
+       BIT_OR(user_id) AS uid_or,
+       BIT_XOR(user_id) AS uid_xor,
+       CAST(COUNT_IF(value > 500) AS BIGINT) AS n_gt500
+FROM events
+GROUP BY event_type
+"""
+
+
+def event_bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregate surface (NULL rows are skipped by
+    all six aggregates in both engines — pinned by the shared text)."""
+    return _sql(spark, sf_dir, ("events",), _BITS_SQL)
+
+
 # The above SQL strings are valid in both dialects, so the oracle is
 # the identical text (plus a deterministic guard where needed).
 SPECS = [
@@ -91,4 +203,7 @@ SPECS = [
     QuerySpec("machinery_big_orders", machinery_big_orders, _IN_SUBQ_SQL, ("sql", "subquery")),
     QuerySpec("biggest_order_per_customer", biggest_order_per_customer, _CORR_SQL, ("sql", "subquery")),
     QuerySpec("top_spenders_per_segment_cte", top_spenders_per_segment_cte, _CTE_SQL, ("sql", "window")),
+    QuerySpec("daily_spine_rcte", daily_spine_rcte, _SPINE_RCTE_ORACLE, ("sql", "recursive")),
+    QuerySpec("event_type_reachability_rcte", event_type_reachability_rcte, _REACH_RCTE_SQL, ("sql", "recursive")),
+    QuerySpec("event_bitwise_bool_aggs", event_bitwise_bool_aggs, _BITS_SQL, ("sql", "aggregate")),
 ]

@@ -1199,7 +1199,132 @@ FROM c
 """
 
 
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event-type cohorts
+    (purchase vs click values): one conditional-aggregation pass emits
+    per-group n/mean/var, then the t statistic and Welch-Satterthwaite
+    degrees of freedom are scalar expressions over the 1-row result —
+    no second scan, no collect. Completes the A/B kit next to
+    ab_srm_check (chi-square guard) and ab_cuped_adjusted_means
+    (variance reduction). Zero-variance / singleton cohorts yield NULL
+    t/df via explicit guards rather than an ANSI divide-by-zero (the
+    same hardening pattern as quality_lang_bias_auc). mean/var carry
+    ~1e-13 agg-order noise, five orders below the 4dp/2dp rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.where(F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull())
+        .groupBy()
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_a"),
+            F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("m_a"),
+            F.var_samp(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("v_a"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_b"),
+            F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("m_b"),
+            F.var_samp(F.when(F.col("event_type") == "click", F.col("value"))).alias("v_b"),
+        )
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    t_stat = F.when(se2 > 0, F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4))
+    df_num = F.pow(se2, F.lit(2))
+    df_den = F.pow(F.col("v_a") / F.col("n_a"), F.lit(2)) / (F.col("n_a") - 1) + F.pow(
+        F.col("v_b") / F.col("n_b"), F.lit(2)
+    ) / (F.col("n_b") - 1)
+    welch_df = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (df_den > 0), F.round(df_num / df_den, 2)
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
+        t_stat.alias("t_stat"),
+        welch_df.alias("welch_df"),
+    )
+
+
+_WELCH_SQL = """
+WITH g AS (
+  SELECT COUNT(*) FILTER (event_type = 'purchase') AS n_a,
+         AVG(value) FILTER (event_type = 'purchase') AS m_a,
+         VAR_SAMP(value) FILTER (event_type = 'purchase') AS v_a,
+         COUNT(*) FILTER (event_type = 'click') AS n_b,
+         AVG(value) FILTER (event_type = 'click') AS m_b,
+         VAR_SAMP(value) FILTER (event_type = 'click') AS v_b
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+)
+SELECT n_a, n_b,
+       ROUND(m_a - m_b, 4) AS mean_diff,
+       CASE WHEN v_a / n_a + v_b / n_b > 0
+            THEN ROUND((m_a - m_b) / SQRT(v_a / n_a + v_b / n_b), 4) END AS t_stat,
+       CASE WHEN n_a > 1 AND n_b > 1
+             AND POWER(v_a / n_a, 2) / (n_a - 1) + POWER(v_b / n_b, 2) / (n_b - 1) > 0
+            THEN ROUND(POWER(v_a / n_a + v_b / n_b, 2) /
+                 (POWER(v_a / n_a, 2) / (n_a - 1) + POWER(v_b / n_b, 2) / (n_b - 1)), 2)
+       END AS welch_df
+FROM g
+"""
+
+
+def event_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and
+    hour-of-day: contingency cells in one groupBy (|types| x 24 rows),
+    marginals via windows over that tiny cell table (no re-scan, no
+    join back to events), then the statistic in a single global sum.
+    Expected counts come from exact integer marginals, so the only
+    float noise is the final 120-term sum (~1e-12 relative) — absorbed
+    by 4dp rounding. The p-value lookup is a client-side concern (needs
+    the incomplete gamma function, out of SQL scope both engines);
+    the statistic + dof are the distributed part."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.hour("ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    wt = Window.partitionBy("event_type")
+    wh = Window.partitionBy("h")
+    withm = cell.select(
+        "event_type",
+        "h",
+        "o",
+        F.sum("o").over(wt).alias("rt"),
+        F.sum("o").over(wh).alias("ct"),
+    )
+    tot = withm.groupBy().agg(F.sum("o").alias("t"))
+    e = F.col("rt") * F.col("ct") / F.col("t")
+    return (
+        withm.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - e, F.lit(2)) / e), 4).alias("chi2_stat"),
+            (
+                (F.count_distinct(F.col("event_type")) - 1)
+                * (F.count_distinct(F.col("h")) - 1)
+            ).alias("dof"),
+        )
+    )
+
+
+_CHI2_SQL = """
+WITH cell AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS h, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events WHERE event_type IS NOT NULL GROUP BY event_type, EXTRACT(HOUR FROM ts)
+),
+tot AS (SELECT SUM(o) AS t FROM cell)
+SELECT ROUND(SUM(POWER(o - rt * ct / t, 2) / (rt * ct / t)), 4) AS chi2_stat,
+       CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT h) - 1) AS BIGINT) AS dof
+FROM (
+  SELECT event_type, h, o,
+         SUM(o) OVER (PARTITION BY event_type) AS rt,
+         SUM(o) OVER (PARTITION BY h) AS ct
+  FROM cell
+) c CROSS JOIN tot
+"""
+
+
 SPECS = [
+    QuerySpec("ab_welch_ttest", ab_welch_ttest, _WELCH_SQL, ("stats", "experiment")),
+    QuerySpec("event_hour_chi2", event_hour_chi2, _CHI2_SQL, ("stats", "experiment")),
     QuerySpec("event_value_winsorized", event_value_winsorized, _WINSORIZED_SQL, ("stats", "robust")),
     QuerySpec(
         "ab_cuped_adjusted_means", ab_cuped_adjusted_means, _CUPED_SQL, ("stats", "experiment")

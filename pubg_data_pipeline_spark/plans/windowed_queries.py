@@ -557,7 +557,107 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 10
 """
 
 
+def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (operators/timeseries.py:
+    interval_overlap_join): user sessions (30-min gaps-and-islands, the
+    same construction as user_sessions) overlapped against incident
+    windows — hours whose error-event count is >= 2x the average
+    hourly error rate, taken as the closed hour interval. Emits, per
+    session that touches at least one incident, the incident count and
+    the total overlapped seconds. Both interval sets are derived (no
+    static dim), so this is the big-big shape where the banded
+    strategy matters; overlap durations come from exact epoch-micro
+    integer arithmetic, deterministic cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts").cast("double") - prev.cast("double")
+    sessions = (
+        ev.where(F.col("user_id").isNotNull())
+        .withColumn("is_new", F.when(prev.isNull() | (gap > 1800.0), 1).otherwise(0))
+        .withColumn("session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    hourly_err = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("HOUR", "ts").alias("inc_start"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+    )
+    thresh = hourly_err.groupBy().agg((F.avg("n_err") * 2.0).alias("thr"))
+    incidents = (
+        hourly_err.crossJoin(F.broadcast(thresh))
+        .where(F.col("n_err") >= F.col("thr"))
+        .select(
+            "inc_start",
+            (F.col("inc_start") + F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 1 MICROSECOND")).alias(
+                "inc_end"
+            ),
+        )
+    )
+    from pubg_data_pipeline_spark.operators.timeseries import interval_overlap_join
+
+    pairs = interval_overlap_join(
+        sessions, incidents, "s_start", "s_end", "inc_start", "inc_end", bucket_seconds=3600
+    )
+    ov_us = F.least(F.unix_micros("s_end"), F.unix_micros("inc_end")) - F.greatest(
+        F.unix_micros("s_start"), F.unix_micros("inc_start")
+    )
+    return (
+        pairs.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_incidents"),
+            F.round(F.sum(ov_us) / 1_000_000.0, 3).alias("overlap_sec"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_incidents",
+            "overlap_sec",
+        )
+    )
+
+
+_OVERLAP_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+), sessions AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM s GROUP BY user_id, session_id
+), hourly_err AS (
+  SELECT DATE_TRUNC('HOUR', ts) AS inc_start, COUNT(*) AS n_err
+  FROM events WHERE event_type = 'error' GROUP BY DATE_TRUNC('HOUR', ts)
+), incidents AS (
+  SELECT inc_start, inc_start + INTERVAL 1 HOUR - INTERVAL 1 MICROSECOND AS inc_end
+  FROM hourly_err WHERE n_err >= (SELECT AVG(n_err) * 2.0 FROM hourly_err)
+)
+SELECT sessions.user_id, sessions.session_id,
+       COUNT(*) AS n_incidents,
+       ROUND(SUM(epoch_us(LEAST(s_end, inc_end)) - epoch_us(GREATEST(s_start, inc_start)))
+             / 1000000.0, 3) AS overlap_sec
+FROM sessions JOIN incidents
+  ON s_start <= inc_end AND inc_start <= s_end
+GROUP BY sessions.user_id, sessions.session_id
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "session_incident_overlap",
+        session_incident_overlap,
+        _OVERLAP_SQL,
+        ("time", "join", "window"),
+    ),
     QuerySpec(
         "image_phash_near_dups", image_phash_near_dups, _PHASH_SQL, ("llm", "pandas", "dedup", "multimodal")
     ),

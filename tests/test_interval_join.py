@@ -95,3 +95,92 @@ def test_interval_join_plans_equi_join_not_nested_loop(spark):
     assert (
         "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     )
+
+
+# ---- interval_overlap_join (interval x interval) ----
+
+from pubg_data_pipeline_spark.operators.timeseries import interval_overlap_join
+
+
+def _overlap_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(0), _ts(30)),    # long: spans 4 ten-min buckets
+            (2, _ts(45), _ts(48)),   # short, isolated
+            (3, _ts(58), _ts(59)),   # inside the late right interval
+        ],
+        "l_id long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts(5), _ts(25)),   # nested inside left 1, shares 3 buckets
+            (200, _ts(30), _ts(40)),  # touches left 1 exactly at its end
+            (300, _ts(50), _ts(59)),  # overlaps left 3 only
+        ],
+        "r_id long, rs timestamp, re timestamp",
+    )
+    return left, right
+
+
+def test_overlap_exactly_once_and_touching_bounds(spark):
+    left, right = _overlap_frames(spark)
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=600
+        ).collect()
+    )
+    # (1,100) shares 3 buckets but must appear once; (1,200) touch at a
+    # single instant (closed intervals) counts as overlap; (2,*) none.
+    assert got == [(1, 100), (1, 200), (3, 300)]
+
+
+def test_overlap_matches_naive_nested_loop(spark):
+    """Property: banded result == brute-force cross-join filter, on
+    intervals engineered to hit same-bucket, cross-bucket, touching,
+    and disjoint cases."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    lrows = [
+        (i, base + datetime.timedelta(minutes=7 * i), base + datetime.timedelta(minutes=7 * i + 11))
+        for i in range(40)
+    ]
+    rrows = [
+        (100 + i, base + datetime.timedelta(minutes=13 * i + 3), base + datetime.timedelta(minutes=13 * i + 5))
+        for i in range(25)
+    ]
+    left = spark.createDataFrame(lrows, "l_id long, ls timestamp, le timestamp")
+    right = spark.createDataFrame(rrows, "r_id long, rs timestamp, re timestamp")
+    banded = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=300
+        ).collect()
+    )
+    naive = sorted(
+        (r["l_id"], r["r_id"])
+        for r in left.crossJoin(right)
+        .where((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .collect()
+    )
+    assert banded == naive and len(banded) > 0
+
+
+def test_overlap_keyed_and_plan_shape(spark):
+    left, right = _overlap_frames(spark)
+    lk = left.withColumn("k", F.col("l_id") % 3)
+    rk = right.withColumn("k", F.col("r_id") % 3)
+    out = interval_overlap_join(
+        lk, rk, "ls", "le", "rs", "re", keys=["k"], bucket_seconds=600
+    )
+    # key match keeps (1,100) [k=1] and (3,300) [k=0]; filters (1,200)
+    # [k 1 vs 2]
+    got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    assert got == [(1, 100), (3, 300)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    )

@@ -53,3 +53,31 @@ def test_parameter_validation(spark):
         profile.k_anonymize(df, ["zip"], k=0)
     with pytest.raises(ValueError):
         profile.l_diversity_report(df, ["zip"], "dx", l=0)
+
+
+def test_t_closeness_distances(spark):
+    """Hand-computed TVD: global dx distribution over the 4 people is
+    flu 3/4, cold 1/4. Group 12601 (flu 2/3, cold 1/3):
+    0.5*(|2/3-3/4| + |1/3-1/4|) = 1/12. Group 90210 (flu 1, cold
+    absent): 0.5*(|1-3/4| + 1/4) = 1/4 — the absent value's global
+    mass must count."""
+    rep = profile.t_closeness_report(_people(spark), ["zip"], "dx", t=0.2)
+    by_zip = {r.zip: r for r in rep.collect()}
+    assert abs(by_zip["12601"].tvd - round(1 / 12, 4)) < 1e-9
+    assert by_zip["12601"].t_close and by_zip["12601"].group_size == 3
+    assert abs(by_zip["90210"].tvd - 0.25) < 1e-9
+    assert not by_zip["90210"].t_close
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b")]
+    df = spark.createDataFrame(rows, "grp string, s string")
+    rep = profile.t_closeness_report(df, ["grp"], "s", t=0.1)
+    assert all(r.tvd == 0.0 and r.t_close for r in rep.collect())
+
+
+def test_t_closeness_parameter_validation(spark):
+    with pytest.raises(ValueError):
+        profile.t_closeness_report(_people(spark), ["zip"], "dx", t=0.0)
+    with pytest.raises(ValueError):
+        profile.t_closeness_report(_people(spark), ["zip"], "dx", t=1.5)
