@@ -160,6 +160,9 @@ HEADLINE = [
     "session_incident_overlap",
     "events_t_closeness",
     "user_value_gini",
+    "session_conversion_rate",
+    "part_name_collation_counts",
+    "sliding_3h_distinct_users",
 ]
 
 

@@ -235,10 +235,14 @@ def t_closeness_report(
 
     Plan: one (quasi..., sensitive) cell aggregate; group totals via a
     window over the cell table (no re-scan); the |sensitive|-row global
-    distribution broadcast back. Missing values in a group contribute
-    their global mass to the distance via the identity
-    ``sum_{v in group} (|p-q| + q) - 1`` = TVD*2 adjusted below, so no
-    dense group x value expansion is materialized."""
+    distribution broadcast back. Values absent from a group contribute
+    their global mass (the ``1 - sum(present q)`` term), so no dense
+    group x value expansion is materialized.
+
+    NULL sensitive values must be filtered or mapped to an explicit
+    category by the caller first: a NULL cell survives the group-size
+    window but drops at the equi-join on the sensitive column, leaving
+    that group's masses summing below 1 and overstating the distance."""
     from pyspark.sql import Window
 
     if not 0 < t <= 1:

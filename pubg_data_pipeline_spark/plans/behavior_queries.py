@@ -887,6 +887,76 @@ def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.select("event_type", "n_users", gini.alias("gini"))
 
 
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-session conversion funnel: a session (30-minute
+    gaps-and-islands, the shared construction) converts when it
+    contains a view FOLLOWED by a purchase — ordering inside the
+    session matters, unlike the lifetime-level user_purchase_funnel.
+    Daily cohorts of session starts report volume and conversion rate.
+    One sessionize window + one aggregate; the order test is
+    ``min(view ts) <= max(purchase ts)`` computed inside the same
+    grouped agg (no self-join, no second window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts").cast("double") - prev.cast("double")
+    sessioned = (
+        ev.where(F.col("user_id").isNotNull())
+        .withColumn("is_new", F.when(prev.isNull() | (gap > 1800.0), 1).otherwise(0))
+        .withColumn(
+            "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    per_sess = sessioned.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    converted = (
+        F.col("first_view").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("first_view") <= F.col("last_purchase"))
+    ).cast("long")
+    return (
+        per_sess.select(F.date_format("s_start", "yyyy-MM-dd").alias("cohort_day"), converted.alias("c"))
+        .groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("c").alias("n_converted"),
+            F.round(F.sum("c") / F.count(F.lit(1)), 4).alias("conversion_rate"),
+        )
+    )
+
+
+_SESSION_CONVERSION_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+), per_sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM s GROUP BY user_id, session_id
+)
+SELECT strftime(s_start, '%Y-%m-%d') AS cohort_day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+                 AND first_view <= last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       ROUND(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+                       AND first_view <= last_purchase THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS conversion_rate
+FROM per_sess GROUP BY strftime(s_start, '%Y-%m-%d')
+"""
+
+
 _GINI_SQL = f"""
 WITH pu AS (
   SELECT event_type, user_id, SUM({sql_scaled('value', 2)}) AS x
@@ -912,6 +982,12 @@ SPECS = [
         "preference_pairs", preference_pairs, _PREFERENCE_SQL, ("behavior", "llm", "curation")
     ),
     QuerySpec("user_value_gini", user_value_gini, _GINI_SQL, ("behavior", "stats", "window")),
+    QuerySpec(
+        "session_conversion_rate",
+        session_conversion_rate,
+        _SESSION_CONVERSION_SQL,
+        ("behavior", "window", "agg"),
+    ),
     QuerySpec(
         "user_conversation_examples",
         user_conversation_examples,

@@ -498,9 +498,55 @@ WHERE k IS NOT NULL AND value IS NOT NULL
 """
 
 
+def part_name_collation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: COUNT(DISTINCT x) under the binary
+    collation vs UTF8_LCASE (case-insensitive) over a deliberately
+    case-diverse name set (each part name unioned with its uppercased
+    form, so the two counts must differ by construction). Collations
+    make case/accent rules a COLUMN property enforced by every
+    comparison, join, and aggregate — the engine-level replacement for
+    scattering lower() around queries and hoping nobody forgets one.
+    The DuckDB oracle expresses the same semantics as
+    COUNT(DISTINCT LOWER(x)) (exact for this ASCII name set)."""
+    from pubg_data_pipeline_spark.plans.sql_queries import _sql
+
+    return _sql(
+        spark,
+        sf_dir,
+        ("part",),
+        """
+        WITH names AS (
+          SELECT p_brand, p_name AS n FROM part
+          UNION ALL
+          SELECT p_brand, UPPER(p_name) FROM part
+        )
+        SELECT p_brand,
+               COUNT(DISTINCT n) AS n_binary,
+               COUNT(DISTINCT COLLATE(n, 'UTF8_LCASE')) AS n_ci
+        FROM names GROUP BY p_brand
+        """,
+    )
+
+
+_COLLATION_SQL = """
+WITH names AS (
+  SELECT p_brand, p_name AS n FROM part
+  UNION ALL
+  SELECT p_brand, UPPER(p_name) FROM part
+)
+SELECT p_brand,
+       COUNT(DISTINCT n) AS n_binary,
+       COUNT(DISTINCT LOWER(n)) AS n_ci
+FROM names GROUP BY p_brand
+"""
+
+
 SPECS = [
     QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_SQL, ("reshape",)),
     QuerySpec("event_try_arithmetic", event_try_arithmetic, _TRY_SQL, ("expr", "types")),
+    QuerySpec(
+        "part_name_collation_counts", part_name_collation_counts, _COLLATION_SQL, ("expr", "types")
+    ),
     QuerySpec("props_variant_extract", props_variant_extract, _VARIANT_SQL, ("semi", "types")),
     QuerySpec("top2_orders_lateral", top2_orders_lateral, _LATERAL_SQL, ("sql", "window")),
     QuerySpec("lineitem_measures_unpivot", lineitem_measures_unpivot, _UNPIVOT_SQL, ("reshape",)),

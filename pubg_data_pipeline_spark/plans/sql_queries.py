@@ -92,12 +92,17 @@ def top_spenders_per_segment_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (up to ~13 months of days) still plans, while a dirty far-future row
 # fails fast at the cap instead of looping for years. The oracle is the
 # same query in DuckDB's dialect (strftime / no level clause).
+# The recursion bound travels WITH the row (spine carries dmax): a
+# bound expressed as a scalar subquery in the recursive leg would be
+# re-evaluated on EVERY iteration — 30 extra scans of events here, and
+# a full re-scan per day of spine at 100 TB. Anchoring both ends once
+# makes each iteration a 1-row arithmetic step.
 _SPINE_RCTE_SPARK = """
-WITH RECURSIVE spine(d) MAX RECURSION LEVEL 400 AS (
-  SELECT DATE_TRUNC('DAY', (SELECT MIN(ts) FROM events))
+WITH RECURSIVE spine(d, dmax) MAX RECURSION LEVEL 400 AS (
+  SELECT DATE_TRUNC('DAY', MIN(ts)), DATE_TRUNC('DAY', MAX(ts)) FROM events
   UNION ALL
-  SELECT d + INTERVAL 1 DAY FROM spine
-  WHERE d + INTERVAL 1 DAY <= (SELECT DATE_TRUNC('DAY', MAX(ts)) FROM events)
+  SELECT d + INTERVAL 1 DAY, dmax FROM spine
+  WHERE d + INTERVAL 1 DAY <= dmax
 ),
 daily AS (
   SELECT DATE_TRUNC('DAY', ts) AS d, COUNT(*) AS n
@@ -108,11 +113,11 @@ FROM spine LEFT JOIN daily ON spine.d = daily.d
 """
 
 _SPINE_RCTE_ORACLE = """
-WITH RECURSIVE spine(d) AS (
-  SELECT DATE_TRUNC('DAY', (SELECT MIN(ts) FROM events))
+WITH RECURSIVE spine(d, dmax) AS (
+  SELECT DATE_TRUNC('DAY', MIN(ts)), DATE_TRUNC('DAY', MAX(ts)) FROM events
   UNION ALL
-  SELECT d + INTERVAL 1 DAY FROM spine
-  WHERE d + INTERVAL 1 DAY <= (SELECT DATE_TRUNC('DAY', MAX(ts)) FROM events)
+  SELECT d + INTERVAL 1 DAY, dmax FROM spine
+  WHERE d + INTERVAL 1 DAY <= dmax
 ),
 daily AS (
   SELECT DATE_TRUNC('DAY', ts) AS d, COUNT(*) AS n

@@ -651,12 +651,64 @@ GROUP BY sessions.user_id, sessions.session_id
 """
 
 
+def sliding_3h_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users over a trailing 3-hour sliding window, per
+    hour — the aggregate Spark's window frames cannot express (no
+    COUNT(DISTINCT) over a frame) and F.window's sliding variant would
+    recount per-slide from raw rows. Scale pattern: collapse to
+    distinct (user, hour) pairs FIRST (the only full-data shuffle),
+    then each pair self-expands to the <=3 window-ends it serves and a
+    second distinct-agg counts per window — work is O(distinct pairs x
+    3), never O(rows x 3). The HLL twin for approximate needs is
+    incremental_hourly_distinct; this is the exact path."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("HOUR", "ts").alias("h"))
+        .distinct()
+    )
+    exp = pairs.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.col("h"),
+                F.col("h") + F.expr("INTERVAL 1 HOUR"),
+                F.col("h") + F.expr("INTERVAL 2 HOUR"),
+            )
+        ).alias("wh"),
+    )
+    return (
+        exp.groupBy(F.date_format("wh", "yyyy-MM-dd HH:00").alias("window_end_hour"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_SLIDING_DISTINCT_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('HOUR', ts) AS h
+  FROM events WHERE user_id IS NOT NULL
+), exp AS (
+  SELECT user_id, h + k * INTERVAL 1 HOUR AS wh
+  FROM pairs CROSS JOIN (VALUES (0), (1), (2)) t(k)
+)
+SELECT strftime(wh, '%Y-%m-%d %H:00') AS window_end_hour,
+       COUNT(DISTINCT user_id) AS n_users
+FROM exp GROUP BY strftime(wh, '%Y-%m-%d %H:00')
+"""
+
+
 SPECS = [
     QuerySpec(
         "session_incident_overlap",
         session_incident_overlap,
         _OVERLAP_SQL,
         ("time", "join", "window"),
+    ),
+    QuerySpec(
+        "sliding_3h_distinct_users",
+        sliding_3h_distinct_users,
+        _SLIDING_DISTINCT_SQL,
+        ("time", "agg", "window"),
     ),
     QuerySpec(
         "image_phash_near_dups", image_phash_near_dups, _PHASH_SQL, ("llm", "pandas", "dedup", "multimodal")

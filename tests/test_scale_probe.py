@@ -128,6 +128,13 @@ def big_events_dir(spark, tmp_path_factory):
         "event_enrich_salted_join",
         "last_event_per_user",
         "first_event_per_user_type",
+        # round-5 additions over events
+        "session_incident_overlap",
+        "preference_pairs",
+        "user_value_gini",
+        "event_hour_chi2",
+        "events_t_closeness",
+        "daily_spine_rcte",
     ],
 )
 def test_events_heavy_queries_survive_6m_rows(spark, big_events_dir, name):
