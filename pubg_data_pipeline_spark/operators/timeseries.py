@@ -341,6 +341,40 @@ def interval_join(
     return out
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    tiebreak: str = "event_id",
+    gap_seconds: float = 1800.0,
+    drop_null_keys: bool = True,
+) -> DataFrame:
+    """Gaps-and-islands sessionization — THE shared construction behind
+    every batch session query (user_sessions, session_conversion_rate,
+    session_incident_overlap): lag -> new-session flag on a strict
+    ``> gap_seconds`` inactivity break -> running sum as the session
+    id. Centralized so the break rule and (ts, tiebreak) ordering can
+    never drift apart between the query families that must agree with
+    each other (and with ``F.session_window``'s inclusive-merge twin,
+    see user_sessions_native). By default NULL keys are dropped — a
+    NULL partition would lump every keyless event into one giant
+    session; pass ``drop_null_keys=False`` only when the consumer's
+    contract pins the NULL-group behavior. Adds a ``session_id``
+    column; all input columns pass through."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+    prev = F.lag(ts_col).over(w)
+    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    out = df.where(F.col(key).isNotNull()) if drop_null_keys else df
+    return (
+        out.withColumn("__is_new", F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("__is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("__is_new")
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -768,11 +768,13 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("value").isNotNull()
         & F.col("user_id").isNotNull()
     ).select("user_id", "event_id", F.round("value", 2).alias("v"))
-    best = F.struct(F.col("v"), (-F.col("event_id")).alias("tb"))
-    worst = F.struct(F.col("v"), (-F.col("event_id")).alias("tb"))
+    # ONE ordering key serves both sides: the chosen/rejected asymmetry
+    # lives entirely in max_by vs min_by (maximize -> smallest id on a
+    # value tie; minimize -> largest id), not in the struct.
+    ord_key = F.struct(F.col("v"), (-F.col("event_id")).alias("tb"))
     agged = p.groupBy("user_id").agg(
-        F.max_by("event_id", best).alias("chosen_event_id"),
-        F.min_by("event_id", worst).alias("rejected_event_id"),
+        F.max_by("event_id", ord_key).alias("chosen_event_id"),
+        F.min_by("event_id", ord_key).alias("rejected_event_id"),
         F.max("v").alias("v_max"),
         F.min("v").alias("v_min"),
         F.count(F.lit(1)).alias("n"),
@@ -896,18 +898,10 @@ def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     One sessionize window + one aggregate; the order test is
     ``min(view ts) <= max(purchase ts)`` computed inside the same
     grouped agg (no self-join, no second window)."""
+    from pubg_data_pipeline_spark.operators.timeseries import sessionize
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    prev = F.lag("ts").over(w)
-    gap = F.col("ts").cast("double") - prev.cast("double")
-    sessioned = (
-        ev.where(F.col("user_id").isNotNull())
-        .withColumn("is_new", F.when(prev.isNull() | (gap > 1800.0), 1).otherwise(0))
-        .withColumn(
-            "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-    )
-    per_sess = sessioned.groupBy("user_id", "session_id").agg(
+    per_sess = sessionize(ev).groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s_start"),
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),

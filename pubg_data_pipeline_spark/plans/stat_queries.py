@@ -1270,17 +1270,27 @@ def event_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour-of-day: contingency cells in one groupBy (|types| x 24 rows),
     marginals via windows over that tiny cell table (no re-scan, no
     join back to events), then the statistic in a single global sum.
-    Expected counts come from exact integer marginals, so the only
-    float noise is the final 120-term sum (~1e-12 relative) — absorbed
-    by 4dp rounding. The p-value lookup is a client-side concern (needs
-    the incomplete gamma function, out of SQL scope both engines);
-    the statistic + dof are the distributed part."""
+    Pearson's statistic sums over the FULL r x c grid: a cell with
+    zero observed events still contributes its expected mass
+    ``(0-e)^2/e = e``, so the observed cells are completed against the
+    distinct-types x distinct-hours cross (tiny: |types| x 24 rows)
+    before the marginals — dropping empty cells would understate the
+    statistic while dof still claimed the full grid. Expected counts
+    come from exact integer marginals, so the only float noise is the
+    final 120-term sum (~1e-12 relative) — absorbed by 4dp rounding.
+    The p-value lookup is a client-side concern (needs the incomplete
+    gamma function, out of SQL scope both engines); the statistic +
+    dof are the distributed part."""
     ev = load_table(spark, sf_dir, "events")
-    cell = (
+    observed = (
         ev.where(F.col("event_type").isNotNull())
         .groupBy("event_type", F.hour("ts").alias("h"))
         .agg(F.count(F.lit(1)).cast("double").alias("o"))
     )
+    grid = observed.select("event_type").distinct().crossJoin(
+        observed.select("h").distinct()
+    )
+    cell = grid.join(observed, ["event_type", "h"], "left").na.fill({"o": 0.0})
     wt = Window.partitionBy("event_type")
     wh = Window.partitionBy("h")
     withm = cell.select(
@@ -1306,9 +1316,16 @@ def event_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHI2_SQL = """
-WITH cell AS (
+WITH observed AS (
   SELECT event_type, EXTRACT(HOUR FROM ts) AS h, CAST(COUNT(*) AS DOUBLE) AS o
   FROM events WHERE event_type IS NOT NULL GROUP BY event_type, EXTRACT(HOUR FROM ts)
+),
+cell AS (
+  SELECT g.event_type, g.h, COALESCE(observed.o, 0.0) AS o
+  FROM (SELECT et.event_type, hh.h
+        FROM (SELECT DISTINCT event_type FROM observed) et
+        CROSS JOIN (SELECT DISTINCT h FROM observed) hh) g
+  LEFT JOIN observed ON g.event_type = observed.event_type AND g.h = observed.h
 ),
 tot AS (SELECT SUM(o) AS t FROM cell)
 SELECT ROUND(SUM(POWER(o - rt * ct / t, 2) / (rt * ct / t)), 4) AS chi2_stat,

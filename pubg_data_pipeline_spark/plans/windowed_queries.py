@@ -90,17 +90,12 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum). The native streaming equivalent is
     ``F.session_window(ts, "30 minutes")``; this batch form pins
     identical semantics cross-engine."""
+    from pubg_data_pipeline_spark.operators.timeseries import sessionize
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    prev = F.lag("ts").over(w)
-    gap = F.col("ts").cast("double") - prev.cast("double")
-    flagged = ev.withColumn(
-        "is_new", F.when(prev.isNull() | (gap > 1800.0), 1).otherwise(0)
-    )
-    sessioned = flagged.withColumn(
-        "session_id",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    # drop_null_keys=False: this query's oracle pins the NULL-user
+    # group's behavior too
+    sessioned = sessionize(ev, drop_null_keys=False)
     agged = sessioned.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("s_min"),
@@ -568,14 +563,11 @@ def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     static dim), so this is the big-big shape where the banded
     strategy matters; overlap durations come from exact epoch-micro
     integer arithmetic, deterministic cross-engine."""
+    from pubg_data_pipeline_spark.operators.timeseries import sessionize
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    prev = F.lag("ts").over(w)
-    gap = F.col("ts").cast("double") - prev.cast("double")
     sessions = (
-        ev.where(F.col("user_id").isNotNull())
-        .withColumn("is_new", F.when(prev.isNull() | (gap > 1800.0), 1).otherwise(0))
-        .withColumn("session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        sessionize(ev)
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
@@ -659,23 +651,32 @@ def sliding_3h_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (user, hour) pairs FIRST (the only full-data shuffle),
     then each pair self-expands to the <=3 window-ends it serves and a
     second distinct-agg counts per window — work is O(distinct pairs x
-    3), never O(rows x 3). The HLL twin for approximate needs is
-    incremental_hourly_distinct; this is the exact path."""
+    3), never O(rows x 3). Window ends are clipped to the last
+    observed hour (a 1-row broadcast), so the output never reports
+    phantom hours past the end of the data with decaying counts. The
+    HLL twin for approximate needs is incremental_hourly_distinct;
+    this is the exact path."""
     ev = load_table(spark, sf_dir, "events")
     pairs = (
         ev.where(F.col("user_id").isNotNull())
         .select("user_id", F.date_trunc("HOUR", "ts").alias("h"))
         .distinct()
     )
-    exp = pairs.select(
-        "user_id",
-        F.explode(
-            F.array(
-                F.col("h"),
-                F.col("h") + F.expr("INTERVAL 1 HOUR"),
-                F.col("h") + F.expr("INTERVAL 2 HOUR"),
-            )
-        ).alias("wh"),
+    hmax = pairs.groupBy().agg(F.max("h").alias("hmax"))
+    exp = (
+        pairs.crossJoin(F.broadcast(hmax))
+        .select(
+            "user_id",
+            F.explode(
+                F.array(
+                    F.col("h"),
+                    F.col("h") + F.expr("INTERVAL 1 HOUR"),
+                    F.col("h") + F.expr("INTERVAL 2 HOUR"),
+                )
+            ).alias("wh"),
+            "hmax",
+        )
+        .where(F.col("wh") <= F.col("hmax"))
     )
     return (
         exp.groupBy(F.date_format("wh", "yyyy-MM-dd HH:00").alias("window_end_hour"))
@@ -693,7 +694,9 @@ WITH pairs AS (
 )
 SELECT strftime(wh, '%Y-%m-%d %H:00') AS window_end_hour,
        COUNT(DISTINCT user_id) AS n_users
-FROM exp GROUP BY strftime(wh, '%Y-%m-%d %H:00')
+FROM exp
+WHERE wh <= (SELECT MAX(h) FROM pairs)
+GROUP BY strftime(wh, '%Y-%m-%d %H:00')
 """
 
 
