@@ -163,6 +163,7 @@ HEADLINE = [
     "session_conversion_rate",
     "part_name_collation_counts",
     "sliding_3h_distinct_users",
+    "doc_token_counts_arrow",
 ]
 
 

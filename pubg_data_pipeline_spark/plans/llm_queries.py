@@ -1350,6 +1350,40 @@ FROM documents
 """
 
 
+def doc_token_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same two token counters through ``mapInArrow`` — the sixth
+    Arrow extension point (after mapInPandas / applyInPandas /
+    applyInPandasWithState / grouped-agg pandas UDF / Python UDTF),
+    and the one to reach for when the per-batch logic is expressible
+    in ``pyarrow.compute``: batches stay in Arrow's columnar buffers
+    end-to-end with no pandas materialization, no per-row Python, and
+    no object-dtype strings — ``count_substring_regex`` runs RE2 over
+    the raw string buffers. Counting runs of ``\\S+`` is exactly the
+    trim-and-split whitespace count (0 for empty/blank text), so this
+    pins against the SAME oracle as the expression-based
+    doc_token_counts — three independent mechanisms, one contract."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def count_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            ws = pc.count_substring_regex(text, pattern=r"\S+")
+            bpe = pc.count_substring_regex(
+                text, pattern=r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), ws, pc.cast(bpe, "int32")],
+                ["doc_id", "ws_tokens", "bpe_ish_tokens"],
+            )
+
+    return docs.mapInArrow(
+        count_batches, "doc_id long, ws_tokens int, bpe_ish_tokens int"
+    )
+
+
 def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-sensitive polynomial rolling-hash fingerprint per
     document (functions.text.rolling_fingerprint), grouped to keeper +
@@ -1815,6 +1849,9 @@ SPECS = [
     QuerySpec("doc_exact_dedup", doc_exact_dedup, _EXACT_DEDUP_SQL, ("llm", "dedup")),
     QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline, _CURATION_SQL, ("llm", "pipeline")),
     QuerySpec("doc_token_counts", doc_token_counts, _TOKEN_COUNTS_SQL, ("llm", "text")),
+    QuerySpec(
+        "doc_token_counts_arrow", doc_token_counts_arrow, _TOKEN_COUNTS_SQL, ("llm", "text", "arrow")
+    ),
     QuerySpec("doc_rolling_fingerprints", doc_rolling_fingerprints, _ROLLING_FP_SQL, ("llm", "text")),
     QuerySpec("embedding_cosine_near_dups", embedding_cosine_near_dups, _COSINE_DUPS_SQL, ("llm", "dedup")),
     QuerySpec("doc_embedding_profile", doc_embedding_profile, _DOC_EMB_SQL, ("llm", "join")),

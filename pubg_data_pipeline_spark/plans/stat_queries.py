@@ -1287,8 +1287,16 @@ def event_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.hour("ts").alias("h"))
         .agg(F.count(F.lit(1)).cast("double").alias("o"))
     )
-    grid = observed.select("event_type").distinct().crossJoin(
-        observed.select("h").distinct()
+    # Full grid WITHOUT a set x set cross join (the audit's nested-loop
+    # killer shape): both label sets ride ONE zero-key aggregate row
+    # (hours <= 24 by construction; a contingency dimension is
+    # low-cardinality by definition or the test is meaningless), then
+    # explode twice and LEFT-equi-join the observed cells back.
+    sets = observed.groupBy().agg(
+        F.collect_set("event_type").alias("ets"), F.collect_set("h").alias("hs")
+    )
+    grid = sets.select(F.explode("ets").alias("event_type"), "hs").select(
+        "event_type", F.explode("hs").alias("h")
     )
     cell = grid.join(observed, ["event_type", "h"], "left").na.fill({"o": 0.0})
     wt = Window.partitionBy("event_type")

@@ -1,0 +1,80 @@
+"""Python DataSource writer (sources/jsonl_sink.py): batch and
+streaming JSONL delivery with tmp-then-rename commit."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.sources.jsonl_sink import JsonlSink
+
+
+def _register(spark):
+    # idempotent across tests sharing the session
+    try:
+        spark.dataSource.register(JsonlSink)
+    except Exception:
+        pass
+
+
+def test_batch_write_publishes_committed_files_only(spark, tmp_path):
+    _register(spark)
+    out = str(tmp_path / "alerts")
+    df = spark.createDataFrame(
+        [(1, "high", 9.5), (2, "low", 1.0), (3, "high", 7.25)],
+        "alert_id long, severity string, score double",
+    ).repartition(2)
+    df.write.format("jsonl_rows").mode("append").option("path", out).save()
+
+    files = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    assert len(files) == 2
+    assert not glob.glob(os.path.join(out, ".tmp-*"))  # no uncommitted leftovers
+    rows = []
+    for p in files:
+        with open(p) as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    assert sorted(r["alert_id"] for r in rows) == [1, 2, 3]
+    assert all(set(r) == {"alert_id", "severity", "score"} for r in rows)
+
+
+def test_stream_write_is_epoch_prefixed_and_committed(spark, tmp_path):
+    _register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps({"id": i, "v": i * 1.5}) for i in range(4))
+    )
+    out = str(tmp_path / "stream_out")
+    raw = spark.readStream.schema("id long, v double").json(str(src))
+    q = (
+        raw.writeStream.format("jsonl_rows")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = glob.glob(os.path.join(out, "batch-*-part-*.jsonl"))
+    assert files, "stream writer published no committed files"
+    assert not glob.glob(os.path.join(out, ".tmp-*"))
+    rows = []
+    for p in files:
+        with open(p) as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    assert sorted(r["id"] for r in rows) == [0, 1, 2, 3]
+
+
+def test_timestamps_serialize_stringly(spark, tmp_path):
+    _register(spark)
+    out = str(tmp_path / "ts_out")
+    df = spark.sql("SELECT TIMESTAMP'2024-01-01 10:00:00' AS ts, 1 AS k").coalesce(1)
+    df.write.format("jsonl_rows").mode("append").option("path", out).save()
+    (path,) = glob.glob(os.path.join(out, "part-*.jsonl"))
+    with open(path) as f:
+        row = json.loads(f.readline())
+    assert row["k"] == 1 and row["ts"].startswith("2024-01-01 10:00:00")
