@@ -1,0 +1,118 @@
+"""Fingerprint-driven partition backfill (sources/io.py:
+backfill_stale_partitions): late data rebuilds only its own day."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubg_data_pipeline_spark.sources.io import backfill_stale_partitions
+
+
+def _source(spark, rows):
+    return spark.createDataFrame(rows, "day string, user_id long, value double")
+
+
+def _rollup(df):
+    return df.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+_BASE = [
+    ("2024-01-01", 1, 10.0),
+    ("2024-01-01", 2, 5.0),
+    ("2024-01-02", 1, 7.0),
+    ("2024-01-03", 3, 1.0),
+]
+
+
+def _read_rollup(spark, path):
+    # partition inference types day= values as DATE; normalize to str
+    return {
+        str(r["day"]): (r["n"], r["total"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_first_run_backfills_everything_then_noop(spark, tmp_path):
+    target = str(tmp_path / "daily")
+    src = _source(spark, _BASE)
+    rep = backfill_stale_partitions(spark, src, target, "day", _rollup)
+    assert rep["stale"] == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert _read_rollup(spark, target)["2024-01-01"] == (2, 15.0)
+
+    rep2 = backfill_stale_partitions(spark, src, target, "day", _rollup)
+    assert rep2["stale"] == [] and rep2["pruned"] == []
+    assert len(rep2["unchanged"]) == 3
+
+
+def test_late_row_rebuilds_only_its_day(spark, tmp_path):
+    target = str(tmp_path / "daily")
+    backfill_stale_partitions(spark, _source(spark, _BASE), target, "day", _rollup)
+    untouched = sorted(glob.glob(os.path.join(target, "day=2024-01-02", "*.parquet")))
+
+    late = _BASE + [("2024-01-01", 9, 100.0)]
+    rep = backfill_stale_partitions(spark, _source(spark, late), target, "day", _rollup)
+    assert rep["stale"] == ["2024-01-01"]
+    assert rep["unchanged"] == ["2024-01-02", "2024-01-03"]
+    assert _read_rollup(spark, target)["2024-01-01"] == (3, 115.0)
+    # the unchanged day's files were not rewritten
+    assert sorted(glob.glob(os.path.join(target, "day=2024-01-02", "*.parquet"))) == untouched
+
+
+def test_duplicate_row_insertion_is_detected(spark, tmp_path):
+    """xor alone cancels on an identical-row pair; the decimal hash-sum
+    leg must still flag the day stale."""
+    target = str(tmp_path / "daily")
+    backfill_stale_partitions(spark, _source(spark, _BASE), target, "day", _rollup)
+    dup = _BASE + [("2024-01-02", 1, 7.0), ("2024-01-02", 1, 7.0)]
+    rep = backfill_stale_partitions(spark, _source(spark, dup), target, "day", _rollup)
+    assert rep["stale"] == ["2024-01-02"]
+    assert _read_rollup(spark, target)["2024-01-02"] == (3, 21.0)
+
+
+def test_vanished_partition_is_pruned(spark, tmp_path):
+    target = str(tmp_path / "daily")
+    backfill_stale_partitions(spark, _source(spark, _BASE), target, "day", _rollup)
+    shrunk = [r for r in _BASE if r[0] != "2024-01-03"]
+    rep = backfill_stale_partitions(spark, _source(spark, shrunk), target, "day", _rollup)
+    assert rep["pruned"] == ["2024-01-03"]
+    assert not os.path.exists(os.path.join(target, "day=2024-01-03"))
+    assert "2024-01-03" not in _read_rollup(spark, target)
+
+
+def test_crash_before_manifest_is_idempotent(spark, tmp_path):
+    """A run that died after the data write but before the manifest
+    publish re-runs the same stale days; the overwrite converges."""
+    target = str(tmp_path / "daily")
+    backfill_stale_partitions(spark, _source(spark, _BASE), target, "day", _rollup)
+    # simulate the crash: revert the manifest to the pre-run state
+    os.remove(os.path.join(target, "_backfill_manifest.json"))
+    rep = backfill_stale_partitions(spark, _source(spark, _BASE), target, "day", _rollup)
+    assert rep["stale"] == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert _read_rollup(spark, target)["2024-01-01"] == (2, 15.0)
+
+
+def test_guards(spark, tmp_path):
+    with pytest.raises(ValueError, match="remote URI"):
+        backfill_stale_partitions(
+            spark, _source(spark, _BASE), "s3://bucket/x", "day", _rollup
+        )
+    with pytest.raises(ValueError, match="more than 1 partitions"):
+        backfill_stale_partitions(
+            spark, _source(spark, _BASE), str(tmp_path / "t"), "day", _rollup,
+            max_partitions=1,
+        )
+    with pytest.raises(ValueError, match="must keep"):
+        backfill_stale_partitions(
+            spark,
+            _source(spark, _BASE),
+            str(tmp_path / "t2"),
+            "day",
+            lambda df: df.groupBy().agg(F.count(F.lit(1)).alias("n")),
+        )
