@@ -164,6 +164,7 @@ HEADLINE = [
     "part_name_collation_counts",
     "sliding_3h_distinct_users",
     "doc_token_counts_arrow",
+    "events_daily_backfill",
 ]
 
 

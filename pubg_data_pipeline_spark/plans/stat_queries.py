@@ -1347,8 +1347,59 @@ FROM (
 """
 
 
+def events_daily_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of sources/io.backfill_stale_partitions: the
+    daily revenue rollup maintained INCREMENTALLY — per-day source
+    fingerprints decide which days to recompute (first run builds all,
+    steady-state runs rebuild nothing), published via dynamic partition
+    overwrite with a crash-safe manifest. The oracle is the full
+    recompute, so this pins end-state equality of the incremental
+    maintenance path, the same contract as incremental_hourly_merge.
+    Target lives in a dataset-tag-keyed temp dir (a regenerated
+    testdata directory gets a fresh target, never a stale manifest)."""
+    import os
+    import tempfile
+
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+    from pubg_data_pipeline_spark.sources.io import backfill_stale_partitions
+
+    tag = dataset_cache_tag(sf_dir, "events")
+    target = os.path.join(tempfile.gettempdir(), f"spark_graft_backfill_{tag}")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+
+    def compute(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(exact_scaled(F.coalesce(F.col("value"), F.lit(0.0)))) / 100.0, 2
+            ).alias("total_value"),
+        )
+
+    backfill_stale_partitions(
+        spark, ev, target, "day", compute, fingerprint_cols=["event_id", "ts", "value"]
+    )
+    # partition inference types day= as DATE; normalize for the oracle
+    return spark.read.parquet(target).select(
+        F.col("day").cast("string").alias("day"), "n_events", "total_value"
+    )
+
+
+_BACKFILL_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM({sql_scaled('COALESCE(value, 0.0)', 2)}) AS BIGINT) / 100.0, 2)
+         AS total_value
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
 SPECS = [
     QuerySpec("ab_welch_ttest", ab_welch_ttest, _WELCH_SQL, ("stats", "experiment")),
+    QuerySpec(
+        "events_daily_backfill", events_daily_backfill, _BACKFILL_SQL, ("incremental", "io")
+    ),
     QuerySpec("event_hour_chi2", event_hour_chi2, _CHI2_SQL, ("stats", "experiment")),
     QuerySpec("event_value_winsorized", event_value_winsorized, _WINSORIZED_SQL, ("stats", "robust")),
     QuerySpec(
