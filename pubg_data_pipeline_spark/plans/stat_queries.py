@@ -1355,16 +1355,22 @@ def events_daily_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwrite with a crash-safe manifest. The oracle is the full
     recompute, so this pins end-state equality of the incremental
     maintenance path, the same contract as incremental_hourly_merge.
-    Target lives in a dataset-tag-keyed temp dir (a regenerated
-    testdata directory gets a fresh target, never a stale manifest)."""
+    Target lives under the repo's ``.index_cache`` keyed by the dataset
+    tag like every other persisted per-dataset artifact (a regenerated
+    testdata directory gets a fresh target, never a stale manifest; a
+    partially deleted target self-repairs via the operator's
+    dir-vs-manifest check), and ``logic_version`` pins the rollup logic
+    so editing this compute invalidates old results."""
     import os
-    import tempfile
 
     from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
     from pubg_data_pipeline_spark.sources.io import backfill_stale_partitions
 
     tag = dataset_cache_tag(sf_dir, "events")
-    target = os.path.join(tempfile.gettempdir(), f"spark_graft_backfill_{tag}")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    target = os.path.join(repo_root, ".index_cache", f"backfill_daily_{tag}")
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
@@ -1378,7 +1384,13 @@ def events_daily_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     backfill_stale_partitions(
-        spark, ev, target, "day", compute, fingerprint_cols=["event_id", "ts", "value"]
+        spark,
+        ev,
+        target,
+        "day",
+        compute,
+        fingerprint_cols=["event_id", "ts", "value"],
+        logic_version="daily-rollup-v1",
     )
     # partition inference types day= as DATE; normalize for the oracle
     return spark.read.parquet(target).select(

@@ -485,6 +485,7 @@ def backfill_stale_partitions(
     compute,
     fingerprint_cols: Sequence[str] | None = None,
     max_partitions: int = 100_000,
+    logic_version: str = "1",
 ) -> dict:
     """Incremental backfill: recompute a derived partitioned table for
     ONLY the source partitions whose content changed — the standard
@@ -518,14 +519,24 @@ def backfill_stale_partitions(
 
     ``fingerprint_cols`` defaults to all source columns. Driver memory
     is bounded by ``max_partitions`` manifest entries (same guard as
-    propagate_deletes). Local filesystem for manifest + pruning; on a
-    lake format steps 2-4 are MERGE + snapshot metadata.
+    propagate_deletes). Partition keys are normalized through Spark's
+    own ``cast(string)`` (so the filter and the manifest agree on
+    'true'/'2024-01-01' spellings); a NULL partition value fails fast —
+    map NULLs to an explicit bucket upstream, a NULL directory can
+    neither be written nor diffed. ``logic_version`` is recorded in the
+    manifest: bump it when ``compute``'s logic changes and every
+    partition goes stale instead of serving results from the old code.
+    Self-repair: manifest entries whose target directory has vanished
+    (a /tmp sweeper, a partial delete) are treated as stale, never as
+    done. Local filesystem for manifest + pruning; on a lake format
+    steps 2-4 are MERGE + snapshot metadata.
 
     Returns ``{"stale", "pruned", "unchanged"}`` partition-value lists.
     """
     import json
     import os
     import shutil
+    from urllib.parse import unquote
 
     if "://" in target_path:
         raise ValueError(
@@ -534,8 +545,9 @@ def backfill_stale_partitions(
             "MERGE/snapshots on object stores."
         )
     cols = list(fingerprint_cols) if fingerprint_cols else source.columns
+    pkey = F.col(partition_col).cast("string")
     fp = (
-        source.groupBy(partition_col)
+        source.groupBy(pkey.alias("__p"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("x"),
@@ -551,48 +563,93 @@ def backfill_stale_partitions(
             "driver-safe. Partition the backfill itself, or raise "
             "max_partitions explicitly."
         )
-    current = {str(r[0]): [r["n"], str(r["x"]), str(r["s"])] for r in fp}
+    if any(r["__p"] is None for r in fp):
+        raise ValueError(
+            f"backfill_stale_partitions: source contains NULL {partition_col!r} "
+            "values — map them to an explicit bucket (e.g. '__null__') upstream; "
+            "a NULL partition can neither be routed by dynamic overwrite nor "
+            "diffed by the manifest."
+        )
+    current = {r["__p"]: [r["n"], str(r["x"]), str(r["s"])] for r in fp}
     manifest_path = os.path.join(target_path, "_backfill_manifest.json")
     previous: dict = {}
     if os.path.exists(manifest_path):
         with open(manifest_path, encoding="utf-8") as f:
             previous = json.load(f)
+    if previous.pop("__logic_version__", None) != logic_version:
+        previous = {}  # compute changed (or pre-version manifest): rebuild all
 
-    stale = sorted(p for p, v in current.items() if previous.get(p) != v)
+    def _part_dirs() -> dict[str, str]:
+        prefix = f"{partition_col}="
+        out: dict[str, str] = {}
+        if os.path.isdir(target_path):
+            for entry in os.listdir(target_path):
+                full = os.path.join(target_path, entry)
+                if os.path.isdir(full) and entry.startswith(prefix):
+                    out[unquote(entry[len(prefix):])] = full
+        return out
+
+    # self-repair: a manifest entry with no surviving directory is NOT
+    # done — unless the entry itself says its output was legitimately
+    # empty (no directory is its correct on-disk form)
+    on_disk = _part_dirs()
+    previous = {
+        p: v for p, v in previous.items() if v.get("empty") or p in on_disk
+    }
+
+    stale = sorted(
+        p for p, v in current.items() if previous.get(p, {}).get("fp") != v
+    )
+    stale_set = set(stale)
     pruned = sorted(p for p in previous if p not in current)
-    unchanged = sorted(p for p in current if p not in stale)
+    unchanged = sorted(p for p in current if p not in stale_set)
 
     if stale:
-        todo = source.filter(F.col(partition_col).cast("string").isin(stale))
+        todo = source.filter(pkey.isin(stale))
         out = compute(todo)
         if partition_col not in out.columns:
             raise ValueError(
                 f"backfill compute() must keep {partition_col!r} in its output "
                 "so dynamic partition overwrite can route rows"
             )
+        out = out.localCheckpoint()  # rewrite must not re-read dirs mid-write
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(target_path)
         )
-    # prune partitions that disappeared from the source (same
-    # Hive-unescape care as propagate_deletes)
-    if pruned:
-        from urllib.parse import unquote
-
-        prefix = f"{partition_col}="
-        doomed = set(pruned)
-        for entry in os.listdir(target_path):
-            full = os.path.join(target_path, entry)
-            if not (os.path.isdir(full) and entry.startswith(prefix)):
-                continue
-            if unquote(entry[len(prefix):]) in doomed:
+        # a stale partition whose recompute yielded ZERO rows writes
+        # nothing under dynamic overwrite — its old directory must go,
+        # or the target serves pre-correction data forever (same sweep
+        # as propagate_deletes)
+        written = {
+            str(r[0])
+            for r in out.select(F.col(partition_col).cast("string")).distinct().collect()
+        }
+        doomed = stale_set - written
+    else:
+        written = set()
+        doomed = set()
+    doomed |= set(pruned)
+    if doomed:
+        for p, full in _part_dirs().items():
+            if p in doomed:
                 shutil.rmtree(full)
-    # manifest last: tmp -> rename
+    # manifest last: tmp -> rename. Each entry carries the source
+    # fingerprint plus whether the partition's correct output is empty
+    # (so self-repair can tell "legitimately no directory" from
+    # "directory lost").
+    entries = {}
+    for p, v in current.items():
+        if p in stale_set:
+            empty = p not in written
+        else:
+            empty = bool(previous.get(p, {}).get("empty"))
+        entries[p] = {"fp": v, "empty": empty}
     os.makedirs(target_path, exist_ok=True)
     tmp = manifest_path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(current, f, sort_keys=True)
+        json.dump({**entries, "__logic_version__": logic_version}, f, sort_keys=True)
     os.replace(tmp, manifest_path)
     return {"stale": stale, "pruned": pruned, "unchanged": unchanged}

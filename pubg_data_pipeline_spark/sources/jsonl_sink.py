@@ -16,13 +16,17 @@ sends.
 Commit protocol (the part worth copying): each task writes its rows to
 ``<path>/.tmp-<uuid>.jsonl`` and returns the name in its commit
 message; the DRIVER's ``commit`` renames every tmp file to
-``part-....jsonl`` only after all tasks succeeded, and ``abort``
+``part-<job>-....jsonl`` only after all tasks succeeded, and ``abort``
 deletes the orphans. Readers that list ``*.jsonl`` therefore see a
 task's output all-or-nothing — the same tmp-then-rename discipline as
 the engine's state swaps (streaming/app.py) and index builds
-(plans/base.ensure_index_cache). The streaming writer prefixes final
-names with the epoch id, so a replayed foreachBatch epoch overwrites
-deterministically instead of duplicating.
+(plans/base.ensure_index_cache). Final names carry a job-unique token,
+so append-mode jobs accumulate (no deterministic-name clobbering);
+overwrite mode sweeps all previously published files inside the same
+commit. The streaming writer sweeps-then-republishes its epoch's
+``batch-<id>-`` files, so a replayed foreachBatch epoch converges even
+if the replay plans a different partition count than the crashed
+attempt.
 
 Scale: one file per task partition, no driver data movement —
 ``commit`` touches only O(tasks) renames. Coalesce upstream if small
@@ -78,15 +82,34 @@ def _discard(path: str, messages) -> None:
             pass
 
 
+def _remove_matching(path: str, prefix: str) -> None:
+    if not os.path.isdir(path):
+        return
+    for entry in os.listdir(path):
+        if entry.startswith(prefix) and entry.endswith(".jsonl"):
+            os.remove(os.path.join(path, entry))
+
+
 class JsonlBatchWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool):
         self.path = options["path"]
+        self.overwrite = overwrite
+        # job-unique token in the FINAL names: append-mode jobs to the
+        # same directory accumulate instead of silently clobbering a
+        # previous job's part-00000 (and a job with fewer partitions
+        # can't leave a stale mix of old high-indexed files)
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         return _write_partition(self.path, iterator)
 
     def commit(self, messages):
-        _publish(self.path, messages, prefix="")
+        if self.overwrite:
+            # truncate semantics: every previously published file goes,
+            # only then does this job's output appear
+            _remove_matching(self.path, "part-")
+            _remove_matching(self.path, "batch-")
+        _publish(self.path, messages, prefix=f"part-{self.job_id}-")
 
     def abort(self, messages):
         _discard(self.path, messages)
@@ -100,9 +123,11 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         return _write_partition(self.path, iterator)
 
     def commit(self, messages, batchId):
-        # epoch-prefixed names: a replayed epoch re-publishes the SAME
-        # final names (os.replace overwrites), so at-least-once
-        # foreachBatch delivery stays idempotent on disk
+        # epoch replay idempotence must hold even when the replay plans
+        # FEWER partitions than the crashed attempt: sweep every file
+        # of this epoch before publishing, then republish — downstream
+        # readers keyed on batch-<id>- see exactly one attempt's output
+        _remove_matching(self.path, f"batch-{batchId:08d}-")
         _publish(self.path, messages, prefix=f"batch-{batchId:08d}-")
 
     def abort(self, messages, batchId):
@@ -119,7 +144,7 @@ class JsonlSink(DataSource):
         return "jsonl_rows"
 
     def writer(self, schema, overwrite):
-        return JsonlBatchWriter(self.options)
+        return JsonlBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite):
         return JsonlStreamWriter(self.options)

@@ -116,3 +116,58 @@ def test_guards(spark, tmp_path):
             "day",
             lambda df: df.groupBy().agg(F.count(F.lit(1)).alias("n")),
         )
+
+
+def test_zero_row_recompute_prunes_and_stays_settled(spark, tmp_path):
+    """A correction that empties a day's rollup must remove the old
+    directory (not serve pre-correction data), and the 'legitimately
+    empty' state must not re-stale forever."""
+    target = str(tmp_path / "daily")
+
+    def positive_rollup(df):
+        return _rollup(df.where(F.col("value") > 0))
+
+    backfill_stale_partitions(spark, _source(spark, _BASE), target, "day", positive_rollup)
+    assert "2024-01-03" in _read_rollup(spark, target)
+
+    corrected = [r if r[0] != "2024-01-03" else ("2024-01-03", 3, -1.0) for r in _BASE]
+    rep = backfill_stale_partitions(
+        spark, _source(spark, corrected), target, "day", positive_rollup
+    )
+    assert rep["stale"] == ["2024-01-03"]
+    assert not os.path.exists(os.path.join(target, "day=2024-01-03"))
+    assert "2024-01-03" not in _read_rollup(spark, target)
+    # settled: the empty day does not loop back to stale
+    rep2 = backfill_stale_partitions(
+        spark, _source(spark, corrected), target, "day", positive_rollup
+    )
+    assert rep2["stale"] == []
+
+
+def test_vanished_target_dir_self_repairs(spark, tmp_path):
+    import shutil
+
+    target = str(tmp_path / "daily")
+    backfill_stale_partitions(spark, _source(spark, _BASE), target, "day", _rollup)
+    shutil.rmtree(os.path.join(target, "day=2024-01-02"))  # /tmp sweeper
+    rep = backfill_stale_partitions(spark, _source(spark, _BASE), target, "day", _rollup)
+    assert rep["stale"] == ["2024-01-02"]
+    assert _read_rollup(spark, target)["2024-01-02"] == (1, 7.0)
+
+
+def test_logic_version_bump_rebuilds_everything(spark, tmp_path):
+    target = str(tmp_path / "daily")
+    src = _source(spark, _BASE)
+    backfill_stale_partitions(spark, src, target, "day", _rollup, logic_version="v1")
+    rep = backfill_stale_partitions(spark, src, target, "day", _rollup, logic_version="v2")
+    assert len(rep["stale"]) == 3
+    rep2 = backfill_stale_partitions(spark, src, target, "day", _rollup, logic_version="v2")
+    assert rep2["stale"] == []
+
+
+def test_null_partition_value_fails_fast(spark, tmp_path):
+    rows = _BASE + [(None, 7, 3.0)]
+    with pytest.raises(ValueError, match="NULL"):
+        backfill_stale_partitions(
+            spark, _source(spark, rows), str(tmp_path / "t"), "day", _rollup
+        )

@@ -78,3 +78,33 @@ def test_timestamps_serialize_stringly(spark, tmp_path):
     with open(path) as f:
         row = json.loads(f.readline())
     assert row["k"] == 1 and row["ts"].startswith("2024-01-01 10:00:00")
+
+
+def test_append_mode_accumulates_across_jobs(spark, tmp_path):
+    _register(spark)
+    out = str(tmp_path / "acc")
+    df1 = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    df2 = spark.createDataFrame([(2,)], "id long").coalesce(1)
+    df1.write.format("jsonl_rows").mode("append").option("path", out).save()
+    df2.write.format("jsonl_rows").mode("append").option("path", out).save()
+    ids = []
+    for p in glob.glob(os.path.join(out, "part-*.jsonl")):
+        with open(p) as f:
+            ids += [json.loads(line)["id"] for line in f if line.strip()]
+    assert sorted(ids) == [1, 2]
+
+
+def test_overwrite_mode_truncates_previous_jobs(spark, tmp_path):
+    _register(spark)
+    out = str(tmp_path / "trunc")
+    spark.createDataFrame([(1,), (2,)], "id long").repartition(2).write.format(
+        "jsonl_rows"
+    ).mode("append").option("path", out).save()
+    spark.createDataFrame([(9,)], "id long").coalesce(1).write.format(
+        "jsonl_rows"
+    ).mode("overwrite").option("path", out).save()
+    ids = []
+    for p in glob.glob(os.path.join(out, "part-*.jsonl")):
+        with open(p) as f:
+            ids += [json.loads(line)["id"] for line in f if line.strip()]
+    assert ids == [9]
