@@ -165,6 +165,7 @@ HEADLINE = [
     "sliding_3h_distinct_users",
     "doc_token_counts_arrow",
     "events_daily_backfill",
+    "corpus_data_card",
 ]
 
 

@@ -1176,7 +1176,66 @@ GROUP BY 1
 """
 
 
+
+
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release data card in one row — the summary table that ships
+    with a dataset release (docs/sources/languages, size in chars and
+    whitespace tokens, length distribution anchors, exact-dup rate).
+    Everything a consumer reads before deciding to train on the corpus,
+    produced by ONE aggregation pass over the scan (token counts and
+    fingerprints are per-row expressions; the only second phase is the
+    two distinct counters Spark plans as expand+partial-agg).
+
+    Determinism: counts and sums are exact integers; mean derives from
+    those sums with one double division; median interpolates the same
+    way in both engines over exact integer n_chars; dup rate divides
+    two exact counts. All rounded well above float noise."""
+    from pubg_data_pipeline_spark.functions.text import text_stats_columns
+
+    docs = _docs(spark, sf_dir)
+    n_tok = text_stats_columns(F.col("text"))["n_tokens"]
+    agged = docs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(n_tok.cast("long")).alias("total_ws_tokens"),
+        F.median("n_chars").alias("med"),
+        F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+    )
+    return agged.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        F.round(100.0 * F.col("n_en") / F.col("n_docs"), 2).alias("pct_en"),
+        "total_chars",
+        F.round(F.col("total_chars") / F.col("n_docs"), 2).alias("mean_chars"),
+        F.round(F.col("med"), 1).alias("median_chars"),
+        "total_ws_tokens",
+        F.round(1.0 - F.col("n_unique_texts") / F.col("n_docs"), 4).alias("exact_dup_rate"),
+    )
+
+
+_DATA_CARD_SQL = r"""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT lang) AS n_langs,
+       ROUND(100.0 * COUNT(*) FILTER (lang = 'en') / COUNT(*), 2) AS pct_en,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS mean_chars,
+       ROUND(MEDIAN(n_chars), 1) AS median_chars,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+         AS total_ws_tokens,
+       ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4) AS exact_dup_rate
+FROM documents
+"""
+
+
 SPECS = [
+    QuerySpec("corpus_data_card", corpus_data_card, _DATA_CARD_SQL, ("llm", "curation", "agg")),
     QuerySpec("bpe_merge_candidates", bpe_merge_candidates, _BPE_SQL, ("llm", "tokenizer")),
     QuerySpec("doc_bpe_encode", doc_bpe_encode, None, ("llm", "tokenizer", "udf")),
     QuerySpec(
