@@ -1191,10 +1191,10 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     those sums with one double division; median interpolates the same
     way in both engines over exact integer n_chars; dup rate divides
     two exact counts. All rounded well above float noise."""
-    from pubg_data_pipeline_spark.functions.text import text_stats_columns
+    from pubg_data_pipeline_spark.functions.text import token_count
 
     docs = _docs(spark, sf_dir)
-    n_tok = text_stats_columns(F.col("text"))["n_tokens"]
+    n_tok = token_count(F.col("text"))
     agged = docs.groupBy().agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("source").alias("n_sources"),

@@ -575,9 +575,13 @@ def backfill_stale_partitions(
     previous: dict = {}
     if os.path.exists(manifest_path):
         with open(manifest_path, encoding="utf-8") as f:
-            previous = json.load(f)
-    if previous.pop("__logic_version__", None) != logic_version:
-        previous = {}  # compute changed (or pre-version manifest): rebuild all
+            doc = json.load(f)
+        # nested layout: version and partition entries never share a
+        # namespace (a partition literally VALUED '__logic_version__'
+        # must not collide with metadata)
+        if doc.get("version") == logic_version:
+            previous = doc.get("partitions", {})
+        # else: compute changed (or pre-nesting manifest): rebuild all
 
     def _part_dirs() -> dict[str, str]:
         prefix = f"{partition_col}="
@@ -627,6 +631,18 @@ def backfill_stale_partitions(
             str(r[0])
             for r in out.select(F.col(partition_col).cast("string")).distinct().collect()
         }
+        # spelling-drift guard: compute() must emit partition values in
+        # the SAME string spelling the source fingerprints use (e.g. a
+        # re-derived day formatted differently would mark every stale
+        # partition 'empty' and silently disable its self-repair)
+        drifted = written - stale_set
+        if drifted:
+            raise ValueError(
+                "backfill compute() emitted partition values outside the stale "
+                f"set — spelling drift between source and output for "
+                f"{partition_col!r}: {sorted(drifted)[:5]} not in the stale "
+                "keys. Emit the partition column verbatim from the source."
+            )
         doomed = stale_set - written
     else:
         written = set()
@@ -650,6 +666,6 @@ def backfill_stale_partitions(
     os.makedirs(target_path, exist_ok=True)
     tmp = manifest_path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({**entries, "__logic_version__": logic_version}, f, sort_keys=True)
+        json.dump({"version": logic_version, "partitions": entries}, f, sort_keys=True)
     os.replace(tmp, manifest_path)
     return {"stale": stale, "pruned": pruned, "unchanged": unchanged}

@@ -82,12 +82,14 @@ def _discard(path: str, messages) -> None:
             pass
 
 
-def _remove_matching(path: str, prefix: str) -> None:
+def _published_files(path: str) -> list[str]:
     if not os.path.isdir(path):
-        return
-    for entry in os.listdir(path):
-        if entry.startswith(prefix) and entry.endswith(".jsonl"):
-            os.remove(os.path.join(path, entry))
+        return []
+    return [
+        e
+        for e in os.listdir(path)
+        if e.endswith(".jsonl") and not e.startswith(".tmp-")
+    ]
 
 
 class JsonlBatchWriter(DataSourceWriter):
@@ -104,31 +106,48 @@ class JsonlBatchWriter(DataSourceWriter):
         return _write_partition(self.path, iterator)
 
     def commit(self, messages):
+        # PUBLISH FIRST, then truncate: a crash anywhere in this method
+        # leaves either the old output intact (before any rename) or a
+        # transient old+new union (mid-truncate) — never an emptied
+        # delivery directory, which remove-first ordering would risk.
+        prefix = f"part-{self.job_id}-"
+        _publish(self.path, messages, prefix=prefix)
         if self.overwrite:
-            # truncate semantics: every previously published file goes,
-            # only then does this job's output appear
-            _remove_matching(self.path, "part-")
-            _remove_matching(self.path, "batch-")
-        _publish(self.path, messages, prefix=f"part-{self.job_id}-")
+            for entry in _published_files(self.path):
+                if not entry.startswith(prefix):
+                    os.remove(os.path.join(self.path, entry))
 
     def abort(self, messages):
         _discard(self.path, messages)
 
 
 class JsonlStreamWriter(DataSourceStreamWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator):
         return _write_partition(self.path, iterator)
 
     def commit(self, messages, batchId):
-        # epoch replay idempotence must hold even when the replay plans
-        # FEWER partitions than the crashed attempt: sweep every file
-        # of this epoch before publishing, then republish — downstream
-        # readers keyed on batch-<id>- see exactly one attempt's output
-        _remove_matching(self.path, f"batch-{batchId:08d}-")
-        _publish(self.path, messages, prefix=f"batch-{batchId:08d}-")
+        # os.replace onto the SAME final names keeps a replayed epoch
+        # atomic per file (a reader never sees a committed file vanish);
+        # a replay that plans FEWER partitions then sweeps only the
+        # crashed attempt's higher-indexed leftovers. Complete-output
+        # streams (overwrite=True) additionally retire every OLDER
+        # epoch's files after publishing — snapshot semantics, with the
+        # same publish-first crash ordering as the batch writer.
+        prefix = f"batch-{batchId:08d}-"
+        _publish(self.path, messages, prefix=prefix)
+        for entry in _published_files(self.path):
+            full = os.path.join(self.path, entry)
+            if entry.startswith(prefix):
+                # leftover indices beyond this attempt's partition count
+                idx = entry[len(prefix) + len("part-"):].split(".")[0]
+                if idx.isdigit() and int(idx) >= len(messages):
+                    os.remove(full)
+            elif self.overwrite:
+                os.remove(full)
 
     def abort(self, messages, batchId):
         _discard(self.path, messages)
@@ -147,4 +166,4 @@ class JsonlSink(DataSource):
         return JsonlBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite):
-        return JsonlStreamWriter(self.options)
+        return JsonlStreamWriter(self.options, overwrite)

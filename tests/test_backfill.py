@@ -171,3 +171,28 @@ def test_null_partition_value_fails_fast(spark, tmp_path):
         backfill_stale_partitions(
             spark, _source(spark, rows), str(tmp_path / "t"), "day", _rollup
         )
+
+
+def test_compute_spelling_drift_fails_fast(spark, tmp_path):
+    """compute() must emit partition values verbatim — a re-derived
+    spelling would silently mark real partitions 'empty' and disable
+    their self-repair."""
+
+    def drifting_rollup(df):
+        return _rollup(df).withColumn(
+            "day", F.concat(F.lit("D"), F.col("day"))
+        )
+
+    with pytest.raises(ValueError, match="spelling drift"):
+        backfill_stale_partitions(
+            spark, _source(spark, _BASE), str(tmp_path / "t"), "day", drifting_rollup
+        )
+
+
+def test_partition_named_like_version_key_does_not_collide(spark, tmp_path):
+    rows = [("__logic_version__", 1, 2.0), ("2024-01-01", 2, 3.0)]
+    target = str(tmp_path / "weird")
+    rep = backfill_stale_partitions(spark, _source(spark, rows), target, "day", _rollup)
+    assert sorted(rep["stale"]) == ["2024-01-01", "__logic_version__"]
+    rep2 = backfill_stale_partitions(spark, _source(spark, rows), target, "day", _rollup)
+    assert rep2["stale"] == []  # no perpetual re-staleness

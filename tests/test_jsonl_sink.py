@@ -108,3 +108,69 @@ def test_overwrite_mode_truncates_previous_jobs(spark, tmp_path):
         with open(p) as f:
             ids += [json.loads(line)["id"] for line in f if line.strip()]
     assert ids == [9]
+
+
+def test_complete_mode_stream_keeps_only_latest_snapshot(spark, tmp_path):
+    _register(spark)
+    src = tmp_path / "snap_src"
+    src.mkdir()
+    (src / "b0.json").write_text(json.dumps({"k": "a", "v": 1}))
+    out = str(tmp_path / "snap_out")
+    raw = spark.readStream.schema("k string, v long").json(str(src))
+    agg = raw.groupBy("k").count()
+    q = (
+        agg.writeStream.format("jsonl_rows")
+        .outputMode("complete")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "snap_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b1.json").write_text(json.dumps({"k": "a", "v": 2}))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = glob.glob(os.path.join(out, "*.jsonl"))
+    epochs = {os.path.basename(p).split("-part-")[0] for p in files}
+    assert len(epochs) == 1, f"stale epochs kept: {sorted(epochs)}"
+    rows = []
+    for p in files:
+        with open(p) as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    assert rows == [{"count": 2, "k": "a"}]
+
+
+def test_epoch_replay_with_fewer_partitions_sweeps_leftovers(tmp_path):
+    """Drive the stream commit protocol directly: attempt 1 of epoch 7
+    published 3 part files; the replay plans 2 partitions — the stale
+    third file must go, and the two replacements must land atomically
+    under the SAME names."""
+    from pubg_data_pipeline_spark.sources.jsonl_sink import (
+        JsonlStreamWriter,
+        _write_partition,
+    )
+
+    out = str(tmp_path / "replay")
+
+    class Row:
+        def __init__(self, i):
+            self.i = i
+
+        def asDict(self, recursive=False):
+            return {"i": self.i}
+
+    w = JsonlStreamWriter({"path": out}, overwrite=False)
+    first = [_write_partition(out, iter([Row(i)])) for i in range(3)]
+    w.commit(first, batchId=7)
+    assert len(glob.glob(os.path.join(out, "batch-00000007-part-*.jsonl"))) == 3
+
+    second = [_write_partition(out, iter([Row(10 + i)])) for i in range(2)]
+    w.commit(second, batchId=7)
+    files = sorted(glob.glob(os.path.join(out, "batch-00000007-part-*.jsonl")))
+    assert len(files) == 2
+    ids = []
+    for p in files:
+        with open(p) as f:
+            ids += [json.loads(line)["i"] for line in f if line.strip()]
+    assert sorted(ids) == [10, 11]
