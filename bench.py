@@ -166,6 +166,7 @@ HEADLINE = [
     "doc_token_counts_arrow",
     "events_daily_backfill",
     "corpus_data_card",
+    "part_entity_resolution",
 ]
 
 

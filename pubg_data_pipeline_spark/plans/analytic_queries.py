@@ -167,6 +167,63 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution, composed from the engine's own
+    operator kit: blocked fuzzy matching (fuzzy_blocked_pairs — the
+    lossless brand+length blocking) feeds connected components
+    (operators/graph.py pointer jumping, O(log d) rounds), and every
+    part gets a canonical id = min partkey of its fuzzy cluster, with
+    the cluster size alongside. Parts with no fuzzy neighbor
+    canonicalize to themselves. This is the master-data "same real
+    entity, different spellings" pipeline; transitive chains (A~B,
+    B~C, A!~C) collapse correctly, which pairwise matching alone
+    cannot do. Oracle closes the identical pair set with a recursive
+    transitive-closure CTE."""
+    from pubg_data_pipeline_spark.operators.graph import connected_components
+
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    pairs = relational.fuzzy_blocked_pairs(
+        parts, id_col="p_partkey", block_col="p_brand", text_col="p_name", max_dist=2
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    canon = parts.join(comp, parts["p_partkey"] == comp["node"], "left").select(
+        "p_partkey",
+        F.coalesce(F.col("component"), F.col("p_partkey")).alias("canonical_id"),
+    )
+    sizes = canon.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return canon.join(F.broadcast(sizes), "canonical_id").select(
+        "p_partkey", "canonical_id", "cluster_size"
+    )
+
+
+_ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT node, MIN(r) AS component FROM reach GROUP BY node
+), canon AS (
+  SELECT p.p_partkey, COALESCE(c.component, p.p_partkey) AS canonical_id
+  FROM part p LEFT JOIN comp c ON p.p_partkey = c.node
+)
+SELECT p_partkey, canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+FROM canon
+"""
+
+
 def _drop_stale_managed_location(spark: SparkSession, *tables: str) -> None:
     """Remove warehouse directories left by a PREVIOUS process for
     managed tables the current in-memory catalog doesn't know — else
@@ -378,6 +435,12 @@ SPECS = [
     QuerySpec("region_nation_roster", region_nation_roster, _ROSTER_SQL, ("agg",)),
     QuerySpec("customer_order_span", customer_order_span, _SPAN_SQL, ("window",)),
     QuerySpec("part_name_fuzzy_pairs", part_name_fuzzy_pairs, _FUZZY_SQL, ("join", "text")),
+    QuerySpec(
+        "part_entity_resolution",
+        part_entity_resolution,
+        _ENTITY_RESOLUTION_SQL,
+        ("join", "text", "graph"),
+    ),
     QuerySpec(
         "bucketed_segment_order_stats", bucketed_segment_order_stats, _BUCKETED_SQL, ("join", "io")
     ),
