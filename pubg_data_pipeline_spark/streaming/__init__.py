@@ -1,3 +1,21 @@
-from pubg_data_pipeline_spark.streaming import app, etl, metrics, sinks, sources, stateful
+from pubg_data_pipeline_spark.streaming import (
+    app,
+    etl,
+    metrics,
+    monitor,
+    sinks,
+    sources,
+    state_inspect,
+    stateful,
+)
 
-__all__ = ["app", "etl", "metrics", "sinks", "sources", "stateful"]
+__all__ = [
+    "app",
+    "etl",
+    "metrics",
+    "monitor",
+    "sinks",
+    "sources",
+    "state_inspect",
+    "stateful",
+]
