@@ -192,7 +192,17 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out identical to row-level clustering: every row's rep is the min
     # partkey of its spelling, so the component min over reps IS the
     # min partkey of the whole fuzzy cluster.
-    reps = parts.groupBy("p_brand", "p_name").agg(F.min("p_partkey").alias("rep_id"))
+    # NULL brand/name rows can never fuzzy-match (levenshtein of NULL is
+    # NULL on both engines, so the oracle pairs nothing) — they bypass
+    # the dictionary and canonicalize to themselves, instead of being
+    # silently dropped by the equi-join back onto (brand, name).
+    named = parts.where(F.col("p_brand").isNotNull() & F.col("p_name").isNotNull())
+    anon = parts.where(F.col("p_brand").isNull() | F.col("p_name").isNull()).select(
+        "p_partkey",
+        F.col("p_partkey").alias("canonical_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    reps = named.groupBy("p_brand", "p_name").agg(F.min("p_partkey").alias("rep_id"))
     rep_pairs = relational.fuzzy_blocked_pairs(
         reps, id_col="rep_id", block_col="p_brand", text_col="p_name", max_dist=2
     )
@@ -200,7 +210,7 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     canon = (
-        parts.join(reps, ["p_brand", "p_name"])
+        named.join(reps, ["p_brand", "p_name"])
         .join(comp, F.col("rep_id") == comp["node"], "left")
         .select(
             "p_partkey",
@@ -214,7 +224,7 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("canonical_id")
     return canon.select(
         "p_partkey", "canonical_id", F.count(F.lit(1)).over(w).alias("cluster_size")
-    )
+    ).unionByName(anon)
 
 
 _ENTITY_RESOLUTION_SQL = """

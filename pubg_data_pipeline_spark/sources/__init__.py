@@ -1,4 +1,4 @@
-from pubg_data_pipeline_spark.sources import io, jsonl_sink, rest_source, schemas
+from pubg_data_pipeline_spark.sources import io, jsonl_sink, rest_source, schemas, snapshots
 from pubg_data_pipeline_spark.sources.tables import TABLES, load_table, load_tables, register_views
 
 __all__ = [
@@ -10,4 +10,5 @@ __all__ = [
     "register_views",
     "rest_source",
     "schemas",
+    "snapshots",
 ]

@@ -694,7 +694,10 @@ def warehouse_fsck(root: str, max_findings: int = 10_000) -> list[dict]:
 
     Pure local-filesystem walk, no Spark session needed: run it from a
     cron or the driver between jobs. Findings are capped (the sweep is
-    a diagnostic, not a dump); each is ``{"kind", "path"}``."""
+    a diagnostic, not a dump); each is ``{"kind", "path"}``. A flagged
+    tmp/aside DIRECTORY is reported once and not descended into — its
+    interior residue is covered by the one finding, so nested noise
+    can't burn the cap."""
     import os
 
     findings: list[dict] = []
@@ -702,6 +705,19 @@ def warehouse_fsck(root: str, max_findings: int = 10_000) -> list[dict]:
     def add(kind: str, path: str) -> bool:
         findings.append({"kind": kind, "path": path})
         return len(findings) >= max_findings
+
+    def _is_tmp(name: str) -> bool:
+        # every tmp spelling the engine's protocols produce:
+        #   *.tmp            (manifest swaps: io.py, plans/base.py)
+        #   *.tmp-<epoch>    (state epoch publishes: streaming/app.py)
+        #   *.tmp-compact    (state compactions: streaming/app.py)
+        #   *-tmp            (compact_parquet's {path}.compact-tmp)
+        #   .tmp-<uuid>.*    (jsonl sink task files)
+        return (
+            name.endswith(".tmp")
+            or name.endswith("-tmp")
+            or ".tmp-" in name
+        )
 
     for dirpath, dirnames, filenames in os.walk(root):
         base = os.path.basename(dirpath)
@@ -711,12 +727,40 @@ def warehouse_fsck(root: str, max_findings: int = 10_000) -> list[dict]:
             # markers; the _SUCCESS lives at the table root
             if add("uncommitted_parquet", dirpath):
                 return findings
+        if "=" not in base and not has_parquet and "_SUCCESS" not in filenames:
+            # PARTITIONED table root of a dead write: parquet lives only
+            # inside col=value children, so the root itself holds no
+            # data files — check one level down for partition dirs that
+            # do contain parquet while the root lacks its marker
+            for child in dirnames:
+                if "=" not in child:
+                    continue
+                try:
+                    entries = os.listdir(os.path.join(dirpath, child))
+                except OSError:
+                    continue
+                if any(e.endswith(".parquet") for e in entries):
+                    if add("uncommitted_parquet", dirpath):
+                        return findings
+                    break
         if "=" in base and not filenames and not dirnames:
             if add("empty_partition_dir", dirpath):
                 return findings
-        for name in list(dirnames) + filenames:
+        keep_dirs = []
+        for name in dirnames:
             full = os.path.join(dirpath, name)
-            if name.endswith(".tmp") or name.startswith(".tmp-"):
+            if _is_tmp(name):
+                if add("tmp_orphan", full):
+                    return findings
+            elif name.endswith(".old"):
+                if add("aside_orphan", full):
+                    return findings
+            else:
+                keep_dirs.append(name)
+        dirnames[:] = keep_dirs  # don't descend into flagged residue
+        for name in filenames:
+            full = os.path.join(dirpath, name)
+            if _is_tmp(name):
                 if add("tmp_orphan", full):
                     return findings
             elif name.endswith(".old"):

@@ -196,3 +196,36 @@ def test_partition_named_like_version_key_does_not_collide(spark, tmp_path):
     assert sorted(rep["stale"]) == ["2024-01-01", "__logic_version__"]
     rep2 = backfill_stale_partitions(spark, _source(spark, rows), target, "day", _rollup)
     assert rep2["stale"] == []  # no perpetual re-staleness
+
+
+def test_entity_resolution_keeps_null_name_rows(spark):
+    """part_entity_resolution: NULL brand/name rows canonicalize to
+    themselves (the oracle's levenshtein(NULL, x) pairs nothing) —
+    they must not vanish at the dictionary join."""
+    from pubg_data_pipeline_spark.plans.analytic_queries import part_entity_resolution
+    import pubg_data_pipeline_spark.sources.tables as tables
+
+    rows = [
+        (1, "B1", "alpha widget"),
+        (2, "B1", "alpha widgel"),  # dist 1 -> clusters with 1
+        (3, "B1", None),
+        (4, None, "alpha widget"),
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_brand string, p_name string")
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, d, name: df
+        # plans module imported load_table by reference at module level
+        import pubg_data_pipeline_spark.plans.analytic_queries as aq
+
+        orig_aq = aq.load_table
+        aq.load_table = lambda s, d, name: df
+        try:
+            out = {r.p_partkey: (r.canonical_id, r.cluster_size)
+                   for r in part_entity_resolution(spark, "/ignored").collect()}
+        finally:
+            aq.load_table = orig_aq
+    finally:
+        tables.load_table = orig
+    assert out[1] == (1, 2) and out[2] == (1, 2)
+    assert out[3] == (3, 1) and out[4] == (4, 1)

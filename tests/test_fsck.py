@@ -50,3 +50,39 @@ def test_fsck_clean_tree_is_silent_and_cap_respected(tmp_path):
     for i in range(20):
         _mk(tmp_path, f"junk/.tmp-{i}.jsonl", content="{}")
     assert len(warehouse_fsck(str(tmp_path), max_findings=5)) == 5
+
+
+def test_fsck_catches_every_engine_tmp_spelling(tmp_path):
+    """The protocols' actual spellings: epoch publishes, compactions,
+    the compact_parquet swap — plus no descent into flagged residue."""
+    spellings = [
+        "state.json.tmp-42",        # epoch publish (streaming/app.py)
+        "grams.tmp-compact",        # state compaction
+        "daily.compact-tmp",        # compact_parquet swap dir
+        "manifest.json.tmp",        # tmp-then-rename manifest
+        ".tmp-deadbeef.jsonl",      # jsonl sink task file
+    ]
+    for s in spellings:
+        _mk(tmp_path, f"w/{s}", content="x")
+    big_old = tmp_path / "w" / "rollup.old" / "day=2024-01-01"
+    big_old.mkdir(parents=True)
+    (tmp_path / "w" / "rollup.old" / "part-0.parquet").write_text("x")
+
+    found = warehouse_fsck(str(tmp_path / "w"))
+    tmp_hits = {os.path.basename(f["path"]) for f in found if f["kind"] == "tmp_orphan"}
+    assert tmp_hits == set(spellings)
+    # the .old tree is ONE aside finding — interior residue not re-reported
+    kinds = [f["kind"] for f in found]
+    assert kinds.count("aside_orphan") == 1
+    assert "uncommitted_parquet" not in kinds
+    assert "empty_partition_dir" not in kinds
+
+
+def test_fsck_flags_dead_partitioned_write(tmp_path):
+    _mk(tmp_path, "ptable/day=2024-01-01/part-0.parquet", content="x")
+    found = warehouse_fsck(str(tmp_path))
+    assert {f["kind"] for f in found} == {"uncommitted_parquet"}
+    assert found[0]["path"].endswith("ptable")
+    # committed twin is silent
+    _mk(tmp_path, "ptable/_SUCCESS")
+    assert warehouse_fsck(str(tmp_path)) == []
