@@ -167,6 +167,7 @@ HEADLINE = [
     "events_daily_backfill",
     "corpus_data_card",
     "part_entity_resolution",
+    "user_modal_event_type",
 ]
 
 

@@ -541,12 +541,46 @@ FROM names GROUP BY p_brand
 """
 
 
+def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group — the argmax-over-aggregate shape:
+    two hash aggregates (per-(user, type) counts, then min_by over the
+    composite ordering (-n, type)), never a window over raw rows.
+    Built-in ``mode()`` is nondeterministic on ties in BOTH engines, so
+    the tie is pinned explicitly: highest count, then lexically
+    smallest type — cross-engine reproducible, which is the whole
+    point of a modal feature that feeds training data."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    ord_key = F.struct((-F.col("n")).alias("nn"), F.col("event_type"))
+    return counts.groupBy("user_id").agg(
+        F.min_by("event_type", ord_key).alias("modal_type"),
+        F.max("n").alias("modal_n"),
+    )
+
+
+_MODAL_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT user_id, event_type AS modal_type, n AS modal_n FROM r WHERE rk = 1
+"""
+
+
 SPECS = [
     QuerySpec("event_type_pivot", event_type_pivot, _PIVOT_SQL, ("reshape",)),
     QuerySpec("event_try_arithmetic", event_try_arithmetic, _TRY_SQL, ("expr", "types")),
     QuerySpec(
         "part_name_collation_counts", part_name_collation_counts, _COLLATION_SQL, ("expr", "types")
     ),
+    QuerySpec("user_modal_event_type", user_modal_event_type, _MODAL_SQL, ("agg",)),
     QuerySpec("props_variant_extract", props_variant_extract, _VARIANT_SQL, ("semi", "types")),
     QuerySpec("top2_orders_lateral", top2_orders_lateral, _LATERAL_SQL, ("sql", "window")),
     QuerySpec("lineitem_measures_unpivot", lineitem_measures_unpivot, _UNPIVOT_SQL, ("reshape",)),
