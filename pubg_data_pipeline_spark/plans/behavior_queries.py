@@ -864,16 +864,30 @@ def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_local = Window.partitionBy("event_type", "bkt").orderBy(
         F.col("x").asc(), F.col("user_id").asc()
     )
+    # The rank-weighted sum is O(n^2 * x) per event_type: at 10^9 users
+    # x cents it overflows int64 (ANSI mode raises) long before 100 TB.
+    # Both product legs are widened to decimal(38,0) BEFORE summing —
+    # rank/offset bounded by 10^12 rows per group, cents by 10^25 —
+    # exact integer arithmetic end to end; only the final division is
+    # floating point.
     per_bucket = (
         bucketed.withColumn("i", F.row_number().over(w_local))
         .groupBy("event_type", "bkt")
-        .agg(F.sum(F.col("i") * F.col("x")).alias("s1"))
+        .agg(
+            F.sum(
+                F.col("i").cast("decimal(12,0)") * F.col("x").cast("decimal(25,0)")
+            ).alias("s1")
+        )
     )
     per_type = (
         per_bucket.join(F.broadcast(offsets), ["event_type", "bkt"])
         .groupBy("event_type")
         .agg(
-            F.sum(F.col("s1") + F.col("off") * F.col("sx")).alias("s"),
+            F.sum(
+                F.col("s1")
+                + F.col("off").cast("decimal(12,0)")
+                * F.col("sx").cast("decimal(25,0)")
+            ).alias("s"),
             F.sum("n_b").alias("n_users"),
             F.sum("sx").alias("t"),
         )
@@ -881,7 +895,8 @@ def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini = F.when(
         (F.col("t") > 0) & (F.col("n_users") > 0),
         F.round(
-            2.0 * F.col("s") / (F.col("n_users") * F.col("t"))
+            2.0 * F.col("s").cast("double")
+            / (F.col("n_users").cast("double") * F.col("t").cast("double"))
             - (F.col("n_users") + 1.0) / F.col("n_users"),
             6,
         ),

@@ -1282,8 +1282,14 @@ def event_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     gamma function, out of SQL scope both engines); the statistic +
     dof are the distributed part."""
     ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL is load-bearing, not defensive: the grid completes
+    # from collect_set('h') which silently drops a NULL hour, while a
+    # SQL SELECT DISTINCT keeps NULL as a grid row — with NULL ts the
+    # two engines would diverge in both chi2_stat and dof. A NULL hour
+    # is not a category of the test anyway; pin the exclusion in BOTH
+    # engines (oracle filters too).
     observed = (
-        ev.where(F.col("event_type").isNotNull())
+        ev.where(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
         .groupBy("event_type", F.hour("ts").alias("h"))
         .agg(F.count(F.lit(1)).cast("double").alias("o"))
     )
@@ -1326,7 +1332,8 @@ def event_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHI2_SQL = """
 WITH observed AS (
   SELECT event_type, EXTRACT(HOUR FROM ts) AS h, CAST(COUNT(*) AS DOUBLE) AS o
-  FROM events WHERE event_type IS NOT NULL GROUP BY event_type, EXTRACT(HOUR FROM ts)
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, EXTRACT(HOUR FROM ts)
 ),
 cell AS (
   SELECT g.event_type, g.h, COALESCE(observed.o, 0.0) AS o

@@ -617,6 +617,28 @@ def backfill_stale_partitions(
                 "so dynamic partition overwrite can route rows"
             )
         out = out.localCheckpoint()  # rewrite must not re-read dirs mid-write
+        written = {
+            str(r[0])
+            for r in out.select(F.col(partition_col).cast("string")).distinct().collect()
+        }
+        # spelling-drift guard, checked BEFORE publishing: compute()
+        # must emit partition values in the SAME string spelling the
+        # source fingerprints use (e.g. a re-derived day formatted
+        # differently would mark every stale partition 'empty' and
+        # silently disable its self-repair). Raising after the write
+        # would already have published drifted `col=value` directories
+        # that are in no manifest — untracked data the prune path can
+        # never remove but a direct reader can see. The checkpoint above
+        # makes this pre-write collect a cheap scan of materialized
+        # output, not a recompute.
+        drifted = written - stale_set
+        if drifted:
+            raise ValueError(
+                "backfill compute() emitted partition values outside the stale "
+                f"set — spelling drift between source and output for "
+                f"{partition_col!r}: {sorted(drifted)[:5]} not in the stale "
+                "keys. Emit the partition column verbatim from the source."
+            )
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -627,22 +649,6 @@ def backfill_stale_partitions(
         # nothing under dynamic overwrite — its old directory must go,
         # or the target serves pre-correction data forever (same sweep
         # as propagate_deletes)
-        written = {
-            str(r[0])
-            for r in out.select(F.col(partition_col).cast("string")).distinct().collect()
-        }
-        # spelling-drift guard: compute() must emit partition values in
-        # the SAME string spelling the source fingerprints use (e.g. a
-        # re-derived day formatted differently would mark every stale
-        # partition 'empty' and silently disable its self-repair)
-        drifted = written - stale_set
-        if drifted:
-            raise ValueError(
-                "backfill compute() emitted partition values outside the stale "
-                f"set — spelling drift between source and output for "
-                f"{partition_col!r}: {sorted(drifted)[:5]} not in the stale "
-                "keys. Emit the partition column verbatim from the source."
-            )
         doomed = stale_set - written
     else:
         written = set()

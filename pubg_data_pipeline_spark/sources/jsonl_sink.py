@@ -31,6 +31,14 @@ attempt.
 Scale: one file per task partition, no driver data movement —
 ``commit`` touches only O(tasks) renames. Coalesce upstream if small
 files matter; the sink deliberately does not merge.
+
+Filesystem contract: tasks write tmp files with plain ``os`` calls on
+the EXECUTORS and the driver commits with ``os.replace`` — the path
+must therefore be a filesystem shared between driver and executors
+(single machine, or NFS-style mount). Remote ``scheme://`` URIs are
+rejected up front (same guard as backfill_stale_partitions /
+propagate_deletes); on an object store use a lake format's
+transactional sinks instead.
 """
 
 from __future__ import annotations
@@ -45,6 +53,21 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     WriterCommitMessage,
 )
+
+
+def _require_local_path(path: str) -> str:
+    # Driver-side, raised at writer construction BEFORE any task runs:
+    # the two-phase commit renames executor-written tmp files from the
+    # driver, which only works on a driver/executor-shared local
+    # filesystem — on a real cluster with per-node disks commit() would
+    # fail and abort() could not reach executor-local tmps.
+    if "://" in path:
+        raise ValueError(
+            "jsonl_rows commits via local-filesystem renames shared between "
+            f"driver and executors; got remote URI {path!r} — use a lake "
+            "format's transactional sink on object stores."
+        )
+    return path
 
 
 class _FileCommit(WriterCommitMessage):
@@ -94,7 +117,7 @@ def _published_files(path: str) -> list[str]:
 
 class JsonlBatchWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool):
-        self.path = options["path"]
+        self.path = _require_local_path(options["path"])
         self.overwrite = overwrite
         # job-unique token in the FINAL names: append-mode jobs to the
         # same directory accumulate instead of silently clobbering a
@@ -123,7 +146,7 @@ class JsonlBatchWriter(DataSourceWriter):
 
 class JsonlStreamWriter(DataSourceStreamWriter):
     def __init__(self, options, overwrite: bool):
-        self.path = options["path"]
+        self.path = _require_local_path(options["path"])
         self.overwrite = overwrite
 
     def write(self, iterator):

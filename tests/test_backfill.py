@@ -187,6 +187,17 @@ def test_compute_spelling_drift_fails_fast(spark, tmp_path):
         backfill_stale_partitions(
             spark, _source(spark, _BASE), str(tmp_path / "t"), "day", drifting_rollup
         )
+    # the guard must fire BEFORE publishing: no drifted day=D... (nor
+    # any other) partition directory may exist — a post-write raise
+    # would leave untracked directories the manifest prune can never
+    # remove but a direct reader would see
+    target = tmp_path / "t"
+    published = (
+        [e for e in os.listdir(target) if e.startswith("day=")]
+        if target.is_dir()
+        else []
+    )
+    assert published == []
 
 
 def test_partition_named_like_version_key_does_not_collide(spark, tmp_path):

@@ -174,3 +174,21 @@ def test_epoch_replay_with_fewer_partitions_sweeps_leftovers(tmp_path):
         with open(p) as f:
             ids += [json.loads(line)["i"] for line in f if line.strip()]
     assert sorted(ids) == [10, 11]
+
+
+def test_remote_uri_rejected_at_construction(tmp_path):
+    """The commit protocol renames executor-written tmps from the
+    driver — only valid on a shared local filesystem. A scheme:// path
+    must fail at writer construction, before any task writes."""
+    import pytest
+
+    from pubg_data_pipeline_spark.sources.jsonl_sink import (
+        JsonlBatchWriter,
+        JsonlStreamWriter,
+    )
+
+    for cls in (JsonlBatchWriter, JsonlStreamWriter):
+        with pytest.raises(ValueError, match="local-filesystem"):
+            cls({"path": "s3a://bucket/deliveries"}, overwrite=False)
+    # plain local paths still construct
+    JsonlBatchWriter({"path": str(tmp_path / "ok")}, overwrite=False)
