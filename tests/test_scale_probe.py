@@ -140,3 +140,130 @@ def big_events_dir(spark, tmp_path_factory):
 def test_events_heavy_queries_survive_6m_rows(spark, big_events_dir, name):
     plan = _executed_plan(all_specs()[name].fn(spark, big_events_dir))
     _assert_no_join_degradation(plan, name)
+
+
+# ---------------------------------------------------------------------------
+# Planted viral corpus: the dedup family's hot-bucket guards at volume.
+#
+# The round-5 MinHash hot-bucket guard (operators/dedup.py:
+# minhash_candidate_pairs) claims O(bucket*cap) candidate generation where
+# the unguarded band self-join is O(m^2) per bucket. The 6M-row events
+# probe never exercised it — this corpus does: ~1M documents of which a
+# 10^5-copy boilerplate page lands every copy in the SAME band bucket in
+# all 4 bands. Unguarded that is m(m-1)/2 ~ 5e9 candidate rows from one
+# key (a single-task blow-up no partitioning saves); the star guard must
+# emit exactly the m-1 keeper edges instead, and the whole pipeline —
+# pairing, transitive closure, incremental ingest against a persisted
+# band index — must complete on local[32] with candidate counts linear
+# in the corpus, not quadratic in the viral page.
+#
+# Everything here is hash-deterministic (xxhash64 band keys, no RNG), so
+# exact-count assertions are stable run to run.
+# ---------------------------------------------------------------------------
+
+N_VIRAL_DOCS = 1_000_000
+N_COPIES = 100_000  # doc_id % 10 == 0 -> the boilerplate page
+
+
+@pytest.fixture(scope="module")
+def viral_docs(spark):
+    boiler = (
+        "terms of service all rights reserved contact us privacy policy "
+        "cookie settings site map newsletter signup follow us copyright"
+    )
+    # 12 pseudo-random tokens per distinct doc from a 40k vocabulary:
+    # two docs share a 3-gram shingle only if THREE consecutive slots
+    # coincide (~1e-13 per pair-position) — cross-doc band collisions
+    # outside the planted page are effectively impossible, so counts
+    # below isolate the guard's behavior.
+    words = [
+        F.concat(
+            F.lit(f"w{k}x"),
+            F.pmod(F.hash(F.col("id") * F.lit(p) + F.lit(k)), F.lit(40_000)).cast(
+                "string"
+            ),
+        )
+        for k, p in enumerate((31, 131, 631, 1231, 2131, 3571, 4231, 5531, 6131, 7219, 8317, 9413))
+    ]
+    return (
+        spark.range(N_VIRAL_DOCS)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 == 0, F.lit(boiler))
+            .otherwise(F.concat_ws(" ", *words))
+            .alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def viral_star_pairs(spark, viral_docs):
+    from pubg_data_pipeline_spark.operators import dedup
+
+    return dedup.minhash_candidate_pairs(
+        viral_docs, "text", "doc_id", num_hashes=16, bands=4,
+        max_bucket_size=1000, hot_bucket="star",
+    ).localCheckpoint(eager=True)
+
+
+def test_viral_star_guard_candidates_are_linear_not_quadratic(viral_star_pairs):
+    """The O(bucket*cap) claim, measured: the 10^5-member bucket must
+    contribute its m-1 star edges (keeper doc 0 -> every copy), not
+    m(m-1)/2 ~ 5e9 pairs. Total candidates stay O(corpus)."""
+    n = viral_star_pairs.count()
+    assert n >= N_COPIES - 1
+    assert n < 2 * N_VIRAL_DOCS, f"candidate count {n} is not linear in the corpus"
+    boiler_pairs = viral_star_pairs.filter(
+        (F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 == 0)
+    )
+    assert boiler_pairs.count() == N_COPIES - 1  # exactly the star, no quadratic leak
+    # every star edge anchors at the bucket-min keeper
+    assert boiler_pairs.filter(F.col("id_a") != 0).count() == 0
+
+
+def test_viral_skip_guard_drops_the_bucket(spark, viral_docs):
+    from pubg_data_pipeline_spark.operators import dedup
+
+    pairs = dedup.minhash_candidate_pairs(
+        viral_docs, "text", "doc_id", num_hashes=16, bands=4,
+        max_bucket_size=1000, hot_bucket="skip",
+    )
+    assert (
+        pairs.filter((F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 == 0)).count() == 0
+    )
+
+
+def test_viral_cluster_closure_resolves_one_cluster(spark, viral_star_pairs):
+    """Connected components over the star edges: the avalanche closes
+    into ONE cluster of exactly the 10^5 copies, keeper = min id = 0 —
+    the guard's connectivity-preservation contract, at volume."""
+    from pubg_data_pipeline_spark.operators import graph
+
+    clusters = graph.dedup_clusters(viral_star_pairs)
+    big = clusters.filter(F.col("n_members") >= 1000).collect()
+    assert len(big) == 1
+    assert big[0]["cluster_id"] == 0
+    assert big[0]["n_members"] == N_COPIES
+
+
+def test_viral_incremental_ingest_drops_known_boilerplate(spark, viral_docs, tmp_path_factory):
+    """A new crawl batch probed against the persisted band index of
+    900k history docs: every incoming boilerplate copy collides with
+    history and is dropped; the distinct docs survive. The probe join
+    touches O(bands*batch) rows — it completes at volume because the
+    index carries band keys, never historical text."""
+    from pubg_data_pipeline_spark.operators import dedup
+
+    idx = str(tmp_path_factory.mktemp("viral") / "band_index")
+    hist = viral_docs.filter(F.col("doc_id") < 900_000)
+    batch = viral_docs.filter(F.col("doc_id") >= 900_000)
+    dedup.write_band_index(hist, idx, "text", "doc_id")
+    survivors = (
+        dedup.incremental_neardup_ingest(spark, idx, batch, "text", "doc_id")
+        .select("doc")
+        .distinct()
+    )
+    assert survivors.filter(F.col("doc") % 10 == 0).count() == 0
+    n = survivors.count()
+    assert 85_000 <= n <= 90_000  # the ~90k distinct batch docs survive
