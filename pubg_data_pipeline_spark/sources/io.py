@@ -314,15 +314,16 @@ def propagate_deletes(
     (Reference contrast: its HDFS tables are append-only with no
     delete story at all — spark_apps/pubg_streaming.py:252-262.)
     """
-    import os
-    import shutil
+    from pubg_data_pipeline_spark.sources.commitproto import (
+        require_local_path,
+        sweep_partition_dirs,
+    )
 
-    if "://" in table_path:
-        raise ValueError(
-            "propagate_deletes removes emptied partition directories via the "
-            f"local filesystem; got remote URI {table_path!r} — use a table "
-            "format's DELETE on object stores."
-        )
+    require_local_path(
+        table_path,
+        "propagate_deletes",
+        "use a table format's DELETE on object stores.",
+    )
     table = spark.read.parquet(table_path)
     keys = delete_keys.select(F.col(key_col)).distinct()
     # limit(cap+1) bounds BOTH the driver memory of this collect and
@@ -364,19 +365,7 @@ def propagate_deletes(
     )
     kept = {str(r[0]) for r in survivors.select(partition_col).distinct().collect()}
     doomed = {str(p) for p in affected} - kept
-    # match against the ACTUAL on-disk directory names, Hive-unescaped:
-    # Spark percent-encodes special chars (':' -> '%3A', ...) in
-    # partition paths, so constructing the name from the raw value
-    # would silently miss (and strand) exactly the rows being deleted
-    from urllib.parse import unquote
-
-    prefix = f"{partition_col}="
-    for entry in os.listdir(table_path):
-        full = os.path.join(table_path, entry)
-        if not (os.path.isdir(full) and entry.startswith(prefix)):
-            continue
-        if unquote(entry[len(prefix):]) in doomed:
-            shutil.rmtree(full)
+    sweep_partition_dirs(table_path, partition_col, doomed)
     return {"affected_partitions": len(affected), "deleted_rows": pre - post}
 
 
@@ -393,27 +382,19 @@ def expire_partitions(
     whole point of time-partitioned layout at 100 TB (the reference's
     append-only HDFS tables grow forever; this is the missing expiry
     half). Returns the dropped partition values."""
-    import os
-    import shutil
-    from urllib.parse import unquote
+    from pubg_data_pipeline_spark.sources.commitproto import (
+        partition_dirs,
+        require_local_path,
+        sweep_partition_dirs,
+    )
 
-    if "://" in table_path:
-        raise ValueError(
-            f"expire_partitions removes directories via the local filesystem; "
-            f"got remote URI {table_path!r} — use the table format's "
-            "retention/expire-snapshots on object stores."
-        )
-    dropped = []
-    prefix = f"{partition_col}="
-    for entry in sorted(os.listdir(table_path)):
-        full = os.path.join(table_path, entry)
-        if not (os.path.isdir(full) and entry.startswith(prefix)):
-            continue
-        value = unquote(entry[len(prefix):])
-        if not keep(value):
-            shutil.rmtree(full)
-            dropped.append(value)
-    return dropped
+    require_local_path(
+        table_path,
+        "expire_partitions",
+        "use the table format's retention/expire-snapshots on object stores.",
+    )
+    doomed = {v for v in partition_dirs(table_path, partition_col) if not keep(v)}
+    return sweep_partition_dirs(table_path, partition_col, doomed)
 
 
 def vacuum_state_artifacts(state_path: str) -> list[str]:
@@ -535,15 +516,19 @@ def backfill_stale_partitions(
     """
     import json
     import os
-    import shutil
-    from urllib.parse import unquote
 
-    if "://" in target_path:
-        raise ValueError(
-            "backfill_stale_partitions publishes its manifest via the local "
-            f"filesystem; got remote URI {target_path!r} — use a table format's "
-            "MERGE/snapshots on object stores."
-        )
+    from pubg_data_pipeline_spark.sources.commitproto import (
+        partition_dirs,
+        publish_json,
+        require_local_path,
+        sweep_partition_dirs,
+    )
+
+    require_local_path(
+        target_path,
+        "backfill_stale_partitions (manifest publish)",
+        "use a table format's MERGE/snapshots on object stores.",
+    )
     cols = list(fingerprint_cols) if fingerprint_cols else source.columns
     pkey = F.col(partition_col).cast("string")
     fp = (
@@ -583,20 +568,10 @@ def backfill_stale_partitions(
             previous = doc.get("partitions", {})
         # else: compute changed (or pre-nesting manifest): rebuild all
 
-    def _part_dirs() -> dict[str, str]:
-        prefix = f"{partition_col}="
-        out: dict[str, str] = {}
-        if os.path.isdir(target_path):
-            for entry in os.listdir(target_path):
-                full = os.path.join(target_path, entry)
-                if os.path.isdir(full) and entry.startswith(prefix):
-                    out[unquote(entry[len(prefix):])] = full
-        return out
-
     # self-repair: a manifest entry with no surviving directory is NOT
     # done — unless the entry itself says its output was legitimately
     # empty (no directory is its correct on-disk form)
-    on_disk = _part_dirs()
+    on_disk = partition_dirs(target_path, partition_col)
     previous = {
         p: v for p, v in previous.items() if v.get("empty") or p in on_disk
     }
@@ -655,9 +630,7 @@ def backfill_stale_partitions(
         doomed = set()
     doomed |= set(pruned)
     if doomed:
-        for p, full in _part_dirs().items():
-            if p in doomed:
-                shutil.rmtree(full)
+        sweep_partition_dirs(target_path, partition_col, doomed)
     # manifest last: tmp -> rename. Each entry carries the source
     # fingerprint plus whether the partition's correct output is empty
     # (so self-repair can tell "legitimately no directory" from
@@ -670,10 +643,7 @@ def backfill_stale_partitions(
             empty = bool(previous.get(p, {}).get("empty"))
         entries[p] = {"fp": v, "empty": empty}
     os.makedirs(target_path, exist_ok=True)
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"version": logic_version, "partitions": entries}, f, sort_keys=True)
-    os.replace(tmp, manifest_path)
+    publish_json({"version": logic_version, "partitions": entries}, manifest_path)
     return {"stale": stale, "pruned": pruned, "unchanged": unchanged}
 
 

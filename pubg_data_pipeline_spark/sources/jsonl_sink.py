@@ -61,13 +61,13 @@ def _require_local_path(path: str) -> str:
     # driver, which only works on a driver/executor-shared local
     # filesystem — on a real cluster with per-node disks commit() would
     # fail and abort() could not reach executor-local tmps.
-    if "://" in path:
-        raise ValueError(
-            "jsonl_rows commits via local-filesystem renames shared between "
-            f"driver and executors; got remote URI {path!r} — use a lake "
-            "format's transactional sink on object stores."
-        )
-    return path
+    from pubg_data_pipeline_spark.sources.commitproto import require_local_path
+
+    return require_local_path(
+        path,
+        "jsonl_rows (driver/executor-shared local-filesystem two-phase commit)",
+        "use a lake format's transactional sink on object stores.",
+    )
 
 
 class _FileCommit(WriterCommitMessage):

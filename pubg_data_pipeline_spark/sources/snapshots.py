@@ -49,12 +49,13 @@ _COMMIT_RETRIES = 20
 
 
 def _require_local(path: str) -> None:
-    if "://" in path:
-        raise ValueError(
-            f"snapshot tables use local-filesystem atomic link for the "
-            f"commit slot; got remote URI {path!r} — on an object store "
-            "publish the manifest with a conditional PUT instead."
-        )
+    from pubg_data_pipeline_spark.sources.commitproto import require_local_path
+
+    require_local_path(
+        path,
+        "snapshot tables",
+        "on an object store publish the manifest with a conditional PUT instead.",
+    )
 
 
 def _manifest_dir(path: str) -> str:
@@ -165,19 +166,15 @@ def snapshot_commit(
         }
         if txn is not None:
             manifest["txn"] = {"app_id": txn[0], "version": txn[1]}
-        tmp = os.path.join(mdir, f".tmp-{commit_id}-{version}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        final = os.path.join(mdir, f"v{version:012d}.json")
-        try:
-            os.link(tmp, final)  # atomic publish; EEXIST = lost the race
+        from pubg_data_pipeline_spark.sources.commitproto import publish_json_slot
+
+        if publish_json_slot(
+            manifest,
+            os.path.join(mdir, f"v{version:012d}.json"),
+            os.path.join(mdir, f".tmp-{commit_id}-{version}"),
+        ):
             return version
-        except FileExistsError:
-            continue  # a concurrent commit took this slot — rebase
-        finally:
-            os.unlink(tmp)
+        continue  # a concurrent commit took this slot — rebase
     raise RuntimeError(
         f"snapshot_commit lost the version race {_COMMIT_RETRIES} times at "
         f"{path!r} — contention this hot needs a coordinating commit service."
