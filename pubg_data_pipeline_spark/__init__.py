@@ -16,6 +16,21 @@ Layers (SURVEY.md §7.0):
   streaming  -- structured-streaming adapters over the same operators
 """
 
+from pubg_data_pipeline_spark.audit import Finding, assert_scale_safe, audit_plan
 from pubg_data_pipeline_spark.session import get_spark, configure_session
 
-__all__ = ["get_spark", "configure_session"]
+__all__ = [
+    "get_spark",
+    "configure_session",
+    # pre-flight plan gate (audit.py): lint any DataFrame's physical
+    # plan for the patterns that break at 100 TB — the same gate the
+    # query registry runs under in tests/test_audit.py. Typical use:
+    #
+    #     import pubg_data_pipeline_spark as pds
+    #     pds.assert_scale_safe(df)                       # raise on critical
+    #     pds.assert_scale_safe(df, allow={"nested_loop_join"})  # documented exception
+    #     findings = pds.audit_plan(df)                   # inspect instead
+    "assert_scale_safe",
+    "audit_plan",
+    "Finding",
+]

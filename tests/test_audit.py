@@ -149,3 +149,21 @@ def test_audit_cartesian_with_bounded_right_side_is_clean(spark):
         assert _crit(a.crossJoin(b)) == {"nested_loop_join"}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_auditor_is_exported_at_package_root(spark):
+    """The README-documented user API: the gate and the inspector are
+    importable from the package root and behave like the audit module's
+    own (doctest for the README example, including allow=)."""
+    import pubg_data_pipeline_spark as pds
+
+    a = spark.range(5)
+    b = spark.range(5).withColumnRenamed("id", "jd")
+    cross = a.crossJoin(b)
+    with pytest.raises(AssertionError, match="nested_loop_join"):
+        pds.assert_scale_safe(cross)
+    pds.assert_scale_safe(cross, allow={"nested_loop_join"})
+    findings = pds.audit_plan(cross)
+    assert any(
+        isinstance(f, pds.Finding) and f.rule == "nested_loop_join" for f in findings
+    )
