@@ -192,3 +192,93 @@ def test_remote_uri_rejected_at_construction(tmp_path):
             cls({"path": "s3a://bucket/deliveries"}, overwrite=False)
     # plain local paths still construct
     JsonlBatchWriter({"path": str(tmp_path / "ok")}, overwrite=False)
+
+
+class _FakeRow:
+    """Minimal Row stand-in for driving _write_partition directly."""
+
+    def __init__(self, i):
+        self.i = i
+
+    def asDict(self, recursive=False):
+        return {"i": self.i}
+
+
+def _split(rows, k):
+    parts = [[] for _ in range(k)]
+    for idx, r in enumerate(rows):
+        parts[idx % k].append(r)
+    return parts
+
+
+def _read_epoch(path, batch_id):
+    out = []
+    for p in sorted(glob.glob(os.path.join(path, f"batch-{batch_id:08d}-part-*.jsonl"))):
+        with open(p) as f:
+            out += [json.loads(line)["i"] for line in f if line.strip()]
+    return out
+
+
+def test_stream_replay_convergence_property(tmp_path):
+    """Property form of the streaming commit contract
+    (sources/jsonl_sink.py docstring: a replayed foreachBatch epoch
+    converges even if the replay plans a different partition count
+    than the crashed attempt): for ANY row set, ANY partition counts
+    before/after, and ANY crash point inside the first attempt's
+    commit, a full replay leaves readers seeing exactly the replay's
+    rows — no leftovers from the crashed attempt, no torn files."""
+    from hypothesis import given, settings, strategies as st
+
+    from pubg_data_pipeline_spark.sources.jsonl_sink import (
+        JsonlStreamWriter,
+        _write_partition,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rows=st.lists(st.integers(0, 999), min_size=0, max_size=25),
+        k_before=st.integers(1, 4),
+        k_after=st.integers(1, 4),
+        # crash after publishing this many of the first attempt's files
+        # (clamped to k_before); k_before+1 means the commit completed
+        # and the replay is a pure re-execution
+        crash_after=st.integers(0, 5),
+    )
+    def prop(rows, k_before, k_after, crash_after):
+        counter[0] += 1
+        out = str(tmp_path / f"case-{counter[0]}")
+        w = JsonlStreamWriter({"path": out}, overwrite=False)
+
+        # attempt 1: tasks all wrote; the driver's commit crashes after
+        # publishing `crash_after` files (simulated by doing the
+        # publish renames by hand and stopping early — abort never runs,
+        # which is exactly what a dead driver looks like)
+        first = [
+            _write_partition(out, iter(p)) for p in _split([_FakeRow(r) for r in rows], k_before)
+        ]
+        j = min(crash_after, len(first))
+        if j >= len(first):
+            w.commit(first, batchId=3)  # commit completed; replay anyway
+        else:
+            for i, m in enumerate(first[:j]):
+                os.replace(
+                    os.path.join(out, m.tmp_name),
+                    os.path.join(out, f"batch-{3:08d}-part-{i:05d}.jsonl"),
+                )
+
+        # the replay: same logical rows, different partition count,
+        # commit runs to completion
+        second = [
+            _write_partition(out, iter(p)) for p in _split([_FakeRow(r) for r in rows], k_after)
+        ]
+        w.commit(second, batchId=3)
+
+        assert sorted(_read_epoch(out, 3)) == sorted(rows)
+        published = [
+            e for e in os.listdir(out) if e.endswith(".jsonl") and not e.startswith(".tmp-")
+        ]
+        assert len(published) == k_after
+
+    prop()
