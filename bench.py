@@ -171,12 +171,27 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
+    # --all: opt-in sweep of EVERY registered query (the headline list
+    # stays unchanged for round-over-round comparability) — closes the
+    # "correct but never timed" blind spot for the non-headline
+    # remainder. Detail goes to --out (default BENCH_FULL.json), never
+    # to BENCH_DETAIL.json, and the regression tracker is skipped (its
+    # baseline is the headline population). Two timed passes instead of
+    # three: this is a coverage sweep, not the round-over-round signal.
+    argv = list(sys.argv[1:] if argv is None else argv)
+    all_mode = "--all" in argv
+    out_path = None
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="pubg-pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
+    names = sorted(specs) if all_mode else HEADLINE
+    metric = "all_queries_total" if all_mode else "headline_queries_total"
+    timed_passes = 2 if all_mode else 3
 
     # Warmup pass: run every headline query once at the smallest scale
     # factor first. This warms JIT (the regex/text paths are ~8x slower
@@ -190,7 +205,7 @@ def main() -> None:
     # zero the whole benchmark signal (round-2 postmortem — a warmup
     # crash produced an empty BENCH file for every query).
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in names:
         try:
             specs[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 - report, keep benching
@@ -214,8 +229,8 @@ def main() -> None:
     # only add a fourth full execution to the wall clock — with ~100
     # headline queries that pass alone is ~1.5 min of driver budget.
     timings: dict[str, float] = {}
-    for _ in range(3):
-        for name in HEADLINE:
+    for _ in range(timed_passes):
+        for name in names:
             start = time.perf_counter()
             try:
                 specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -235,7 +250,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     result = {
-        "metric": "headline_queries_total",
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -243,7 +258,9 @@ def main() -> None:
     }
     # Regressions are computed BEFORE BENCH_DETAIL.json is overwritten so
     # the comparison baseline is the previous completed run, not this one.
-    regressions = _regressions_vs_last_recorded(timings, sf=sf_val)
+    regressions = (
+        {} if all_mode else _regressions_vs_last_recorded(timings, sf=sf_val)
+    )
     if regressions:
         result["regressions"] = regressions
     if errors:
@@ -253,7 +270,8 @@ def main() -> None:
     # JSON line passed ~3KB at 121 queries (round-4 postmortem: the head
     # of the line — including "value" — was cut off and the driver
     # recorded parsed: null). The regression tracker reads this file.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail_name = out_path or ("BENCH_FULL.json" if all_mode else "BENCH_DETAIL.json")
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     try:
         with open(detail_path, "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
@@ -270,14 +288,14 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "n_regressions": len(regressions),
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             },
             separators=(",", ":"),
         )
