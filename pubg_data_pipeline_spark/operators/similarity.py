@@ -18,7 +18,12 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pubg_data_pipeline_spark.functions.vectors import as_double_vec, cosine, dot
+from pubg_data_pipeline_spark.functions.vectors import (
+    _UNROLL_MAX_DIM,
+    as_double_vec,
+    cosine,
+    dot,
+)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -57,13 +62,17 @@ def brute_force_top_k(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
     Output: (query_id, neighbor_id, cos_sim, rank). Ties broken by
     neighbor id for determinism; with ``round_digits`` the similarity
     is rounded BEFORE ranking so near-tie float noise can't reorder
-    results across engines. Self-matches excluded.
+    results across engines. Self-matches excluded. ``dim`` (when the
+    caller knows the static dimension) switches the per-pair cosine to
+    the unrolled codegen fold — bit-identical values (same fold order,
+    see functions/vectors.py:dot), ~10× faster on large scans.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
@@ -71,7 +80,7 @@ def brute_force_top_k(
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     )
-    sim = cosine(F.col("qv"), F.col("cv"))
+    sim = cosine(F.col("qv"), F.col("cv"), dim)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -170,10 +179,28 @@ _IVF_CENTERS_CACHE: dict[tuple, list] = {}
 _IVF_ASSIGNED_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _d2_expr(center: Column, v: Column) -> Column:
+def _d2_expr(center: Column, v: Column, dim: int | None = None) -> Column:
     """Squared Euclidean distance between two array<double> columns —
-    pure JVM higher-order-function expression, no MLlib transform and
-    no Python in the serving path."""
+    pure JVM expression, no MLlib transform and no Python in the
+    serving path. With ``dim`` (always known when the centers came
+    from a trainer — it's their own length) the fold unrolls into
+    element accesses + multiply-adds; same left fold from 0.0,
+    bit-identical distances.
+
+    Pass ``dim`` ONLY from top-level (whole-stage-codegen) contexts,
+    capped at vectors._UNROLL_MAX_DIM like dot(). Inside a
+    higher-order-function lambda (``_cell_ranking``'s transform, the
+    PQ code/LUT builders) the body is evaluated INTERPRETED per
+    element, where walking the ~6·dim-node unrolled tree is ~3× SLOWER
+    than the specialized primitive loops behind zip_with/aggregate
+    (measured 86 s → 283 s on the 1M-vector probe's assignment) —
+    those callers must keep the fold."""
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        acc = F.lit(0.0)
+        for k in range(dim):
+            d = F.get(v, k) - F.get(center, k)
+            acc = acc + d * d
+        return acc
     diffs = F.zip_with(v, center, lambda a, b: (a - b) * (a - b))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -181,7 +208,7 @@ def _d2_expr(center: Column, v: Column) -> Column:
 def _d2_to(center: list, v: Column) -> Column:
     """Squared Euclidean distance from vector column v to a literal
     center."""
-    return _d2_expr(F.lit([float(x) for x in center]), v)
+    return _d2_expr(F.lit([float(x) for x in center]), v, dim=len(center))
 
 
 def _cell_ranking(centers: list, v: Column) -> Column:
@@ -202,16 +229,18 @@ def _cell_ranking(centers: list, v: Column) -> Column:
         F.transform(
             m,
             lambda ctr, i: F.struct(
+                # fold, NOT unrolled: this lambda body runs interpreted
+                # per center — see _d2_expr's contract
                 _d2_expr(ctr, v).alias("d2"), i.alias("cell")
             ),
         )
     )
 
 
-def _l2_normalized(df: DataFrame, vcol: str) -> DataFrame:
+def _l2_normalized(df: DataFrame, vcol: str, dim: int | None = None) -> DataFrame:
     """Unit-normalize a vector column per row (zero vectors dropped) so
     downstream cosine is a single dot product per pair."""
-    with_norm = df.withColumn("__n", F.sqrt(dot(F.col(vcol), F.col(vcol))))
+    with_norm = df.withColumn("__n", F.sqrt(dot(F.col(vcol), F.col(vcol), dim)))
     return (
         with_norm.filter(F.col("__n") > 0.0)
         .withColumn(vcol, F.transform(vcol, lambda x: x / F.col("__n")))
@@ -239,11 +268,13 @@ def _ivf_probe_and_rerank(
     # L2-normalized space (the quantizer trains and assigns on unit
     # vectors — cosine geometry), so ranking cells with a raw-norm
     # query would probe the wrong cells entirely on non-unit corpora.
+    dim = len(centers[0]) if centers else None
     q = _l2_normalized(
         queries.select(
             F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
         ),
         "qv",
+        dim,
     )
     probes = q.withColumn(
         "probe", F.explode(F.slice(_cell_ranking(centers, F.col("qv")), 1, nprobe))
@@ -251,7 +282,7 @@ def _ivf_probe_and_rerank(
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
+        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -488,6 +519,7 @@ def ivf_top_k(
             F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
         ),
         "cv",
+        dim,
     )
     key = (cache_key, nlist, seed, dim, balanced)
     if cache_key is not None and key in _IVF_CENTERS_CACHE:
@@ -540,7 +572,7 @@ def lsh_bucketed_top_k(
         bits = []
         for p in planes:
             plane = F.array(*[F.lit(x) for x in p])
-            bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+            bits.append(F.when(dot(v, plane, dim) >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
     c = _spread(corpus).select(
@@ -554,7 +586,7 @@ def lsh_bucketed_top_k(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -726,6 +758,7 @@ def ivfpq_top_k(
             F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
         ),
         "cv",
+        dim,
     )
     ckey = (cache_key, nlist, seed, dim)
     if cache_key is not None and ckey in _IVF_CENTERS_CACHE:
@@ -767,6 +800,7 @@ def ivfpq_top_k(
             F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
         ),
         "qv",
+        dim,
     )
     probes = q.withColumn(
         "probe", F.explode(F.slice(_cell_ranking(centers, F.col("qv")), 1, nprobe))
@@ -794,7 +828,7 @@ def ivfpq_top_k(
     )
     return (
         shortlist.join(vectors.select("neighbor_id", "cv"), "neighbor_id")
-        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
+        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv"), dim))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")

@@ -986,6 +986,7 @@ def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=20,
         round_digits=6,
+        dim=64,
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
 
     fused = b.join(vec, "doc_id", "full_outer")

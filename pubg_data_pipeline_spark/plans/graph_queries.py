@@ -261,7 +261,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate fold inlined into a higher-order-function lambda is
     # re-evaluated per element (see functions/text.py:_ngram_array).
     with_norm = raw.select(
-        "label", "vec_id", "e", F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm")
+        "label", "vec_id", "e", F.sqrt(dot(F.col("e"), F.col("e"), 64)).alias("nrm")
     )
     v = with_norm.filter(F.col("nrm") > 0.0).select(
         "label",
@@ -272,7 +272,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = v.select("label", F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
     pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
     dup = pairs.filter(
-        F.round(dot(F.col("ua"), F.col("ub")), 6) >= 0.45
+        F.round(dot(F.col("ua"), F.col("ub"), 64), 6) >= 0.45
     )
     removed = dup.select("label", F.col("id_b").alias("vec_id")).distinct()
     n_rem = removed.groupBy("label").agg(F.count(F.lit(1)).alias("n_removed"))
@@ -704,7 +704,7 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "vec_id", as_double_vec(F.col("embedding")).alias("e")
     )
     with_norm = raw.select(
-        "label", "vec_id", "e", F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm")
+        "label", "vec_id", "e", F.sqrt(dot(F.col("e"), F.col("e"), 64)).alias("nrm")
     )
     v = with_norm.filter(F.col("nrm") > 0.0).select(
         "label", "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("u")
@@ -714,7 +714,7 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         a.join(b, ["label"])
         .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cos_sim"))
+        .select("id_a", "id_b", F.round(dot(F.col("ua"), F.col("ub"), 64), 6).alias("cos_sim"))
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
     edges = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)

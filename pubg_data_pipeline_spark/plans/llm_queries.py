@@ -703,7 +703,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     proj = [
         F.round(
-            dot(F.col("embedding"), F.array(*[F.lit(_rp_sign(j, i)) for i in range(_RP_IN_DIM)])),
+            dot(F.col("embedding"), F.array(*[F.lit(_rp_sign(j, i)) for i in range(_RP_IN_DIM)]), _RP_IN_DIM),
             6,
         ).alias(f"p{j}")
         for j in range(_RP_DIMS)
@@ -798,7 +798,7 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     top = similarity.brute_force_top_k(
-        emb, emb.filter(F.col("vec_id") == 0), k=20, round_digits=6
+        emb, emb.filter(F.col("vec_id") == 0), k=20, round_digits=6, dim=64
     )
     cand = top.select(
         "query_id", F.col("neighbor_id").alias("cid"), F.col("cos_sim").alias("rel")
@@ -817,7 +817,7 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             "rel",
             "b",
-            F.round(cosine(F.col("cv"), F.col("bv")), 6).alias("s"),
+            F.round(cosine(F.col("cv"), F.col("bv"), 64), 6).alias("s"),
         )
     )
     out = similarity.mmr_rerank(pairs, lam=0.7, k=5)
@@ -926,7 +926,8 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = similarity.brute_force_top_k(
-        emb, queries, id_col="vec_id", vec_col="embedding", k=5, round_digits=6
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, round_digits=6,
+        dim=64,
     )
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
@@ -967,6 +968,7 @@ def embedding_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_col="embedding",
             k=5,
             round_digits=6,
+            dim=64,
         )
         for i in range(3)
     ]
@@ -1178,7 +1180,8 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     exact = similarity.brute_force_top_k(
-        emb, queries, id_col="vec_id", vec_col="embedding", k=5, round_digits=6
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, round_digits=6,
+        dim=64,
     ).select("query_id", "neighbor_id")
     approx = similarity.ivf_top_k(
         emb, queries, dim=64, id_col="vec_id", vec_col="embedding",
@@ -1449,7 +1452,7 @@ def embedding_cosine_near_dups(
     a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
     b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
-        "cos_sim", F.round(cosine(F.col("ea"), F.col("eb")), 6)
+        "cos_sim", F.round(cosine(F.col("ea"), F.col("eb"), 64), 6)
     )
     return pairs.filter(F.col("cos_sim") >= 0.45).select("id_a", "id_b", "cos_sim")
 
@@ -1477,7 +1480,7 @@ def doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select("doc_id", "lang", cols["quality"].alias("quality"))
     vecs = emb.select(
         F.col("vec_id").alias("doc_id"),
-        F.round(F.sqrt(dot(as_double_vec(F.col("embedding")), as_double_vec(F.col("embedding")))), 6).alias("vnorm"),
+        F.round(F.sqrt(dot(as_double_vec(F.col("embedding")), as_double_vec(F.col("embedding")), 64)), 6).alias("vnorm"),
         "label",
     )
     joined = scored.join(vecs, "doc_id")
@@ -1693,7 +1696,7 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv"), 64), 6))
         .filter(F.col("cos_sim") < 0.95)
     )
     w = Window.partitionBy("query_id").orderBy(

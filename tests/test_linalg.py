@@ -157,3 +157,49 @@ def test_null_element_rows_are_excluded_not_poisoning(spark):
         for r in linalg.covariance_pairs(df, "embedding", dim=2).collect()
     }
     assert cov[(2, 2)] == 4.0  # var of {2, 6}, not zero
+
+
+def test_unrolled_dot_is_bit_identical_to_the_fold(spark):
+    """functions/vectors.py:dot(dim=...) — the unrolled codegen fast
+    path must be BIT-identical to the zip_with/aggregate fold (same
+    left fold order from 0.0), or switching an operator to the fast
+    path could move an oracle value hash. Checked on hash-generated
+    doubles including negatives, plus the NULL-propagation edges."""
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.functions.vectors import cosine, dot, norm
+
+    df = spark.range(2000).select(
+        F.array(
+            *[
+                (F.pmod(F.hash(F.col("id") * F.lit(31 + k)), F.lit(2001)).cast("double") - 1000.0)
+                / 999.0
+                for k in range(7)
+            ]
+        ).alias("a"),
+        F.array(
+            *[
+                (F.pmod(F.hash(F.col("id") * F.lit(131 + k)), F.lit(2001)).cast("double") - 1000.0)
+                / 999.0
+                for k in range(7)
+            ]
+        ).alias("b"),
+    )
+    mismatches = df.filter(
+        (dot(F.col("a"), F.col("b")) != dot(F.col("a"), F.col("b"), 7))
+        | (norm(F.col("a")) != norm(F.col("a"), 7))
+        | (cosine(F.col("a"), F.col("b")) != cosine(F.col("a"), F.col("b"), 7))
+    ).count()
+    assert mismatches == 0
+
+    # NULL array -> NULL either way; short array -> NULL (OOB access)
+    # matches zip_with's NULL padding poisoning the fold.
+    edge = spark.createDataFrame(
+        [(None, [1.0, 2.0]), ([1.0], [1.0, 2.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = edge.select(
+        dot(F.col("a"), F.col("b"), 2).alias("fast"),
+        dot(F.col("a"), F.col("b")).alias("fold"),
+    ).collect()
+    assert all(r["fast"] is None and r["fold"] is None for r in rows)

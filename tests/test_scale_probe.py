@@ -15,6 +15,7 @@ run explicitly:
 
 from __future__ import annotations
 
+import math
 import os
 
 import pytest
@@ -267,3 +268,135 @@ def test_viral_incremental_ingest_drops_known_boilerplate(spark, viral_docs, tmp
     assert survivors.filter(F.col("doc") % 10 == 0).count() == 0
     n = survivors.count()
     assert 85_000 <= n <= 90_000  # the ~90k distinct batch docs survive
+
+
+# ---------------------------------------------------------------------------
+# 1M-vector ANN probe: balanced IVF end-to-end at volume.
+#
+# The embeddings family's scale claims were previously plan-shaped only
+# (sf0.1 = 10k vectors). This corpus makes them empirical: 1M 16-dim
+# vectors of which one third form a TIGHT dominant cluster around a
+# fixed anchor (the near-dup/one-hot-domain shape that makes a plain
+# k-means quantizer dump ~333k vectors into one cell — the skewed-cell
+# tail-latency failure train_ivf_centers_balanced exists to fix), plus
+# 40 planted query duplicates (query = corpus vector + ~1e-4 jitter).
+#
+# Proven at volume, not by plan shape:
+#   - the planted duplicate IS the global exact top-1 (brute force over
+#     all 1M — validates the plant before trusting the ANN number);
+#   - balanced IVF (nlist=64, nprobe=8) recalls >= 90% of the planted
+#     duplicates end-to-end through train -> assign -> probe -> re-rank;
+#   - the balanced quantizer's fattest cell respects the capacity bound
+#     (2 * N / nlist), i.e. the 333k-member mega-cell actually got split.
+#
+# Deterministic: hash-generated vectors, fixed k-means seed on a fixed
+# eager checkpoint.
+# ---------------------------------------------------------------------------
+
+N_ANN_VECS = 1_000_000
+ANN_DIM = 16
+ANN_NLIST = 64
+ANN_PLANTED = [i * 23_456 + 7 for i in range(40)]  # mixed: ~1/3 in the skew cluster
+_ANN_ANCHOR = [math.cos(0.7 * k + 0.25) for k in range(ANN_DIM)]
+_QUERY_ID_OFFSET = 10_000_000
+
+
+def _ann_vec(idc):
+    """Deterministic per-id 16-dim vector: uniform-ish in [-1, 1]^16
+    from hash bits, except ids % 3 == 0 collapse to anchor + 0.02-scale
+    jitter — a third of the corpus inside one tight ball."""
+    comps = []
+    for k in range(ANN_DIM):
+        rnd = (
+            F.pmod(F.hash(idc * F.lit(7919) + F.lit(k * 104_729)), F.lit(2001)).cast("double")
+            - F.lit(1000.0)
+        ) / F.lit(1000.0)
+        comps.append(
+            F.when(idc % 3 == 0, F.lit(_ANN_ANCHOR[k]) + rnd * F.lit(0.02)).otherwise(rnd)
+        )
+    return F.array(*comps)
+
+
+@pytest.fixture(scope="module")
+def ann_corpus(spark):
+    return (
+        spark.range(N_ANN_VECS)
+        .select(F.col("id").alias("vec_id"), _ann_vec(F.col("id")).alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def ann_queries(spark):
+    """40 probes, each a near-exact copy of one planted corpus vector
+    (component jitter ~2e-4 — an order tighter than the skew cluster's
+    own 0.02 spread, so the plant is unambiguously the nearest point).
+    Query ids live in a disjoint range so the self-match filter can't
+    hide the planted neighbor."""
+    ids = spark.createDataFrame([(int(i),) for i in ANN_PLANTED], "ref_id bigint")
+    jittered = F.transform(
+        _ann_vec(F.col("ref_id")),
+        lambda x, i: x
+        + (
+            F.pmod(F.hash(F.col("ref_id") * F.lit(13) + i), F.lit(201)).cast("double")
+            - F.lit(100.0)
+        )
+        / F.lit(500_000.0),
+    )
+    return ids.select(
+        (F.col("ref_id") + F.lit(_QUERY_ID_OFFSET)).alias("vec_id"),
+        jittered.alias("embedding"),
+    ).localCheckpoint(eager=True)
+
+
+def test_ann_planted_duplicates_are_exact_top1_at_1m(spark, ann_corpus, ann_queries):
+    from pubg_data_pipeline_spark.operators import similarity
+
+    rows = similarity.brute_force_top_k(
+        ann_corpus, ann_queries, k=1, dim=ANN_DIM
+    ).collect()
+    assert len(rows) == len(ANN_PLANTED)
+    for r in rows:
+        assert r["neighbor_id"] == r["query_id"] - _QUERY_ID_OFFSET
+        assert r["cos_sim"] > 0.999
+
+
+def test_ann_balanced_ivf_recalls_planted_duplicates_at_1m(spark, ann_corpus, ann_queries):
+    from pubg_data_pipeline_spark.operators import similarity
+
+    res = similarity.ivf_top_k(
+        ann_corpus,
+        ann_queries,
+        dim=ANN_DIM,
+        k=1,
+        nlist=ANN_NLIST,
+        nprobe=8,
+        balanced=True,
+        cache_key="scale_probe_ann_1m",
+    )
+    hits = res.filter(
+        (F.col("rank") == 1)
+        & (F.col("neighbor_id") == F.col("query_id") - F.lit(_QUERY_ID_OFFSET))
+    ).count()
+    assert hits >= int(0.9 * len(ANN_PLANTED)), f"IVF recall {hits}/{len(ANN_PLANTED)}"
+
+
+def test_ann_balanced_quantizer_bounds_the_skew_cell_at_1m(spark, ann_corpus):
+    from pubg_data_pipeline_spark.operators import similarity
+
+    c = similarity._l2_normalized(
+        ann_corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            similarity.as_double_vec(F.col("embedding")).alias("cv"),
+        ),
+        "cv",
+    )
+    centers = similarity.train_ivf_centers_balanced(c, nlist=ANN_NLIST, seed=42)
+    assert len(centers) > ANN_NLIST  # the mega-cell forced extra sub-centers
+    assigned = c.withColumn("cell", similarity._cell_ranking(centers, F.col("cv"))[0]["cell"])
+    max_cell = assigned.groupBy("cell").count().agg(F.max("count")).first()[0]
+    capacity = math.ceil(2.0 * N_ANN_VECS / ANN_NLIST)
+    assert max_cell <= capacity, (
+        f"fattest cell holds {max_cell} vectors > capacity {capacity}: "
+        "the skewed third survived the balanced split"
+    )
