@@ -13,13 +13,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Unrolling a dot product wider than this overflows Janino's generated-
-# method size (a 64-dim cosine is ~1200 expression nodes): codegen
-# compilation FAILS per stage — a logged multi-second retry+fallback to
-# interpreted eval that is slower than the fold it replaced. Measured
-# crossover: 16–32-dim unrolls compile and run ~10× faster; 64-dim
-# trips the limit. Above the cap the zip_with/aggregate fold is kept.
-_UNROLL_MAX_DIM = 32
+# Unrolling past Janino's generated-method size makes codegen
+# compilation FAIL per stage — a logged multi-second retry+fallback to
+# interpreted eval that is slower than the fold it replaced. The limit
+# is per EXPRESSION TREE, so the caps differ by shape (both measured):
+# a bare 64-dim dot (~320 nodes) compiles and beats the fold ~25%,
+# while a 64-dim cosine (three dots + null guards in ONE tree, ~1200
+# nodes) trips the limit — cosine only unrolls through 32 dims. Above
+# a cap the zip_with/aggregate fold is kept.
+_UNROLL_MAX_DIM = 64
+_UNROLL_MAX_DIM_COSINE = 32
 
 
 def as_double_vec(v: Column) -> Column:
@@ -65,8 +68,9 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     NULL embedding as "minimally similar") — NULL propagates, like the
     SQL arithmetic an oracle would run, and sorts after real scores
     under the descending rankings every consumer uses."""
-    d = dot(a, b, dim)
-    na, nb = norm(a, dim), norm(b, dim)
+    cdim = dim if dim is not None and dim <= _UNROLL_MAX_DIM_COSINE else None
+    d = dot(a, b, cdim)
+    na, nb = norm(a, cdim), norm(b, cdim)
     return (
         F.when(a.isNull() | b.isNull() | (F.size(a) != F.size(b)), F.lit(None))
         .when((na > 0) & (nb > 0), d / (na * nb))

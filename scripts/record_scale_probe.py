@@ -40,7 +40,7 @@ def main() -> int:
         "passed": int(m.group(1)) if m else 0,
         "failed": int(f.group(1)) if f else (0 if proc.returncode == 0 else -1),
         "wall_sec": wall,
-        "rows": "~6M synthesized events (60x sf0.1) + 1M-doc viral corpus (100k-copy page)",
+        "rows": "~6M synthesized events (60x sf0.1) + 1M-doc viral corpus (100k-copy page) + 1M-vector ANN corpus (skewed cluster, planted dups)",
         "cmd": "SPARK_GRAFT_SCALE_PROBE=1 pytest tests/test_scale_probe.py -q",
     }
     path = os.path.join(root, f"SCALE_r{rnd:02d}.json")
