@@ -985,7 +985,72 @@ FROM r GROUP BY event_type
 """
 
 
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-class row-pattern recognition, the SQL-standard
+    feature (Trino/Flink) Spark lacks, as the composition in
+    operators/sequence.py: sessionize -> fold each session's event
+    types into one deterministic ``>``-delimited string -> regex match.
+    Per user: total 30-min sessions, sessions containing the
+    view -> click -> purchase funnel as an ordered SUBSEQUENCE (any
+    events between steps), and sessions containing a click IMMEDIATELY
+    followed by a purchase (adjacency) — the two pattern classes that
+    cover most funnel/journey analytics. One sequences pass serves both
+    patterns. The oracle replays the identical fold with
+    ``string_agg(... ORDER BY ts, event_id)`` and RE2 ``regexp_matches``
+    (patterns use only the Java/RE2-common subset)."""
+    from pubg_data_pipeline_spark.operators import sequence
+
+    ev = load_table(spark, sf_dir, "events")
+    seqs = sequence.session_sequences(ev)
+    funnel = sequence.subsequence_pattern("view", "click", "purchase")
+    adjacent = sequence.adjacency_pattern("click", "purchase")
+    return seqs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(
+            F.when(sequence.matches_pattern(F.col("seq"), funnel), 1)
+        ).alias("n_funnel_sessions"),
+        F.count(
+            F.when(sequence.matches_pattern(F.col("seq"), adjacent), 1)
+        ).alias("n_adjacent_sessions"),
+    )
+
+
+_PATTERN_SQL = r"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+), q AS (
+  SELECT user_id, session_id,
+         '>' || string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       COUNT(*) FILTER (
+         WHERE regexp_matches(seq, '>view(>[^>]+)*>click(>[^>]+)*>purchase(?:>|$)')
+       ) AS n_funnel_sessions,
+       COUNT(*) FILTER (
+         WHERE regexp_matches(seq, '>click>purchase(?:>|$)')
+       ) AS n_adjacent_sessions
+FROM q GROUP BY user_id
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "session_pattern_match",
+        session_pattern_match,
+        _PATTERN_SQL,
+        ("behavior", "window", "agg", "sequence"),
+    ),
     QuerySpec("rfm_segments", rfm_segments, _RFM_SQL, ("behavior", "agg", "window")),
     QuerySpec(
         "preference_pairs", preference_pairs, _PREFERENCE_SQL, ("behavior", "llm", "curation")
