@@ -49,6 +49,21 @@ from pubg_data_pipeline_spark.operators.timeseries import sessionize
 SEQ_SEP = ">"
 
 
+def _seq_fold_expr(ts_col: str, tiebreak: str, type_col: str) -> Column:
+    """The shared sequence fold: event types in (ts, tiebreak) order as
+    one ``>``-delimited string with a leading delimiter. Sorting
+    struct(ts, tiebreak, type) AFTER collect makes the order canonical
+    — collect_list order is partition-dependent (batch) and
+    arrival-dependent (streaming), array_sort fixes both."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col), F.col(tiebreak), F.col(type_col)))
+    )
+    return F.concat(
+        F.lit(SEQ_SEP),
+        F.array_join(F.transform(ordered, lambda s: s[type_col]), SEQ_SEP),
+    )
+
+
 def session_sequences(
     df: DataFrame,
     ts_col: str = "ts",
@@ -57,24 +72,14 @@ def session_sequences(
     tiebreak: str = "event_id",
     gap_seconds: float = 1800.0,
 ) -> DataFrame:
-    """One row per (key, session_id) carrying ``seq``: the session's
-    event types in (ts, tiebreak) order as a ``>``-delimited string
-    (leading delimiter), plus ``n_events``. The deterministic order
-    comes from sorting struct(ts, tiebreak, type) AFTER collect —
-    collect_list order is partition-dependent, array_sort makes it
-    canonical."""
+    """One row per (key, session_id) carrying ``seq`` (the canonical
+    fold, see :func:`_seq_fold_expr`) plus ``n_events``."""
     sessioned = sessionize(
         df, ts_col=ts_col, key=key, tiebreak=tiebreak, gap_seconds=gap_seconds
     )
-    ordered = F.array_sort(
-        F.collect_list(F.struct(F.col(ts_col), F.col(tiebreak), F.col(type_col)))
-    )
     return sessioned.groupBy(key, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.concat(
-            F.lit(SEQ_SEP),
-            F.array_join(F.transform(ordered, lambda s: s[type_col]), SEQ_SEP),
-        ).alias("seq"),
+        _seq_fold_expr(ts_col, tiebreak, type_col).alias("seq"),
     )
 
 
@@ -135,3 +140,45 @@ def matches_pattern(seq: Column, pattern: str) -> Column:
     """The bare match predicate, for composing several patterns over
     one `session_sequences` pass (cheaper than one pass per pattern)."""
     return seq.rlike(pattern)
+
+
+def match_event_pattern_stream(
+    stream: DataFrame,
+    pattern: str,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of :func:`match_event_pattern`: a watermarked
+    ``F.session_window`` aggregation builds the SAME canonical sequence
+    fold per closed session and applies the regex — per-session pattern
+    flags emitted incrementally as the watermark closes sessions
+    (append mode), with state bounded by the watermark instead of the
+    batch form's full-history shuffle.
+
+    Session-boundary semantics follow the native operator (an event at
+    exactly prev_ts + gap MERGES — the inclusive rule pinned by
+    tests/test_streaming_session_window.py), so flags agree with the
+    batch sessionize form except on exact-boundary ties, same as every
+    other batch/native session twin in this engine. Returns the
+    streaming DataFrame (key, session_start, session_end, n_events,
+    seq, matched); the caller attaches the sink."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _seq_fold_expr(ts_col, tiebreak, type_col).alias("seq"),
+        )
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "seq",
+            F.col("seq").rlike(pattern).alias("matched"),
+        )
+    )

@@ -98,3 +98,120 @@ def test_pattern_builders_validate():
         sequence.subsequence_pattern()
     with pytest.raises(ValueError):
         sequence.adjacency_pattern()
+
+
+def test_streaming_pattern_match_agrees_with_batch(spark, tmp_path):
+    """match_event_pattern_stream: watermarked session_window + the
+    same canonical fold + regex, drained with availableNow into a
+    memory sink. Flags must agree with the batch form on
+    boundary-free data (native/batch session twins diverge only on
+    exact prev_ts + gap ties, pinned elsewhere)."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pubg_data_pipeline_spark.streaming import sources
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "view"),
+        (2, "2024-01-01T10:05:00", 1, "click"),
+        (3, "2024-01-01T10:06:00", 1, "error"),
+        (4, "2024-01-01T10:10:00", 1, "purchase"),   # funnel matches
+        (5, "2024-01-01T12:00:00", 1, "click"),
+        (6, "2024-01-01T12:01:00", 1, "purchase"),   # no view -> no match
+        (7, "2024-01-01T09:00:00", 2, "purchase"),
+        (8, "2024-01-01T09:10:00", 2, "view"),       # wrong order -> no match
+        (99, "2024-01-02T12:00:00", 999, "view"),    # watermark sentinel
+    ]
+    src = tmp_path / "seq_events"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for eid, ts, uid, et in rows:
+            f.write(
+                _json.dumps(
+                    {"event_id": eid, "ts": ts, "user_id": uid, "event_type": et}
+                )
+                + "\n"
+            )
+    pat = sequence.subsequence_pattern("view", "click", "purchase")
+    out = sequence.match_event_pattern_stream(
+        sources.json_file_stream(spark, str(src), schema), pat
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seq_pattern_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), r["matched"])
+        for r in spark.sql("SELECT * FROM seq_pattern_stream").collect()
+        if r["user_id"] != 999
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00", True),
+        (1, "2024-01-01 12:00:00", False),
+        (2, "2024-01-01 09:00:00", False),
+    }
+    # batch twin agrees on this boundary-free data
+    batch = spark.createDataFrame(
+        [(e, t.replace("T", " "), u, et) for e, t, u, et in rows if u != 999],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got_batch = {
+        (r["user_id"], r["matched"])
+        for r in sequence.match_event_pattern(batch, pat).collect()
+    }
+    assert got_batch == {(u, m) for u, _, m in got}
+
+
+def test_pattern_match_property_vs_python_reference(spark):
+    """Hypothesis: for random event sequences and random step lists,
+    the engine's subsequence/adjacency verdicts equal a trivial Python
+    reference over the same ordered tokens."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["view", "click", "purchase", "error", "view_item"])
+    seqs = st.lists(token, min_size=1, max_size=8)
+    steps = st.lists(token, min_size=1, max_size=3)
+
+    def ref_subsequence(tokens, want):
+        i = 0
+        for t in tokens:
+            if i < len(want) and t == want[i]:
+                i += 1
+        return i == len(want)
+
+    def ref_adjacent(tokens, want):
+        n, m = len(tokens), len(want)
+        return any(tokens[i : i + m] == want for i in range(n - m + 1))
+
+    @settings(max_examples=200, deadline=None)
+    @given(tokens=seqs, want=steps)
+    def check(tokens, want):
+        seq = sequence.SEQ_SEP + sequence.SEQ_SEP.join(tokens)
+        sub = re.search(sequence.subsequence_pattern(*want), seq) is not None
+        adj = re.search(sequence.adjacency_pattern(*want), seq) is not None
+        assert sub == ref_subsequence(tokens, want), (tokens, want)
+        assert adj == ref_adjacent(tokens, want), (tokens, want)
+
+    check()
