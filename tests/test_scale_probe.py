@@ -136,6 +136,8 @@ def big_events_dir(spark, tmp_path_factory):
         "event_hour_chi2",
         "events_t_closeness",
         "daily_spine_rcte",
+        # round-6 addition: row-pattern recognition (session fold + regex)
+        "session_pattern_match",
     ],
 )
 def test_events_heavy_queries_survive_6m_rows(spark, big_events_dir, name):
