@@ -13,15 +13,21 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Unrolling past Janino's generated-method size makes codegen
-# compilation FAIL per stage — a logged multi-second retry+fallback to
-# interpreted eval that is slower than the fold it replaced. The limit
-# is per EXPRESSION TREE, so the caps differ by shape (both measured):
-# a bare 64-dim dot (~320 nodes) compiles and beats the fold ~25%,
-# while a 64-dim cosine (three dots + null guards in ONE tree, ~1200
-# nodes) trips the limit — cosine only unrolls through 32 dims. Above
-# a cap the zip_with/aggregate fold is kept.
-_UNROLL_MAX_DIM = 64
+# Unrolling wide vectors is bounded by TWO per-method JVM limits, and
+# the danger zone is reached by COMPOSITION, which dot() cannot see:
+# Janino refuses to compile a 64-dim cosine (three dots + null guards
+# in one tree, ~1200 nodes — loud multi-second fail + interpreted
+# fallback per stage), and even where Janino succeeds, HotSpot
+# silently declines to JIT generated methods past its huge-method
+# threshold — a projection composing eight unrolled 64-dim plane dots
+# (the LSH sketch) compiled fine yet ran ~15× slower than the fold,
+# with nothing in the logs. A 64-dim cap was tried and reverted for
+# exactly that composition hazard: the cap must keep ANY plausible
+# multi-dot projection inside JIT range, so it stays at 32 (measured
+# safe for the 3-dot cosine and the 8-dot sketch alike; 16–32-dim
+# single dots run ~10× faster unrolled). Above the cap the
+# zip_with/aggregate fold is kept.
+_UNROLL_MAX_DIM = 32
 _UNROLL_MAX_DIM_COSINE = 32
 
 
