@@ -51,14 +51,18 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     can never move a value hash. Element access is ``F.get`` (NULL on
     out-of-range, even under ANSI) so arrays shorter than ``dim`` yield
     NULL, matching zip_with's NULL padding; arrays LONGER than ``dim``
-    would be silently truncated, so ``dim`` must be the actual
-    dimension, not a bound."""
+    are caught by an explicit size guard that yields NULL instead of a
+    silently truncated prefix sum (a wrong caller-supplied ``dim`` must
+    fail visibly, not rank on plausible partial dots — NULL sorts after
+    every real score under the descending rankings all consumers use).
+    The guard costs ~4 expression nodes, far inside the JIT-composition
+    budget documented above."""
     ad, bd = as_double_vec(a), as_double_vec(b)
     if dim is not None and dim <= _UNROLL_MAX_DIM:
         acc = F.lit(0.0)
         for k in range(dim):
             acc = acc + F.get(ad, k) * F.get(bd, k)
-        return acc
+        return F.when((F.size(ad) == dim) & (F.size(bd) == dim), acc)
     prods = F.zip_with(ad, bd, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -79,6 +83,11 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     na, nb = norm(a, cdim), norm(b, cdim)
     return (
         F.when(a.isNull() | b.isNull() | (F.size(a) != F.size(b)), F.lit(None))
+        # A NULL norm with non-NULL equal-size inputs means the unrolled
+        # path's dim guard fired (caller-supplied dim != actual size):
+        # propagate NULL rather than letting the NULL comparison below
+        # fall through to the zero-norm branch and score 0.0.
+        .when(na.isNull() | nb.isNull(), F.lit(None))
         .when((na > 0) & (nb > 0), d / (na * nb))
         .otherwise(F.lit(0.0))
     )

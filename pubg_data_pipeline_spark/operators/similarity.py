@@ -200,15 +200,13 @@ def _d2_expr(center: Column, v: Column, dim: int | None = None) -> Column:
         for k in range(dim):
             d = F.get(v, k) - F.get(center, k)
             acc = acc + d * d
-        return acc
+        # Size guard, same contract as vectors.dot: a vector LONGER
+        # than dim must yield NULL (fail-visible), never a silently
+        # truncated prefix distance. Shorter vectors are already NULL
+        # via F.get's out-of-range NULL.
+        return F.when((F.size(v) == dim) & (F.size(center) == dim), acc)
     diffs = F.zip_with(v, center, lambda a, b: (a - b) * (a - b))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _d2_to(center: list, v: Column) -> Column:
-    """Squared Euclidean distance from vector column v to a literal
-    center."""
-    return _d2_expr(F.lit([float(x) for x in center]), v, dim=len(center))
 
 
 def _cell_ranking(centers: list, v: Column) -> Column:

@@ -1044,11 +1044,146 @@ FROM q GROUP BY user_id
 """
 
 
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE cross-row MEASURES: not just "did this session
+    convert" (session_pattern_match) but HOW LONG each funnel step
+    took. operators/sequence.py:funnel_step_times extracts the matched
+    steps' timestamps under first-match skip-to-next semantics (step
+    i+1 binds to the first qualifying event strictly after step i in
+    the canonical order — the exact subsequence the regex form tests),
+    then per cohort day: completed-funnel count and step-delta
+    percentiles. Binding is over the WHOLE user journey
+    (``gap_seconds=None`` — lifetime conversion spans days; the
+    synthetic 30-min sessions average ~1 event, so the session form
+    would be vacuous), grouped by the day of the matched first step.
+    The oracle replays the same binding as iterated min-position joins
+    (arg_min over pos) — sequential conditional aggregation, the
+    textbook SQL spelling of funnel measures. Reference contrast:
+    advanced_analytics.py:141-161 derives per-step trend deltas
+    imperatively per batch."""
+    from pubg_data_pipeline_spark.operators import sequence
+
+    ev = load_table(spark, sf_dir, "events")
+    ft = sequence.funnel_step_times(
+        ev, ["view", "click", "purchase"], gap_seconds=None
+    )
+    t0, t1, t2 = (F.col("step_ts").getItem(i) for i in range(3))
+    d = ft.filter(F.col("completed")).select(
+        F.date_format(t0, "yyyy-MM-dd").alias("cohort_day"),
+        ((F.unix_micros(t1) - F.unix_micros(t0)) / 1000000.0).alias("view_click_sec"),
+        ((F.unix_micros(t2) - F.unix_micros(t1)) / 1000000.0).alias("click_purchase_sec"),
+        ((F.unix_micros(t2) - F.unix_micros(t0)) / 1000000.0).alias("total_sec"),
+    )
+    return d.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_funnels"),
+        F.round(F.percentile("view_click_sec", 0.5), 3).alias("p50_view_click_sec"),
+        F.round(F.percentile("click_purchase_sec", 0.5), 3).alias("p50_click_purchase_sec"),
+        F.round(F.percentile("total_sec", 0.9), 3).alias("p90_total_sec"),
+    )
+
+
+_FUNNEL_LATENCY_SQL = r"""
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events WHERE user_id IS NOT NULL
+), f1 AS (
+  SELECT user_id, MIN(pos) AS p1, arg_min(ts, pos) AS t1
+  FROM s WHERE event_type = 'view' GROUP BY user_id
+), f2 AS (
+  SELECT s.user_id, MIN(s.pos) AS p2, arg_min(s.ts, s.pos) AS t2
+  FROM s JOIN f1 ON s.user_id = f1.user_id
+  WHERE s.event_type = 'click' AND s.pos > f1.p1
+  GROUP BY s.user_id
+), f3 AS (
+  SELECT s.user_id, arg_min(s.ts, s.pos) AS t3
+  FROM s JOIN f2 ON s.user_id = f2.user_id
+  WHERE s.event_type = 'purchase' AND s.pos > f2.p2
+  GROUP BY s.user_id
+), d AS (
+  SELECT strftime(f1.t1, '%Y-%m-%d') AS cohort_day,
+         (epoch_us(f2.t2) - epoch_us(f1.t1)) / 1000000.0 AS view_click_sec,
+         (epoch_us(f3.t3) - epoch_us(f2.t2)) / 1000000.0 AS click_purchase_sec,
+         (epoch_us(f3.t3) - epoch_us(f1.t1)) / 1000000.0 AS total_sec
+  FROM f1
+  JOIN f2 ON f1.user_id = f2.user_id
+  JOIN f3 ON f1.user_id = f3.user_id
+)
+SELECT cohort_day, COUNT(*) AS n_funnels,
+       ROUND(quantile_cont(view_click_sec, 0.5), 3) AS p50_view_click_sec,
+       ROUND(quantile_cont(click_purchase_sec, 0.5), 3) AS p50_click_purchase_sec,
+       ROUND(quantile_cont(total_sec, 0.9), 3) AS p90_total_sec
+FROM d GROUP BY cohort_day
+"""
+
+
+def error_burst_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified row-pattern recognition (MATCH_RECOGNIZE ``A{m,}``):
+    sessions containing >= 2 CONSECUTIVE error events — the burst
+    shape adjacency alone can't spell and subsequence deliberately
+    ignores. One session_sequences pass; the repetition builder emits
+    the RE2-common quantifier form both engines run verbatim."""
+    from pubg_data_pipeline_spark.operators import sequence
+
+    ev = load_table(spark, sf_dir, "events")
+    seqs = sequence.session_sequences(ev)
+    burst = sequence.repetition_pattern("error", 2)
+    return (
+        seqs.select(
+            F.date_format("session_start", "yyyy-MM-dd").alias("day"),
+            sequence.matches_pattern(F.col("seq"), burst).alias("b"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count(F.when(F.col("b"), 1)).alias("n_burst_sessions"),
+        )
+    )
+
+
+_ERROR_BURST_SQL = r"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+), q AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start,
+         '>' || string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+  FROM s GROUP BY user_id, session_id
+)
+SELECT strftime(s_start, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_sessions,
+       COUNT(*) FILTER (
+         WHERE regexp_matches(seq, '(?:>error){2,}(?:>|$)')
+       ) AS n_burst_sessions
+FROM q GROUP BY strftime(s_start, '%Y-%m-%d')
+"""
+
+
 SPECS = [
     QuerySpec(
         "session_pattern_match",
         session_pattern_match,
         _PATTERN_SQL,
+        ("behavior", "window", "agg", "sequence"),
+    ),
+    QuerySpec(
+        "funnel_step_latency",
+        funnel_step_latency,
+        _FUNNEL_LATENCY_SQL,
+        ("behavior", "window", "agg", "sequence"),
+    ),
+    QuerySpec(
+        "error_burst_sessions",
+        error_burst_sessions,
+        _ERROR_BURST_SQL,
         ("behavior", "window", "agg", "sequence"),
     ),
     QuerySpec("rfm_segments", rfm_segments, _RFM_SQL, ("behavior", "agg", "window")),

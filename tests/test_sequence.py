@@ -215,3 +215,265 @@ def test_pattern_match_property_vs_python_reference(spark):
         assert adj == ref_adjacent(tokens, want), (tokens, want)
 
     check()
+
+
+def test_pattern_builders_escape_and_reject_delimiter():
+    """Advice r6: step tokens are escaped (metacharacters match
+    themselves literally in both dialects) and delimiter-bearing
+    tokens are rejected — 'a+b' must match only the literal token."""
+    import re
+
+    pat = sequence.subsequence_pattern("a+b", "c.d")
+    assert re.search(pat, ">a+b>c.d") is not None
+    assert re.search(pat, ">aab>cxd") is None  # '+'/'.' are NOT regex ops
+    adj = sequence.adjacency_pattern("x(y)", "z|w")
+    assert re.search(adj, ">x(y)>z|w") is not None
+    assert re.search(adj, ">xy>z") is None
+    for builder in (
+        sequence.subsequence_pattern,
+        sequence.adjacency_pattern,
+        lambda s: sequence.repetition_pattern(s, 2),
+    ):
+        with pytest.raises(ValueError):
+            builder("x>y")
+        with pytest.raises(ValueError):
+            builder("")
+
+
+def test_fold_raises_on_delimiter_in_event_type(spark):
+    """An event type containing '>' would silently change match
+    semantics on BOTH engines (parity could not catch it) — the fold
+    must fail loud instead."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "bad>type")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(Exception, match="sequence delimiter"):
+        sequence.session_sequences(df).collect()
+
+
+def test_repetition_pattern_semantics():
+    import re
+
+    pat = sequence.repetition_pattern("error", 2)
+    assert re.search(pat, ">error>error") is not None
+    assert re.search(pat, ">a>error>error>b") is not None
+    assert re.search(pat, ">error") is None
+    assert re.search(pat, ">error>a>error") is None  # not consecutive
+    assert re.search(pat, ">errorx>error") is None  # whole tokens only
+    assert re.search(sequence.repetition_pattern("error", 3), ">error>error") is None
+    with pytest.raises(ValueError):
+        sequence.repetition_pattern("error", 0)
+    with pytest.raises(ValueError):
+        sequence.repetition_pattern("error", 3, 2)
+
+
+def test_repetition_property_vs_python_reference():
+    """Hypothesis: repetition_pattern(step, m) == 'some run of step has
+    length >= m' on random token sequences."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["a", "b", "error"])
+
+    def ref_run(tokens, step, m):
+        run = best = 0
+        for t in tokens:
+            run = run + 1 if t == step else 0
+            best = max(best, run)
+        return best >= m
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        tokens=st.lists(token, min_size=1, max_size=10),
+        step=token,
+        m=st.integers(min_value=1, max_value=4),
+    )
+    def check(tokens, step, m):
+        seq = sequence.SEQ_SEP + sequence.SEQ_SEP.join(tokens)
+        got = re.search(sequence.repetition_pattern(step, m), seq) is not None
+        assert got == ref_run(tokens, step, m), (tokens, step, m)
+
+    check()
+
+
+def test_max_events_per_session_bounds_fold(spark):
+    """Round-7 enforcement of the pathological-session bound: a
+    never-breaking single-key stream (events 1s apart, gap 30 min)
+    concentrates into ONE session; with the cap, the fold keeps only
+    the first N events in canonical order, flags `truncated`, and
+    reports the TRUE n_events."""
+    rows = [(i, f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}", 1, f"e{i:03d}") for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sequence.session_sequences(df, max_events_per_session=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 90 and r["truncated"]
+    toks = r["seq"].split(sequence.SEQ_SEP)[1:]
+    assert toks == [f"e{i:03d}" for i in range(10)]  # keep-FIRST, canonical order
+    # under-cap session: untruncated, full sequence
+    small = sequence.session_sequences(
+        df.limit(5), max_events_per_session=10
+    ).collect()[0]
+    assert small["n_events"] == 5 and not small["truncated"]
+    assert len(small["seq"].split(sequence.SEQ_SEP)) - 1 == 5
+    with pytest.raises(ValueError):
+        sequence.session_sequences(df, max_events_per_session=0)
+
+
+def test_max_events_cap_property(spark):
+    """Hypothesis over session sizes and caps: token count ==
+    min(n, cap), truncated == (n > cap), prefix == first min(n, cap)
+    event types in canonical order. One Spark job per example, many
+    users per job (each user is an independent case)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6),
+        cap=st.integers(min_value=1, max_value=12),
+    )
+    def check(sizes, cap):
+        rows = [
+            (u * 1000 + i, f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}", u, f"t{i:02d}")
+            for u, n in enumerate(sizes)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r["user_id"]: r
+            for r in sequence.session_sequences(df, max_events_per_session=cap).collect()
+        }
+        assert len(got) == len(sizes)
+        for u, n in enumerate(sizes):
+            r = got[u]
+            toks = r["seq"].split(sequence.SEQ_SEP)[1:]
+            assert r["n_events"] == n
+            assert r["truncated"] == (n > cap)
+            assert toks == [f"t{i:02d}" for i in range(min(n, cap))]
+
+    check()
+
+
+def test_funnel_step_times_semantics(spark, events):
+    """Cross-row measures: first-match skip-to-next binding. Session
+    (1,1) completes view->click->purchase with the error skipped;
+    session (1,2) lacks view so NOTHING binds (later steps require the
+    earlier slot); user 2's out-of-order session binds only 'view'
+    (its click precedes it, its purchase precedes both)."""
+    ft = {
+        (r["user_id"], r["session_id"]): r
+        for r in sequence.funnel_step_times(
+            events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    r11 = ft[(1, 1)]
+    assert r11["completed"]
+    assert [str(t) for t in r11["step_ts"]] == [
+        "2024-01-01 10:00:00",
+        "2024-01-01 10:05:00",
+        "2024-01-01 10:10:00",
+    ]
+    r12 = ft[(1, 2)]
+    assert not r12["completed"] and r12["step_ts"] == [None, None, None]
+    r21 = ft[(2, 1)]
+    assert not r21["completed"]
+    assert str(r21["step_ts"][0]) == "2024-01-01 09:20:00"
+    assert r21["step_ts"][1] is None and r21["step_ts"][2] is None
+
+
+def test_funnel_step_times_repeated_step_and_whole_history(spark):
+    """steps may repeat ('click','click' needs two distinct clicks —
+    one event can never fill two slots); gap_seconds=None binds across
+    session boundaries (whole-journey funnels)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        # >30 min later: a second session — whole-history mode must
+        # still bind it as step 2
+        (2, "2024-01-01 11:00:00", 1, "click"),
+        (3, "2024-01-01 09:00:00", 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["user_id"]: r
+        for r in sequence.funnel_step_times(
+            df, ["click", "click"], gap_seconds=None
+        ).collect()
+    }
+    assert got[1]["completed"]
+    assert [str(t) for t in got[1]["step_ts"]] == [
+        "2024-01-01 10:00:00",
+        "2024-01-01 11:00:00",
+    ]
+    assert not got[2]["completed"]  # single click cannot fill both slots
+    assert str(got[2]["step_ts"][0]) == "2024-01-01 09:00:00"
+    # sessionized mode: the two clicks are in DIFFERENT sessions -> no
+    # session completes
+    sess = sequence.funnel_step_times(df, ["click", "click"]).collect()
+    assert all(not r["completed"] for r in sess)
+
+
+def test_streaming_cap_flags_truncated(spark, tmp_path):
+    """The streaming twin's cap: emitted seq sliced to the first N
+    events in canonical order, truncated flag set, true n_events."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pubg_data_pipeline_spark.streaming import sources
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    rows = [(i, f"2024-01-01T10:00:{i:02d}", 1, f"e{i}") for i in range(15)]
+    rows.append((99, "2024-01-02T12:00:00", 999, "view"))  # watermark sentinel
+    src = tmp_path / "cap_events"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for eid, ts, uid, et in rows:
+            f.write(
+                _json.dumps({"event_id": eid, "ts": ts, "user_id": uid, "event_type": et})
+                + "\n"
+            )
+    out = sequence.match_event_pattern_stream(
+        sources.json_file_stream(spark, str(src), schema),
+        sequence.adjacency_pattern("e0", "e1"),
+        max_events_per_session=5,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seq_cap_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        r
+        for r in spark.sql("SELECT * FROM seq_cap_stream").collect()
+        if r["user_id"] != 999
+    ]
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_events"] == 15 and r["truncated"] and r["matched"]
+    assert r["seq"].split(sequence.SEQ_SEP)[1:] == [f"e{i}" for i in range(5)]
