@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from urllib.parse import unquote
 
 
@@ -78,6 +79,111 @@ def publish_json_slot(doc: dict, final_path: str, tmp_path: str) -> bool:
         return False
     finally:
         os.unlink(tmp_path)
+
+
+class TxnLog:
+    """The transactional-log commit backend: a versioned JSON-document
+    log with create-only (CAS) publishes — the lake-format commit
+    primitive (Delta's ``_delta_log/<version>.json``, Iceberg's
+    metadata-file swap) in its minimal local-FS form, shared by every
+    subsystem that opts into log-backed state:
+
+    - ``snapshots.py`` runs its ``_manifests/v{N}.json`` table log on
+      this class (it always WAS this protocol; now it is this module);
+    - ``backfill_stale_partitions(backend="log")`` versions its
+      fingerprint manifest here instead of replace-in-place;
+    - ``propagate_deletes``/``expire_partitions`` with ``backend="log"``
+      journal each maintenance operation BEFORE sweeping directories —
+      the log commit is the commit point, the physical sweep is
+      vacuum-like and replayable after a crash.
+
+    Guarantees: a version file is complete or absent (tmp + fsync +
+    atomic link), version numbers are dense and strictly ordered,
+    losing a CAS race is detected (EEXIST) never clobbered, and a
+    reader holding version N is immune to later commits (snapshot
+    isolation — old versions are immutable until ``vacuum``). On an
+    object store every ``publish`` becomes one conditional PUT."""
+
+    def __init__(self, log_dir: str, retries: int = 20) -> None:
+        self.log_dir = log_dir
+        self.retries = retries
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v{version:012d}.json")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for entry in os.listdir(self.log_dir):
+            if entry.startswith("v") and entry.endswith(".json"):
+                digits = entry[1:-5]
+                if digits.isdigit():
+                    out.append(int(digits))
+        return sorted(out)
+
+    def read(self, version: int | None = None) -> dict | None:
+        """Latest committed document (or a pinned ``version``); None on
+        an empty log. A torn read is impossible: the file either fully
+        exists (post-link) or not at all."""
+        if version is None:
+            versions = self.versions()
+            if not versions:
+                return None
+            version = versions[-1]
+        with open(self._path(version), encoding="utf-8") as f:
+            return json.load(f)
+
+    def publish(self, doc: dict, commit_id: str | None = None) -> int:
+        """Append ``doc`` as the next version and return its number.
+        Losing the slot race re-reads the head and takes the following
+        slot — last-writer-wins at DOCUMENT granularity (each caller
+        publishes self-contained state; rebase-style merging is the
+        caller's job, as in snapshot_commit's retry loop)."""
+        if commit_id is None:
+            commit_id = uuid.uuid4().hex
+        os.makedirs(self.log_dir, exist_ok=True)
+        for _ in range(self.retries):
+            versions = self.versions()
+            version = (versions[-1] if versions else 0) + 1
+            stamped = dict(doc)
+            stamped["_txn"] = {"version": version, "commit_id": commit_id}
+            if publish_json_slot(
+                stamped,
+                self._path(version),
+                os.path.join(self.log_dir, f".tmp-{commit_id}-{version}"),
+            ):
+                return version
+        raise RuntimeError(
+            f"TxnLog.publish lost the version race {self.retries} times at "
+            f"{self.log_dir!r} — contention this hot needs a coordinating "
+            "commit service."
+        )
+
+    def try_publish_version(self, doc: dict, version: int, commit_id: str) -> bool:
+        """CAS a SPECIFIC version slot (no retry): the primitive for
+        callers that rebase their document on the parent version before
+        retrying (snapshot_commit). True iff this writer won the slot."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        return publish_json_slot(
+            doc,
+            self._path(version),
+            os.path.join(self.log_dir, f".tmp-{commit_id}-{version}"),
+        )
+
+    def vacuum(self, keep_versions: int) -> list[str]:
+        """Drop all but the newest ``keep_versions`` version files.
+        Readers lose time travel past the horizon — the same contract
+        as snapshot_vacuum, whose data-file half stays table-specific."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        versions = self.versions()
+        removed = []
+        for v in versions[:-keep_versions]:
+            p = self._path(v)
+            os.unlink(p)
+            removed.append(p)
+        return removed
 
 
 def partition_dirs(table_path: str, partition_col: str) -> dict[str, str]:

@@ -282,6 +282,49 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def _maintenance_log(table_path: str):
+    """The table's maintenance journal — the shared transactional-log
+    backend (commitproto.TxnLog) at ``<table>/_maintenance_log/``. Each
+    destructive operation (delete propagation, retention expiry)
+    journals its doom-set BEFORE touching a directory: the log commit
+    is the commit point, the physical sweep is vacuum-like and
+    idempotently replayable after a crash
+    (:func:`complete_pending_maintenance`) — the same
+    metadata-first discipline a lake format's DELETE uses."""
+    import os
+
+    from pubg_data_pipeline_spark.sources.commitproto import TxnLog
+
+    return TxnLog(os.path.join(table_path, "_maintenance_log"))
+
+
+def _require_backend(backend: str, allowed: tuple[str, ...], op: str) -> None:
+    if backend not in allowed:
+        raise ValueError(f"{op}: backend must be one of {allowed}, got {backend!r}")
+
+
+def complete_pending_maintenance(table_path: str, partition_col: str) -> list[str]:
+    """Re-apply the NEWEST journaled doom-set for ``partition_col``
+    (log-backend crash recovery): a maintenance run that committed its
+    journal entry but died mid-sweep leaves doomed directories a direct
+    reader still serves; the sweep is idempotent, so re-running it
+    converges. Only the newest entry is replayed — older entries'
+    sweeps completed before their successors were journaled, and
+    replaying ancient doom-sets could delete a legitimately re-created
+    partition (value-level tombstones don't age well; a lake format
+    tombstones FILES for exactly this reason)."""
+    from pubg_data_pipeline_spark.sources.commitproto import sweep_partition_dirs
+
+    log = _maintenance_log(table_path)
+    for v in reversed(log.versions()):
+        doc = log.read(v)
+        if doc.get("partition_col") == partition_col:
+            return sweep_partition_dirs(
+                table_path, partition_col, set(doc.get("doomed", []))
+            )
+    return []
+
+
 def propagate_deletes(
     spark: SparkSession,
     table_path: str,
@@ -289,6 +332,7 @@ def propagate_deletes(
     key_col: str,
     partition_col: str,
     max_affected_partitions: int = 100_000,
+    backend: str = "direct",
 ) -> dict:
     """Right-to-be-forgotten propagation into a partitioned parquet
     table: remove every row whose ``key_col`` appears in
@@ -313,12 +357,21 @@ def propagate_deletes(
 
     (Reference contrast: its HDFS tables are append-only with no
     delete story at all — spark_apps/pubg_streaming.py:252-262.)
+
+    ``backend="log"`` additionally journals the operation (op, doomed
+    partitions, row counts) to the table's ``_maintenance_log/`` via
+    the shared transactional-log backend BEFORE the directory sweep:
+    an auditable history of every destructive pass, and crash recovery
+    via :func:`complete_pending_maintenance` instead of "hope the
+    sweep finished". ``backend="direct"`` (default) keeps the bare
+    protocol.
     """
     from pubg_data_pipeline_spark.sources.commitproto import (
         require_local_path,
         sweep_partition_dirs,
     )
 
+    _require_backend(backend, ("direct", "log"), "propagate_deletes")
     require_local_path(
         table_path,
         "propagate_deletes",
@@ -365,6 +418,16 @@ def propagate_deletes(
     )
     kept = {str(r[0]) for r in survivors.select(partition_col).distinct().collect()}
     doomed = {str(p) for p in affected} - kept
+    if backend == "log":
+        _maintenance_log(table_path).publish(
+            {
+                "op": "propagate_deletes",
+                "partition_col": partition_col,
+                "doomed": sorted(doomed),
+                "affected_partitions": len(affected),
+                "deleted_rows": pre - post,
+            }
+        )
     sweep_partition_dirs(table_path, partition_col, doomed)
     return {"affected_partitions": len(affected), "deleted_rows": pre - post}
 
@@ -373,6 +436,7 @@ def expire_partitions(
     table_path: str,
     partition_col: str,
     keep: Callable[[str], bool],
+    backend: str = "direct",
 ) -> list[str]:
     """Retention sweep: drop every partition of a partitioned parquet
     table whose VALUE fails ``keep`` (e.g. ``lambda d: d >=
@@ -388,12 +452,22 @@ def expire_partitions(
         sweep_partition_dirs,
     )
 
+    _require_backend(backend, ("direct", "log"), "expire_partitions")
     require_local_path(
         table_path,
         "expire_partitions",
         "use the table format's retention/expire-snapshots on object stores.",
     )
     doomed = {v for v in partition_dirs(table_path, partition_col) if not keep(v)}
+    if backend == "log":
+        # journal-first, same contract as propagate_deletes' log mode
+        _maintenance_log(table_path).publish(
+            {
+                "op": "expire_partitions",
+                "partition_col": partition_col,
+                "doomed": sorted(doomed),
+            }
+        )
     return sweep_partition_dirs(table_path, partition_col, doomed)
 
 
@@ -467,6 +541,7 @@ def backfill_stale_partitions(
     fingerprint_cols: Sequence[str] | None = None,
     max_partitions: int = 100_000,
     logic_version: str = "1",
+    backend: str = "replace",
 ) -> dict:
     """Incremental backfill: recompute a derived partitioned table for
     ONLY the source partitions whose content changed — the standard
@@ -512,18 +587,29 @@ def backfill_stale_partitions(
     done. Local filesystem for manifest + pruning; on a lake format
     steps 2-4 are MERGE + snapshot metadata.
 
+    ``backend`` picks the manifest's commit protocol: ``"replace"``
+    (default) is the single last-writer-wins JSON at
+    ``<target>/_backfill_manifest.json``; ``"log"`` versions the same
+    document through the shared transactional-log backend
+    (``<target>/_backfill_log/v{N}.json``, commitproto.TxnLog) — every
+    backfill run becomes an immutable, auditable version with snapshot
+    isolation for concurrent readers of the manifest, and the
+    lake-format swap point stays one module.
+
     Returns ``{"stale", "pruned", "unchanged"}`` partition-value lists.
     """
     import json
     import os
 
     from pubg_data_pipeline_spark.sources.commitproto import (
+        TxnLog,
         partition_dirs,
         publish_json,
         require_local_path,
         sweep_partition_dirs,
     )
 
+    _require_backend(backend, ("replace", "log"), "backfill_stale_partitions")
     require_local_path(
         target_path,
         "backfill_stale_partitions (manifest publish)",
@@ -557,10 +643,15 @@ def backfill_stale_partitions(
         )
     current = {r["__p"]: [r["n"], str(r["x"]), str(r["s"])] for r in fp}
     manifest_path = os.path.join(target_path, "_backfill_manifest.json")
-    previous: dict = {}
-    if os.path.exists(manifest_path):
+    mlog = TxnLog(os.path.join(target_path, "_backfill_log"))
+    doc = None
+    if backend == "log":
+        doc = mlog.read()  # latest committed version, torn reads impossible
+    elif os.path.exists(manifest_path):
         with open(manifest_path, encoding="utf-8") as f:
             doc = json.load(f)
+    previous: dict = {}
+    if doc is not None:
         # nested layout: version and partition entries never share a
         # namespace (a partition literally VALUED '__logic_version__'
         # must not collide with metadata)
@@ -643,7 +734,11 @@ def backfill_stale_partitions(
             empty = bool(previous.get(p, {}).get("empty"))
         entries[p] = {"fp": v, "empty": empty}
     os.makedirs(target_path, exist_ok=True)
-    publish_json({"version": logic_version, "partitions": entries}, manifest_path)
+    new_doc = {"version": logic_version, "partitions": entries}
+    if backend == "log":
+        mlog.publish(new_doc)
+    else:
+        publish_json(new_doc, manifest_path)
     return {"stale": stale, "pruned": pruned, "unchanged": unchanged}
 
 

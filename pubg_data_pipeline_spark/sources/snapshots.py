@@ -37,14 +37,11 @@ commits (snapshot isolation) and ``version=`` gives time travel.
 
 from __future__ import annotations
 
-import json
 import os
-import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MANIFEST_RE = re.compile(r"^v(\d{12})\.json$")
 _COMMIT_RETRIES = 20
 
 
@@ -62,21 +59,22 @@ def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
 
+def _log(path: str):
+    """The table's manifest log IS the shared transactional-log
+    backend (commitproto.TxnLog): same v{N:012d}.json layout, same CAS
+    slot publish — snapshots was the prototype of that protocol and
+    now runs on the one shared implementation."""
+    from pubg_data_pipeline_spark.sources.commitproto import TxnLog
+
+    return TxnLog(_manifest_dir(path), retries=_COMMIT_RETRIES)
+
+
 def _versions(path: str) -> list[int]:
-    mdir = _manifest_dir(path)
-    if not os.path.isdir(mdir):
-        return []
-    out = []
-    for entry in os.listdir(mdir):
-        m = _MANIFEST_RE.match(entry)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+    return _log(path).versions()
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    with open(os.path.join(_manifest_dir(path), f"v{version:012d}.json")) as f:
-        return json.load(f)
+    return _log(path).read(version)
 
 
 def _list_part_files(data_dir: str) -> list[str]:
@@ -166,13 +164,7 @@ def snapshot_commit(
         }
         if txn is not None:
             manifest["txn"] = {"app_id": txn[0], "version": txn[1]}
-        from pubg_data_pipeline_spark.sources.commitproto import publish_json_slot
-
-        if publish_json_slot(
-            manifest,
-            os.path.join(mdir, f"v{version:012d}.json"),
-            os.path.join(mdir, f".tmp-{commit_id}-{version}"),
-        ):
+        if _log(path).try_publish_version(manifest, version, commit_id):
             return version
         continue  # a concurrent commit took this slot — rebase
     raise RuntimeError(
@@ -290,9 +282,10 @@ def snapshot_vacuum(
             # files may come from ancestor commits still referenced
             live_commits.add(f.split(os.sep)[1])
     removed = []
+    log = _log(path)
     for v in versions:
         if v not in keep:
-            p = os.path.join(_manifest_dir(path), f"v{v:012d}.json")
+            p = log._path(v)
             os.unlink(p)
             removed.append(p)
     data_root = os.path.join(path, "data")

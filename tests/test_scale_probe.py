@@ -402,3 +402,103 @@ def test_ann_balanced_quantizer_bounds_the_skew_cell_at_1m(spark, ann_corpus):
         f"fattest cell holds {max_cell} vectors > capacity {capacity}: "
         "the skewed third survived the balanced split"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming row-pattern twin at volume (round 7): match_event_pattern_stream
+# was drained end-to-end only on toy data (tests/test_sequence.py). This
+# replays a 6M-row, event-time-ORDERED burst corpus (600k sessions of 10
+# events) through the watermarked session_window fold via availableNow and
+# asserts (a) every emitted session agrees CELL-EXACTLY with the batch twin
+# run from the same expressions, (b) every session comfortably older than
+# the watermark was emitted (no silent loss), and (c) the state store's
+# peak row count stayed bounded by the open-session population, not the
+# stream length. One ts-sorted file keeps the file-source ordering
+# deterministic (ts = burst*3600 + i*60 — monotone in id, no wrap).
+
+
+@pytest.fixture(scope="module")
+def burst_events_file(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_probe")
+    types = F.array(*[F.lit(t) for t in ("kill", "death", "assist", "purchase", "error")])
+    (
+        spark.range(6_000_000)
+        .select(
+            F.col("id").alias("event_id"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(
+                    secs=((F.col("id") / 10).cast("long") * 3600
+                          + (F.col("id") % 10) * 60).cast("double")
+                )
+            ).alias("ts"),
+            ((F.col("id") / 10).cast("long") % 50_000).alias("user_id"),
+            types.getItem(F.pmod(F.hash("id"), F.lit(5)).cast("int")).alias("event_type"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(d / "events"))
+    )
+    return str(d / "events")
+
+
+def test_streaming_pattern_twin_matches_batch_at_6m(spark, burst_events_file, tmp_path_factory):
+    from pubg_data_pipeline_spark.operators import sequence
+
+    pat = sequence.subsequence_pattern("kill", "purchase")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    out_dir = tmp_path_factory.mktemp("stream_probe_out")
+    sink = str(out_dir / "flags")
+    ckpt = str(out_dir / "ckpt")
+    stream = spark.readStream.schema(schema).parquet(burst_events_file)
+    q = (
+        sequence.match_event_pattern_stream(stream, pat, watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    peak_state = max(
+        (op["numRowsTotal"] for p in q.recentProgress for op in p["stateOperators"]),
+        default=0,
+    )
+
+    got = spark.read.parquet(sink)
+    # batch twin: the SAME operator over the same file — withWatermark
+    # is a no-op on a batch frame, so expressions are plan-identical
+    batch = sequence.match_event_pattern_stream(
+        spark.read.schema(schema).parquet(burst_events_file), pat, watermark="2 hours"
+    )
+    n_stream = got.count()
+    assert n_stream > 500_000  # volume actually flowed
+
+    # (a) cell-exact agreement for every emitted session
+    cols = ["user_id", "session_start", "session_end", "n_events", "seq", "truncated", "matched"]
+    mismatched = got.select(cols).exceptAll(batch.select(cols)).count()
+    assert mismatched == 0, f"{mismatched} emitted sessions disagree with the batch twin"
+
+    # (b) no silent loss: sessions ending well before the final
+    # watermark (max event time - 2h delay - 2h margin) must ALL have
+    # emitted
+    max_ts = spark.read.parquet(burst_events_file).agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=4)
+    must_emit = batch.filter(F.col("session_end") < F.lit(cutoff)).count()
+    emitted_early = got.filter(F.col("session_end") < F.lit(cutoff)).count()
+    assert emitted_early == must_emit, (
+        f"{must_emit - emitted_early} watermark-safe sessions never emitted"
+    )
+
+    # matches really occur at volume (kill..purchase inside 10-event bursts)
+    assert got.filter("matched").count() > 100_000
+    # the 10k default cap never fires on 10-event sessions
+    assert got.filter("truncated").count() == 0
+
+    # (c) bounded state: peak state rows stay in the same order as the
+    # session population (no unbounded per-event state); 2x slack for
+    # windows awaiting the watermark across batch boundaries
+    assert 0 < peak_state <= 2 * 600_000, f"peak state rows {peak_state}"

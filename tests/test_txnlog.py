@@ -1,0 +1,153 @@
+"""The transactional-log commit backend (commitproto.TxnLog) and its
+consumers: versioned CAS publishes, snapshot isolation, the log-backed
+maintenance journal behind propagate_deletes/expire_partitions, and
+fsck over log-maintained tables. snapshots.py runs on the same class —
+its protocol tests (test_snapshots.py) are the table-level suite."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pubg_data_pipeline_spark.sources import io as sio
+from pubg_data_pipeline_spark.sources.commitproto import TxnLog
+
+
+def test_txnlog_dense_versions_and_pinned_reads(tmp_path):
+    log = TxnLog(str(tmp_path / "log"))
+    assert log.versions() == [] and log.read() is None
+    v1 = log.publish({"state": "a"})
+    v2 = log.publish({"state": "b"})
+    assert (v1, v2) == (1, 2)
+    assert log.read()["state"] == "b"
+    # snapshot isolation: a pinned read is immune to later commits
+    pinned = log.read(1)
+    log.publish({"state": "c"})
+    assert pinned["state"] == "a" and log.read(1)["state"] == "a"
+    assert log.read()["state"] == "c"
+    # every committed doc carries its version stamp
+    assert log.read(2)["_txn"]["version"] == 2
+
+
+def test_txnlog_cas_loser_rebases_not_clobbers(tmp_path):
+    log = TxnLog(str(tmp_path / "log"))
+    log.publish({"state": "a"})
+    # a concurrent winner occupies the next slot out-of-band
+    with open(os.path.join(str(tmp_path / "log"), "v000000000002.json"), "w") as f:
+        json.dump({"state": "winner"}, f)
+    # publish() must take slot 3, leaving the winner intact
+    assert log.publish({"state": "b"}) == 3
+    assert log.read(2)["state"] == "winner"
+    # the slot primitive reports the loss instead of overwriting
+    assert not log.try_publish_version({"state": "x"}, 2, "me")
+    assert log.read(2)["state"] == "winner"
+
+
+def test_txnlog_vacuum_drops_history_keeps_head(tmp_path):
+    log = TxnLog(str(tmp_path / "log"))
+    for s in "abcd":
+        log.publish({"state": s})
+    removed = log.vacuum(keep_versions=2)
+    assert len(removed) == 2
+    assert log.versions() == [3, 4]
+    assert log.read()["state"] == "d"
+    with pytest.raises(ValueError):
+        log.vacuum(0)
+
+
+def _partitioned_table(spark, tmp_path, name="t"):
+    path = str(tmp_path / name)
+    spark.createDataFrame(
+        [(k, k % 3, f"v{k}") for k in range(30)], "user_id long, day int, v string"
+    ).write.partitionBy("day").parquet(path)
+    return path
+
+
+def test_propagate_deletes_log_backend_journals_before_sweep(spark, tmp_path):
+    path = _partitioned_table(spark, tmp_path)
+    kill = spark.createDataFrame(
+        [(k,) for k in range(0, 30, 3)] + [(1,)], "user_id long"
+    )
+    stats = sio.propagate_deletes(spark, path, kill, "user_id", "day", backend="log")
+    # same observable behavior as the direct backend...
+    assert stats == {"affected_partitions": 2, "deleted_rows": 11}
+    assert not os.path.isdir(os.path.join(path, "day=0"))
+    assert spark.read.parquet(path).count() == 19
+    # ...plus an auditable journal entry with the doom-set
+    entry = TxnLog(os.path.join(path, "_maintenance_log")).read()
+    assert entry["op"] == "propagate_deletes"
+    assert entry["doomed"] == ["0"]
+    assert entry["deleted_rows"] == 11
+
+
+def test_expire_partitions_log_backend_and_crash_replay(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-15"), (3, "2024-01-20")],
+        "id long, day string",
+    ).write.partitionBy("day").parquet(path)
+    dropped = sio.expire_partitions(
+        path, "day", keep=lambda d: d >= "2024-01-15", backend="log"
+    )
+    assert dropped == ["2024-01-10"]
+    entry = TxnLog(os.path.join(path, "_maintenance_log")).read()
+    assert entry["op"] == "expire_partitions" and entry["doomed"] == ["2024-01-10"]
+    # crash window: journal committed but the sweep died — simulate by
+    # resurrecting the doomed directory, then replay converges
+    os.makedirs(os.path.join(path, "day=2024-01-10"))
+    (tmp_path / "t3" / "day=2024-01-10" / "part-0.parquet").write_text("stale")
+    removed = sio.complete_pending_maintenance(path, "day")
+    assert removed == ["2024-01-10"]
+    assert not os.path.isdir(os.path.join(path, "day=2024-01-10"))
+    # idempotent: nothing left to do
+    assert sio.complete_pending_maintenance(path, "day") == []
+
+
+def test_complete_pending_maintenance_replays_only_newest_entry(spark, tmp_path):
+    """An OLD doom-set must never kill a legitimately re-created
+    partition — only the newest journal entry can have crashed
+    mid-sweep (ops are sequential per table)."""
+    path = str(tmp_path / "t4")
+    spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-20")], "id long, day string"
+    ).write.partitionBy("day").parquet(path)
+    sio.expire_partitions(path, "day", keep=lambda d: d >= "2024-01-15", backend="log")
+    # the expired day legitimately returns (late re-ingest)...
+    spark.createDataFrame([(9, "2024-01-10")], "id long, day string").write.mode(
+        "append"
+    ).partitionBy("day").parquet(path)
+    # ...then a NEWER maintenance pass dooms a different value
+    sio.expire_partitions(path, "day", keep=lambda d: d != "2024-01-20", backend="log")
+    assert sio.complete_pending_maintenance(path, "day") == []
+    # the re-created old partition survived the replay
+    assert os.path.isdir(os.path.join(path, "day=2024-01-10"))
+    # a table with no journal is a no-op
+    bare = _partitioned_table(spark, tmp_path, "bare")
+    assert sio.complete_pending_maintenance(bare, "day") == []
+
+
+def test_unknown_maintenance_backend_rejected(spark, tmp_path):
+    path = _partitioned_table(spark, tmp_path, "t5")
+    kill = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="backend"):
+        sio.propagate_deletes(spark, path, kill, "user_id", "day", backend="nope")
+    with pytest.raises(ValueError, match="backend"):
+        sio.expire_partitions(path, "day", keep=lambda d: True, backend="nope")
+
+
+def test_fsck_on_log_maintained_table(spark, tmp_path):
+    """A healthy log-maintained table is fsck-silent (the log dirs are
+    committed state, not residue); a crashed CAS publish's tmp slot
+    file is flagged as tmp_orphan like every other tmp spelling."""
+    path = _partitioned_table(spark, tmp_path, "t6")
+    kill = spark.createDataFrame([(1,)], "user_id long")
+    sio.propagate_deletes(spark, path, kill, "user_id", "day", backend="log")
+    assert sio.warehouse_fsck(str(tmp_path)) == []
+    # crashed CAS: tmp written, link never happened, unlink never ran
+    stranded = os.path.join(path, "_maintenance_log", ".tmp-deadbeef-2")
+    with open(stranded, "w") as f:
+        f.write("{}")
+    found = sio.warehouse_fsck(str(tmp_path))
+    assert [(f["kind"], f["path"]) for f in found] == [("tmp_orphan", stranded)]
