@@ -322,24 +322,7 @@ def funnel_step_times(
         sessioned = sessionize(
             df, ts_col=ts_col, key=key, tiebreak=tiebreak, gap_seconds=gap_seconds
         )
-    ordered = F.array_sort(
-        F.collect_list(
-            F.struct(F.col(ts_col), F.col(tiebreak), _checked_type(type_col).alias(type_col))
-        )
-    )
-    init = F.struct(
-        *[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(n)]
-    )
-
-    def fill(acc: Column, x: Column) -> Column:
-        slots = []
-        for i, step in enumerate(steps):
-            prev_done = acc[f"t{i - 1}"].isNotNull() if i else F.lit(True)
-            take = prev_done & acc[f"t{i}"].isNull() & (x[type_col] == F.lit(step))
-            slots.append(F.when(take, x[ts_col]).otherwise(acc[f"t{i}"]).alias(f"t{i}"))
-        return F.struct(*slots)
-
-    folded = F.aggregate(ordered, init, fill)
+    folded = _step_fold_exprs(steps, ts_col, tiebreak, type_col)
     return (
         sessioned.groupBy(key, "session_id")
         .agg(
@@ -352,6 +335,71 @@ def funnel_step_times(
             "session_id",
             "n_events",
             "session_start",
+            F.array(*[F.col(f"__steps.t{i}") for i in range(n)]).alias("step_ts"),
+            F.col(f"__steps.t{n - 1}").isNotNull().alias("completed"),
+        )
+    )
+
+
+def _step_fold_exprs(steps: list[str], ts_col: str, tiebreak: str, type_col: str):
+    """The shared measures fold (batch + streaming twins): sorted
+    struct array -> struct accumulator whose slot i fills only when
+    slot i-1 was filled by an EARLIER event (the pre-update accumulator
+    in each condition gives first-match skip-to-next binding)."""
+    n = len(steps)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col), F.col(tiebreak), _checked_type(type_col).alias(type_col))
+        )
+    )
+    init = F.struct(*[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(n)])
+
+    def fill(acc: Column, x: Column) -> Column:
+        slots = []
+        for i, step in enumerate(steps):
+            prev_done = acc[f"t{i - 1}"].isNotNull() if i else F.lit(True)
+            take = prev_done & acc[f"t{i}"].isNull() & (x[type_col] == F.lit(step))
+            slots.append(F.when(take, x[ts_col]).otherwise(acc[f"t{i}"]).alias(f"t{i}"))
+        return F.struct(*slots)
+
+    return F.aggregate(ordered, init, fill)
+
+
+def funnel_step_times_stream(
+    stream: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    key: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of :func:`funnel_step_times`: the same measures
+    fold under a watermarked ``F.session_window`` — per-session step
+    timestamps emitted incrementally as the watermark closes sessions
+    (append mode). Session-boundary semantics follow the native
+    operator (inclusive merge at exactly prev_ts + gap), same as
+    :func:`match_event_pattern_stream`. Returns (key, session_start,
+    session_end, n_events, step_ts, completed); the caller attaches
+    the sink."""
+    if not steps:
+        raise ValueError("funnel_step_times_stream needs at least one step")
+    for s in steps:
+        _escape_step(s)
+    n = len(steps)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _step_fold_exprs(steps, ts_col, tiebreak, type_col).alias("__steps"),
+        )
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
             F.array(*[F.col(f"__steps.t{i}") for i in range(n)]).alias("step_ts"),
             F.col(f"__steps.t{n - 1}").isNotNull().alias("completed"),
         )

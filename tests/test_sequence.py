@@ -477,3 +477,88 @@ def test_streaming_cap_flags_truncated(spark, tmp_path):
     r = got[0]
     assert r["n_events"] == 15 and r["truncated"] and r["matched"]
     assert r["seq"].split(sequence.SEQ_SEP)[1:] == [f"e{i}" for i in range(5)]
+
+
+def test_funnel_step_times_stream_agrees_with_batch(spark, tmp_path):
+    """funnel_step_times_stream: the same measures fold under a
+    watermarked session_window — emitted step timestamps must equal
+    the batch form's on boundary-free data."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pubg_data_pipeline_spark.streaming import sources
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "view"),
+        (2, "2024-01-01T10:05:00", 1, "click"),
+        (3, "2024-01-01T10:06:00", 1, "error"),
+        (4, "2024-01-01T10:10:00", 1, "purchase"),   # completes
+        (5, "2024-01-01T12:00:00", 1, "click"),
+        (6, "2024-01-01T12:01:00", 1, "purchase"),   # no view: nothing binds
+        (99, "2024-01-02T12:00:00", 999, "view"),    # watermark sentinel
+    ]
+    src = tmp_path / "funnel_events"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for eid, ts, uid, et in rows:
+            f.write(
+                _json.dumps({"event_id": eid, "ts": ts, "user_id": uid, "event_type": et})
+                + "\n"
+            )
+    out = sequence.funnel_step_times_stream(
+        sources.json_file_stream(spark, str(src), schema),
+        ["view", "click", "purchase"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            [str(t) if t else None for t in r["step_ts"]],
+            r["completed"],
+            r["n_events"],
+        )
+        for r in spark.sql("SELECT * FROM funnel_stream").collect()
+        if r["user_id"] != 999
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00"): (
+            ["2024-01-01 10:00:00", "2024-01-01 10:05:00", "2024-01-01 10:10:00"],
+            True,
+            4,
+        ),
+        (1, "2024-01-01 12:00:00"): ([None, None, None], False, 2),
+    }
+    # batch twin binds identically on this boundary-free data
+    batch = spark.createDataFrame(
+        [(e, t.replace("T", " "), u, et) for e, t, u, et in rows if u != 999],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got_batch = {
+        r["session_id"]: ([str(t) if t else None for t in r["step_ts"]], r["completed"])
+        for r in sequence.funnel_step_times(batch, ["view", "click", "purchase"]).collect()
+    }
+    assert got_batch == {
+        1: (["2024-01-01 10:00:00", "2024-01-01 10:05:00", "2024-01-01 10:10:00"], True),
+        2: ([None, None, None], False),
+    }
