@@ -290,12 +290,21 @@ def _maintenance_log(table_path: str):
     is the commit point, the physical sweep is vacuum-like and
     idempotently replayable after a crash
     (:func:`complete_pending_maintenance`) — the same
-    metadata-first discipline a lake format's DELETE uses."""
+    metadata-first discipline a lake format's DELETE uses. Retention:
+    each journaling caller vacuums past the newest
+    ``_MAINTENANCE_LOG_KEEP`` entries after publishing — crash replay
+    only ever reads the newest entry per partition column, so the rest
+    is audit horizon, and a nightly retention job must not accrete
+    metadata forever."""
     import os
 
     from pubg_data_pipeline_spark.sources.commitproto import TxnLog
 
     return TxnLog(os.path.join(table_path, "_maintenance_log"))
+
+
+#: Audit horizon for the maintenance journal (see _maintenance_log).
+_MAINTENANCE_LOG_KEEP = 1000
 
 
 def _require_backend(backend: str, allowed: tuple[str, ...], op: str) -> None:
@@ -419,7 +428,8 @@ def propagate_deletes(
     kept = {str(r[0]) for r in survivors.select(partition_col).distinct().collect()}
     doomed = {str(p) for p in affected} - kept
     if backend == "log":
-        _maintenance_log(table_path).publish(
+        mlog = _maintenance_log(table_path)
+        mlog.publish(
             {
                 "op": "propagate_deletes",
                 "partition_col": partition_col,
@@ -428,6 +438,7 @@ def propagate_deletes(
                 "deleted_rows": pre - post,
             }
         )
+        mlog.vacuum(_MAINTENANCE_LOG_KEEP)
     sweep_partition_dirs(table_path, partition_col, doomed)
     return {"affected_partitions": len(affected), "deleted_rows": pre - post}
 
@@ -461,13 +472,15 @@ def expire_partitions(
     doomed = {v for v in partition_dirs(table_path, partition_col) if not keep(v)}
     if backend == "log":
         # journal-first, same contract as propagate_deletes' log mode
-        _maintenance_log(table_path).publish(
+        mlog = _maintenance_log(table_path)
+        mlog.publish(
             {
                 "op": "expire_partitions",
                 "partition_col": partition_col,
                 "doomed": sorted(doomed),
             }
         )
+        mlog.vacuum(_MAINTENANCE_LOG_KEEP)
     return sweep_partition_dirs(table_path, partition_col, doomed)
 
 
@@ -542,6 +555,7 @@ def backfill_stale_partitions(
     max_partitions: int = 100_000,
     logic_version: str = "1",
     backend: str = "replace",
+    log_keep_versions: int = 100,
 ) -> dict:
     """Incremental backfill: recompute a derived partitioned table for
     ONLY the source partitions whose content changed — the standard
@@ -594,7 +608,12 @@ def backfill_stale_partitions(
     (``<target>/_backfill_log/v{N}.json``, commitproto.TxnLog) — every
     backfill run becomes an immutable, auditable version with snapshot
     isolation for concurrent readers of the manifest, and the
-    lake-format swap point stays one module.
+    lake-format swap point stays one module. ``log_keep_versions``
+    bounds the log's metadata growth (a daily backfill would otherwise
+    accrete one manifest per day forever — the Delta
+    logRetentionDuration problem): after each publish, versions older
+    than the newest N are vacuumed. Only the LATEST version is ever
+    read by the diff, so retention is purely an audit-horizon choice.
 
     Returns ``{"stale", "pruned", "unchanged"}`` partition-value lists.
     """
@@ -737,6 +756,7 @@ def backfill_stale_partitions(
     new_doc = {"version": logic_version, "partitions": entries}
     if backend == "log":
         mlog.publish(new_doc)
+        mlog.vacuum(log_keep_versions)
     else:
         publish_json(new_doc, manifest_path)
     return {"stale": stale, "pruned": pruned, "unchanged": unchanged}

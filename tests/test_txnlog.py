@@ -151,3 +151,75 @@ def test_fsck_on_log_maintained_table(spark, tmp_path):
         f.write("{}")
     found = sio.warehouse_fsck(str(tmp_path))
     assert [(f["kind"], f["path"]) for f in found] == [("tmp_orphan", stranded)]
+
+
+def test_txnlog_concurrent_publishers_lose_nothing(tmp_path):
+    """Real-concurrency CAS: 8 threads x 10 publishes race on one log.
+    Every publish must land in its OWN dense version slot — no
+    clobbers, no gaps, no duplicate winners (the os.link EEXIST
+    contract under actual interleaving, not just the simulated race)."""
+    import threading
+
+    log = TxnLog(str(tmp_path / "log"), retries=200)
+    won: list[int] = []
+    lock = threading.Lock()
+    errs: list[Exception] = []
+
+    def worker(tid: int) -> None:
+        try:
+            for i in range(10):
+                v = log.publish({"writer": tid, "i": i})
+                with lock:
+                    won.append(v)
+        except Exception as exc:  # pragma: no cover - fail the test below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sorted(won) == list(range(1, 81))  # dense, unique, complete
+    assert log.versions() == list(range(1, 81))
+    # every document is intact and attributable
+    seen = {(d["writer"], d["i"]) for d in (log.read(v) for v in log.versions())}
+    assert seen == {(t, i) for t in range(8) for i in range(10)}
+
+
+_ROWS_BASE = [
+    ("2024-01-01", 1, 10.0),
+    ("2024-01-02", 2, 5.0),
+]
+
+
+def test_backfill_log_retention_bounds_metadata(spark, tmp_path):
+    """log_keep_versions: a recurring backfill must not accrete one
+    manifest per run forever; only the newest N survive and the diff
+    still reads the latest state correctly."""
+    target = str(tmp_path / "daily")
+    rows = list(_ROWS_BASE)
+    for i in range(5):
+        rows.append(("2024-01-01", 100 + i, float(i)))
+        sio.backfill_stale_partitions(
+            spark,
+            spark.createDataFrame(rows, "day string, user_id long, value double"),
+            target,
+            "day",
+            lambda df: df.groupBy("day").count(),
+            backend="log",
+            log_keep_versions=2,
+        )
+    log = TxnLog(os.path.join(target, "_backfill_log"))
+    assert len(log.versions()) == 2  # bounded, newest retained
+    # the retained head is authoritative: a no-change rerun stays quiet
+    rep = sio.backfill_stale_partitions(
+        spark,
+        spark.createDataFrame(rows, "day string, user_id long, value double"),
+        target,
+        "day",
+        lambda df: df.groupBy("day").count(),
+        backend="log",
+        log_keep_versions=2,
+    )
+    assert rep["stale"] == []
