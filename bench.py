@@ -179,6 +179,7 @@ HEADLINE = [
 HEADLINE_V2_EXTRA = [
     "session_pattern_match",
     "funnel_step_latency",
+    "funnel_conversion_values",
     "error_burst_sessions",
 ]
 

@@ -282,6 +282,7 @@ def funnel_step_times(
     type_col: str = "event_type",
     tiebreak: str = "event_id",
     gap_seconds: float | None = 1800.0,
+    measure_cols: list[str] | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE cross-row MEASURES for the subsequence funnel:
     per (key, session_id), the timestamp of each matched step under
@@ -296,6 +297,12 @@ def funnel_step_times(
     the right shape for lifetime conversion funnels, where the steps
     span days; ``session_id`` is constant 0). NULL keys are dropped in
     both modes, matching sessionize's default.
+
+    ``measure_cols`` adds, per named column m, a ``step_m`` array with
+    that column's value AT each bound event (``A.value`` in
+    MATCH_RECOGNIZE MEASURES terms) — element i is NULL until step i
+    matched, same convention as ``step_ts``. Still one fold, one
+    aggregation.
 
     Pure Column plan: the same sorted struct array as the string fold,
     folded through an ``F.aggregate`` struct accumulator (slot i fills
@@ -322,7 +329,9 @@ def funnel_step_times(
         sessioned = sessionize(
             df, ts_col=ts_col, key=key, tiebreak=tiebreak, gap_seconds=gap_seconds
         )
-    folded = _step_fold_exprs(steps, ts_col, tiebreak, type_col)
+    dtypes = dict(df.dtypes)
+    measures = [(m, dtypes[m]) for m in (measure_cols or [])]
+    folded = _step_fold_exprs(steps, ts_col, tiebreak, type_col, measures)
     return (
         sessioned.groupBy(key, "session_id")
         .agg(
@@ -336,23 +345,52 @@ def funnel_step_times(
             "n_events",
             "session_start",
             F.array(*[F.col(f"__steps.t{i}") for i in range(n)]).alias("step_ts"),
+            *[
+                F.array(*[F.col(f"__steps.m{i}_{m}") for i in range(n)]).alias(
+                    f"step_{m}"
+                )
+                for m, _ in measures
+            ],
             F.col(f"__steps.t{n - 1}").isNotNull().alias("completed"),
         )
     )
 
 
-def _step_fold_exprs(steps: list[str], ts_col: str, tiebreak: str, type_col: str):
+def _step_fold_exprs(
+    steps: list[str],
+    ts_col: str,
+    tiebreak: str,
+    type_col: str,
+    measures: list[tuple[str, str]] = (),
+):
     """The shared measures fold (batch + streaming twins): sorted
     struct array -> struct accumulator whose slot i fills only when
     slot i-1 was filled by an EARLIER event (the pre-update accumulator
-    in each condition gives first-match skip-to-next binding)."""
+    in each condition gives first-match skip-to-next binding).
+
+    ``measures`` is ``[(column, dtype), ...]``: besides the timestamp,
+    each slot captures those columns' values AT the bound event — the
+    full MATCH_RECOGNIZE MEASURES surface (``A.value``), still one fold.
+    The measure columns ride at the END of the collected struct, after
+    the unique tiebreak, so they can never perturb the canonical
+    array_sort order."""
     n = len(steps)
     ordered = F.array_sort(
         F.collect_list(
-            F.struct(F.col(ts_col), F.col(tiebreak), _checked_type(type_col).alias(type_col))
+            F.struct(
+                F.col(ts_col),
+                F.col(tiebreak),
+                _checked_type(type_col).alias(type_col),
+                *[F.col(m) for m, _ in measures],
+            )
         )
     )
-    init = F.struct(*[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(n)])
+    fields = []
+    for i in range(n):
+        fields.append((f"t{i}", "timestamp", ts_col))
+        for m, dtype in measures:
+            fields.append((f"m{i}_{m}", dtype, m))
+    init = F.struct(*[F.lit(None).cast(dtype).alias(slot) for slot, dtype, _ in fields])
 
     def fill(acc: Column, x: Column) -> Column:
         slots = []
@@ -360,6 +398,9 @@ def _step_fold_exprs(steps: list[str], ts_col: str, tiebreak: str, type_col: str
             prev_done = acc[f"t{i - 1}"].isNotNull() if i else F.lit(True)
             take = prev_done & acc[f"t{i}"].isNull() & (x[type_col] == F.lit(step))
             slots.append(F.when(take, x[ts_col]).otherwise(acc[f"t{i}"]).alias(f"t{i}"))
+            for m, _ in measures:
+                slot = f"m{i}_{m}"
+                slots.append(F.when(take, x[m]).otherwise(acc[slot]).alias(slot))
         return F.struct(*slots)
 
     return F.aggregate(ordered, init, fill)
@@ -374,26 +415,32 @@ def funnel_step_times_stream(
     tiebreak: str = "event_id",
     gap: str = "30 minutes",
     watermark: str = "10 minutes",
+    measure_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`funnel_step_times`: the same measures
     fold under a watermarked ``F.session_window`` — per-session step
-    timestamps emitted incrementally as the watermark closes sessions
-    (append mode). Session-boundary semantics follow the native
-    operator (inclusive merge at exactly prev_ts + gap), same as
+    timestamps (and ``measure_cols`` values at the bound events)
+    emitted incrementally as the watermark closes sessions (append
+    mode). Session-boundary semantics follow the native operator
+    (inclusive merge at exactly prev_ts + gap), same as
     :func:`match_event_pattern_stream`. Returns (key, session_start,
-    session_end, n_events, step_ts, completed); the caller attaches
-    the sink."""
+    session_end, n_events, step_ts, step_<m>..., completed); the
+    caller attaches the sink."""
     if not steps:
         raise ValueError("funnel_step_times_stream needs at least one step")
     for s in steps:
         _escape_step(s)
     n = len(steps)
+    dtypes = dict(stream.dtypes)
+    measures = [(m, dtypes[m]) for m in (measure_cols or [])]
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("sw"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _step_fold_exprs(steps, ts_col, tiebreak, type_col).alias("__steps"),
+            _step_fold_exprs(steps, ts_col, tiebreak, type_col, measures).alias(
+                "__steps"
+            ),
         )
         .select(
             key,
@@ -401,6 +448,12 @@ def funnel_step_times_stream(
             F.col("sw.end").alias("session_end"),
             "n_events",
             F.array(*[F.col(f"__steps.t{i}") for i in range(n)]).alias("step_ts"),
+            *[
+                F.array(*[F.col(f"__steps.m{i}_{m}") for i in range(n)]).alias(
+                    f"step_{m}"
+                )
+                for m, _ in measures
+            ],
             F.col(f"__steps.t{n - 1}").isNotNull().alias("completed"),
         )
     )

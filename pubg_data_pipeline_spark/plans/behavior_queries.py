@@ -1117,6 +1117,71 @@ FROM d GROUP BY cohort_day
 """
 
 
+def funnel_conversion_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE MEASURES beyond timestamps (``A.value``): the
+    measures fold also captures chosen COLUMNS at each bound event —
+    here the purchase VALUE at the funnel's bound purchase step, per
+    first-view cohort day. The oracle binds the same step by exact
+    position (min-pos row lookup, NULL-safe — arg_min would skip a
+    NULL-valued bound event and silently read the next row)."""
+    from pubg_data_pipeline_spark.operators import sequence
+
+    ev = load_table(spark, sf_dir, "events")
+    ft = sequence.funnel_step_times(
+        ev,
+        ["view", "click", "purchase"],
+        gap_seconds=None,
+        measure_cols=["value"],
+    )
+    done = ft.filter(F.col("completed"))
+    return (
+        done.select(
+            F.date_format(F.col("step_ts").getItem(0), "yyyy-MM-dd").alias(
+                "cohort_day"
+            ),
+            F.col("step_value").getItem(2).alias("pv"),
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_funnels"),
+            F.round(F.median("pv"), 4).alias("med_purchase_value"),
+            F.round(F.sum("pv"), 4).alias("sum_purchase_value"),
+        )
+    )
+
+
+_FUNNEL_VALUES_SQL = r"""
+WITH s AS (
+  SELECT user_id, ts, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events WHERE user_id IS NOT NULL
+), f1 AS (
+  SELECT user_id, MIN(pos) AS p1, arg_min(ts, pos) AS t1
+  FROM s WHERE event_type = 'view' GROUP BY user_id
+), f2 AS (
+  SELECT s.user_id, MIN(s.pos) AS p2
+  FROM s JOIN f1 ON s.user_id = f1.user_id
+  WHERE s.event_type = 'click' AND s.pos > f1.p1
+  GROUP BY s.user_id
+), f3 AS (
+  SELECT s.user_id, MIN(s.pos) AS p3
+  FROM s JOIN f2 ON s.user_id = f2.user_id
+  WHERE s.event_type = 'purchase' AND s.pos > f2.p2
+  GROUP BY s.user_id
+), bound AS (
+  SELECT f1.user_id, f1.t1, s.value AS pv
+  FROM f1
+  JOIN f3 ON f1.user_id = f3.user_id
+  JOIN s ON s.user_id = f3.user_id AND s.pos = f3.p3
+)
+SELECT strftime(t1, '%Y-%m-%d') AS cohort_day,
+       COUNT(*) AS n_funnels,
+       ROUND(CAST(median(pv) AS DOUBLE), 4) AS med_purchase_value,
+       ROUND(SUM(pv), 4) AS sum_purchase_value
+FROM bound GROUP BY strftime(t1, '%Y-%m-%d')
+"""
+
+
 def error_burst_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified row-pattern recognition (MATCH_RECOGNIZE ``A{m,}``):
     sessions containing >= 2 CONSECUTIVE error events — the burst
@@ -1178,6 +1243,12 @@ SPECS = [
         "funnel_step_latency",
         funnel_step_latency,
         _FUNNEL_LATENCY_SQL,
+        ("behavior", "window", "agg", "sequence"),
+    ),
+    QuerySpec(
+        "funnel_conversion_values",
+        funnel_conversion_values,
+        _FUNNEL_VALUES_SQL,
         ("behavior", "window", "agg", "sequence"),
     ),
     QuerySpec(

@@ -237,3 +237,45 @@ def test_bootstrap_has_no_resample_shuffle(spark):
     assert "Generate explode" in scan_to_agg, (
         "explode must sit below the first exchange (map-side fan-out)"
     )
+
+
+def test_funnel_measures_single_exchange_per_grouping(spark):
+    """funnel_step_latency: the measures fold is ONE aggregation pass —
+    whole-history binding = exactly one hash exchange on user_id before
+    the fold, plus the small cohort-day agg; no window, no join, no
+    Python in the plan."""
+    import re
+
+    plan = _plan(spark, "funnel_step_latency")
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "Join" not in plan  # iterated-join is the ORACLE's shape, not ours
+    # per-user fold + per-day rollup: two clustering exchanges total
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_capped_session_fold_adds_no_exchange(spark):
+    """session_sequences with max_events_per_session: the per-session
+    row_number rides the sessionize window's [user_id] hash
+    distribution ([key] is a subset of [key, session_id]) — the cap
+    costs a local sort, never a shuffle."""
+    import re
+
+    from pubg_data_pipeline_spark.operators import sequence
+    from pubg_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    base = sequence.session_sequences(ev)
+    capped = sequence.session_sequences(ev, max_events_per_session=100)
+    n_base = len(
+        re.findall(
+            r"Exchange hashpartitioning",
+            base._jdf.queryExecution().executedPlan().toString(),
+        )
+    )
+    n_capped = len(
+        re.findall(
+            r"Exchange hashpartitioning",
+            capped._jdf.queryExecution().executedPlan().toString(),
+        )
+    )
+    assert n_capped == n_base
