@@ -104,11 +104,20 @@ def last_committed_txn(path: str, app_id: str) -> int | None:
     return None
 
 
+class CommitConflict(RuntimeError):
+    """A commit pinned to ``expected_parent`` found the table head
+    moved — the serializable-conflict signal for read-modify-write
+    callers (delete/compact): re-read the new head and redo the
+    transformation; blindly rebasing would clobber the concurrent
+    commit's rows (lost update)."""
+
+
 def snapshot_commit(
     df: DataFrame,
     path: str,
     mode: str = "append",
     txn: tuple[str, int] | None = None,
+    expected_parent: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version and return its number.
 
@@ -125,7 +134,16 @@ def snapshot_commit(
     micro-batch cannot double-append (the failure mode ADVICE.md r3
     flagged for non-transactional dual writes). The check runs again
     inside the publish loop, closing the race where two retries of the
-    same epoch interleave."""
+    same epoch interleave.
+
+    ``expected_parent`` pins the commit to a specific parent version
+    (serializable read-modify-write): if any other commit lands first,
+    :class:`CommitConflict` is raised instead of rebasing — an append
+    can rebase safely (its rows are independent), but a commit DERIVED
+    from version N (delete, compaction) must not silently clobber
+    N+1's rows. The loser's already-written data directory is stranded
+    invisible and reclaimed by ``snapshot_vacuum``, same as any
+    crashed commit."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     _require_local(path)
@@ -150,6 +168,12 @@ def snapshot_commit(
             if done is not None and done >= txn[1]:
                 return versions[-1] if versions else 0
         parent = versions[-1] if versions else 0
+        if expected_parent is not None and parent != expected_parent:
+            raise CommitConflict(
+                f"snapshot_commit at {path!r}: head moved to v{parent} while "
+                f"this read-modify-write was derived from v{expected_parent} "
+                "— re-read and retry the transformation."
+            )
         files = list(new_files)
         if mode == "append" and parent:
             files = _read_manifest(path, parent)["files"] + files
@@ -299,3 +323,89 @@ def snapshot_vacuum(
                 shutil.rmtree(full)
                 removed.append(full)
     return removed
+
+
+def snapshot_delete_where(
+    spark: SparkSession, path: str, condition, max_retries: int = 5
+) -> dict:
+    """``DELETE FROM table WHERE condition`` with snapshot-table
+    semantics: read the head version, keep the survivors, commit them
+    as an overwrite PINNED to that head (``expected_parent``) — a
+    concurrent commit raises :class:`CommitConflict` and the whole
+    read-modify-write retries on the new head, so a concurrent
+    append's rows can never be silently lost (the write-skew hazard
+    every naive read-then-overwrite has). SQL DELETE semantics for
+    NULLs: a row whose condition evaluates NULL is KEPT (only
+    condition=TRUE deletes), spelled explicitly because a bare
+    ``filter(~cond)`` would drop NULL-condition rows too.
+
+    Old files stay readable for time travel until ``snapshot_vacuum``
+    (and the ``txn`` dedup history is untouched — deletes don't replay
+    epochs). Returns ``{"version", "deleted_rows"}``."""
+    from pyspark.sql import functions as F
+
+    _require_local(path)
+    for _ in range(max_retries):
+        versions = _versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot commits at {path!r}")
+        head = versions[-1]
+        df = snapshot_read(spark, path, version=head)
+        kept = df.filter(~F.coalesce(condition, F.lit(False)))
+        deleted = df.count() - kept.count()
+        if deleted == 0:
+            return {"version": head, "deleted_rows": 0}  # no-op, no commit
+        try:
+            v = snapshot_commit(kept, path, mode="overwrite", expected_parent=head)
+            return {"version": v, "deleted_rows": deleted}
+        except CommitConflict:
+            continue  # head moved: re-read, re-derive, re-commit
+    raise RuntimeError(
+        f"snapshot_delete_where lost the read-modify-write race "
+        f"{max_retries} times at {path!r}."
+    )
+
+
+def snapshot_compact(
+    spark: SparkSession, path: str, target_files: int = 8, max_retries: int = 5
+) -> dict:
+    """OPTIMIZE for snapshot tables: rewrite the head version's file
+    list into ``target_files`` files as one overwrite commit — rows
+    identical, file count bounded (a minute-cadence streaming sink
+    accretes one file per micro-batch; at 100 TB the footer reads
+    dominate scan setup). Same serializable read-modify-write protocol
+    as :func:`snapshot_delete_where`: pinned to the head it read,
+    conflict = re-read and retry, so compaction can never swallow a
+    concurrent append. Readers are never disturbed — the old files
+    remain until ``snapshot_vacuum``, and a reader planned against the
+    pre-compaction version keeps serving it. Returns ``{"version",
+    "files_before", "files_after"}``."""
+    _require_local(path)
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    for _ in range(max_retries):
+        versions = _versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot commits at {path!r}")
+        head = versions[-1]
+        files_before = _read_manifest(path, head)["n_files"]
+        if files_before <= target_files:
+            return {
+                "version": head,
+                "files_before": files_before,
+                "files_after": files_before,
+            }
+        df = snapshot_read(spark, path, version=head).repartition(target_files)
+        try:
+            v = snapshot_commit(df, path, mode="overwrite", expected_parent=head)
+        except CommitConflict:
+            continue
+        return {
+            "version": v,
+            "files_before": files_before,
+            "files_after": _read_manifest(path, v)["n_files"],
+        }
+    raise RuntimeError(
+        f"snapshot_compact lost the read-modify-write race "
+        f"{max_retries} times at {path!r}."
+    )

@@ -230,3 +230,86 @@ def test_streaming_to_snapshot_end_to_end_and_epoch_replay(spark, tmp_path):
     assert snapshots.snapshot_read(spark, table).count() == 3
     # each micro-batch was one atomic version, all append-lineage
     assert [h["op"] for h in snapshots.snapshot_history(table)] == ["append", "append"]
+
+
+def test_delete_where_sql_null_semantics_and_time_travel(spark, tmp_path):
+    """DELETE WHERE: only condition=TRUE rows die (NULL-condition rows
+    are KEPT, the SQL rule a bare filter(~cond) breaks); the pre-delete
+    version stays readable."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "id long, score double"
+    )
+    snapshots.snapshot_commit(df, path)
+    rep = snapshots.snapshot_delete_where(spark, path, F.col("score") > 10.0)
+    assert rep == {"version": 2, "deleted_rows": 1}
+    back = {r.id for r in snapshots.snapshot_read(spark, path).collect()}
+    assert back == {1, 2}  # NULL-score row 2 survives
+    # time travel to the pre-delete version
+    old = {r.id for r in snapshots.snapshot_read(spark, path, version=1).collect()}
+    assert old == {1, 2, 3}
+    # deleting nothing is a no-op commit-wise
+    rep2 = snapshots.snapshot_delete_where(spark, path, F.col("score") > 999.0)
+    assert rep2 == {"version": 2, "deleted_rows": 0}
+    assert [h["version"] for h in snapshots.snapshot_history(path)] == [1, 2]
+
+
+def test_expected_parent_detects_concurrent_commit(spark, tmp_path):
+    """The serializable RMW primitive: a commit pinned to a stale head
+    raises CommitConflict instead of rebasing over the winner."""
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)
+    head = 1
+    # concurrent writer lands v2 between our read and our commit
+    snapshots.snapshot_commit(_df(spark, 5, 8), path)
+    with pytest.raises(snapshots.CommitConflict, match="head moved"):
+        snapshots.snapshot_commit(
+            _df(spark, 0, 3), path, mode="overwrite", expected_parent=head
+        )
+    # the winner's rows are intact; no v3 was published
+    assert snapshots.snapshot_read(spark, path).count() == 8
+    assert [h["version"] for h in snapshots.snapshot_history(path)] == [1, 2]
+
+
+def test_delete_where_retries_past_conflict(spark, tmp_path, monkeypatch):
+    """snapshot_delete_where re-derives from the NEW head after a
+    conflict: a row appended concurrently (and not matching the
+    predicate) survives the delete."""
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)
+
+    real_commit = snapshots.snapshot_commit
+    fired = {"done": False}
+
+    def racing_commit(df, p, **kw):
+        # first delete attempt: sneak a concurrent append in just
+        # before the pinned commit, forcing CommitConflict once
+        if not fired["done"] and kw.get("expected_parent") is not None:
+            fired["done"] = True
+            real_commit(_df(spark, 100, 101), p)  # id=100, doubled=200
+        return real_commit(df, p, **kw)
+
+    monkeypatch.setattr(snapshots, "snapshot_commit", racing_commit)
+    rep = snapshots.snapshot_delete_where(spark, path, F.col("id") < 2)
+    assert rep["deleted_rows"] == 2
+    back = sorted(r.id for r in snapshots.snapshot_read(spark, path).collect())
+    assert back == [2, 3, 4, 100]  # concurrent append NOT lost
+
+
+def test_compact_bounds_files_preserves_rows_and_history(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    for i in range(6):
+        snapshots.snapshot_commit(_df(spark, i * 3, i * 3 + 3).repartition(4), path)
+    before = snapshots.snapshot_history(path)[-1]["n_files"]
+    assert before > 4
+    rep = snapshots.snapshot_compact(spark, path, target_files=4)
+    assert rep["files_before"] == before and rep["files_after"] <= 4
+    back = sorted(r.id for r in snapshots.snapshot_read(spark, path).collect())
+    assert back == list(range(18))
+    # pre-compaction version still readable (reader isolation)
+    assert snapshots.snapshot_read(spark, path, version=6).count() == 18
+    # idempotent: already-compact head is a no-op
+    rep2 = snapshots.snapshot_compact(spark, path, target_files=4)
+    assert rep2["version"] == rep["version"]
+    with pytest.raises(ValueError):
+        snapshots.snapshot_compact(spark, path, target_files=0)
