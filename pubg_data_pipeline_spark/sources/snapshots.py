@@ -104,6 +104,29 @@ def last_committed_txn(path: str, app_id: str) -> int | None:
     return None
 
 
+def _schema_fields(schema_json: str) -> dict[str, str]:
+    """name -> canonical-type map from a StructType JSON, IGNORING
+    nullability (Spark flips nullable flags freely across identical
+    writes; nullability is not a schema contract here)."""
+    import json as _json
+
+    doc = _json.loads(schema_json)
+    return {
+        f["name"]: _json.dumps(f["type"], sort_keys=True) for f in doc["fields"]
+    }
+
+
+def _schema_compat(parent_json: str, new_json: str) -> str:
+    """'same' | 'additive' (new nullable columns only) |
+    'incompatible' (dropped columns or changed types — silent data
+    corruption for readers of the mixed file list)."""
+    parent, new = _schema_fields(parent_json), _schema_fields(new_json)
+    for name, typ in parent.items():
+        if name not in new or new[name] != typ:
+            return "incompatible"
+    return "additive" if len(new) > len(parent) else "same"
+
+
 class CommitConflict(RuntimeError):
     """A commit pinned to ``expected_parent`` found the table head
     moved — the serializable-conflict signal for read-modify-write
@@ -118,6 +141,7 @@ def snapshot_commit(
     mode: str = "append",
     txn: tuple[str, int] | None = None,
     expected_parent: int | None = None,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Commit ``df`` as a new table version and return its number.
 
@@ -143,7 +167,21 @@ def snapshot_commit(
     from version N (delete, compaction) must not silently clobber
     N+1's rows. The loser's already-written data directory is stranded
     invisible and reclaimed by ``snapshot_vacuum``, same as any
-    crashed commit."""
+    crashed commit.
+
+    Schema enforcement (the Delta default): every manifest records its
+    commit's schema; an APPEND whose schema drops a column or changes
+    a type is rejected outright (readers of the mixed file list would
+    silently corrupt), and one that only ADDS columns is rejected
+    unless ``allow_schema_evolution=True`` — then the manifest is
+    flagged ``evolved`` (inherited by descendants) and
+    ``snapshot_read`` turns on ``mergeSchema`` for exactly those
+    tables, so old files surface the new columns as NULLs without
+    every healthy table paying the all-footers merge cost. Overwrites
+    replace the schema freely and reset the flag. Nullability is not
+    part of the contract (Spark flips it across identical writes);
+    pre-schema manifests (older tables) skip enforcement until their
+    next commit records one."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     _require_local(path)
@@ -153,6 +191,7 @@ def snapshot_commit(
             versions = _versions(path)
             return versions[-1] if versions else 0
     commit_id = uuid.uuid4().hex
+    new_schema = df.schema.json()
     data_dir = os.path.join(path, "data", commit_id)
     df.write.mode("error").parquet(data_dir)
     new_files = [
@@ -175,8 +214,29 @@ def snapshot_commit(
                 "— re-read and retry the transformation."
             )
         files = list(new_files)
+        evolved = False
         if mode == "append" and parent:
-            files = _read_manifest(path, parent)["files"] + files
+            pm = _read_manifest(path, parent)
+            files = pm["files"] + files
+            evolved = bool(pm.get("evolved"))
+            if "schema" in pm:
+                compat = _schema_compat(pm["schema"], new_schema)
+                if compat == "incompatible":
+                    raise ValueError(
+                        f"snapshot_commit append at {path!r}: schema drops a "
+                        "column or changes a type vs the table head — readers "
+                        "of the mixed file list would silently corrupt. "
+                        "Overwrite explicitly if the schema really changed."
+                    )
+                if compat == "additive":
+                    if not allow_schema_evolution:
+                        raise ValueError(
+                            f"snapshot_commit append at {path!r}: schema adds "
+                            "columns vs the table head — pass "
+                            "allow_schema_evolution=True to accept (readers "
+                            "will see NULLs for old files)."
+                        )
+                    evolved = True
         version = parent + 1
         manifest = {
             "version": version,
@@ -185,6 +245,8 @@ def snapshot_commit(
             "commit_id": commit_id,
             "n_files": len(files),
             "files": files,
+            "schema": new_schema,
+            "evolved": evolved,
         }
         if txn is not None:
             manifest["txn"] = {"app_id": txn[0], "version": txn[1]}
@@ -213,13 +275,19 @@ def snapshot_read(
         raise ValueError(
             f"version {version} not found at {path!r} (have {versions})"
         )
-    files = _read_manifest(path, version)["files"]
+    meta = _read_manifest(path, version)
+    files = meta["files"]
     if not files:
         # an overwrite with an empty DataFrame: preserve its schema via
         # the commit's (empty) data directory
-        meta = _read_manifest(path, version)
         return spark.read.parquet(os.path.join(path, "data", meta["commit_id"]))
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    reader = spark.read
+    if meta.get("evolved"):
+        # schema-evolved lineage: union all footers so pre-evolution
+        # files surface the added columns as NULLs. Only these tables
+        # pay the merge cost — a healthy table reads one footer.
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(path, f) for f in files])
 
 
 def snapshot_changes(
@@ -268,6 +336,44 @@ def snapshot_history(path: str) -> list[dict]:
         m = _read_manifest(path, v)
         out.append({k: m[k] for k in ("version", "parent", "op", "n_files")})
     return out
+
+
+def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE to an earlier version — as a NEW commit whose file
+    list is the old version's (Delta RESTORE semantics): history is
+    never rewritten, the bad commits stay inspectable, and the restore
+    itself is one manifest publish (no data is copied — the old files
+    are immutable and still on disk unless vacuumed past). Returns the
+    new head version. Rebasing is safe here only because the caller
+    explicitly chose to discard later versions' content; concurrent
+    committers still CAS normally."""
+    _require_local(path)
+    versions = _versions(path)
+    if version not in versions:
+        raise ValueError(f"version {version} not found at {path!r} (have {versions})")
+    src = _read_manifest(path, version)
+    commit_id = uuid.uuid4().hex
+    log = _log(path)
+    for _ in range(_COMMIT_RETRIES):
+        head = _versions(path)[-1]
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "op": "restore",
+            "restored_from": version,
+            "commit_id": src["commit_id"],
+            "n_files": src["n_files"],
+            "files": src["files"],
+        }
+        if "schema" in src:
+            manifest["schema"] = src["schema"]
+        if "evolved" in src:
+            manifest["evolved"] = src["evolved"]
+        if log.try_publish_version(manifest, head + 1, commit_id):
+            return head + 1
+    raise RuntimeError(
+        f"snapshot_restore lost the version race {_COMMIT_RETRIES} times at {path!r}."
+    )
 
 
 def snapshot_vacuum(

@@ -313,3 +313,71 @@ def test_compact_bounds_files_preserves_rows_and_history(spark, tmp_path):
     assert rep2["version"] == rep["version"]
     with pytest.raises(ValueError):
         snapshots.snapshot_compact(spark, path, target_files=0)
+
+
+def test_restore_is_a_new_commit_preserving_history(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)
+    snapshots.snapshot_commit(_df(spark, 500, 503), path, mode="overwrite")  # bad load
+    v = snapshots.snapshot_restore(spark, path, version=1)
+    assert v == 3
+    assert sorted(r.id for r in snapshots.snapshot_read(spark, path).collect()) == list(
+        range(5)
+    )
+    # nothing rewritten: the bad version stays inspectable
+    assert sorted(r.id for r in snapshots.snapshot_read(spark, path, version=2).collect()) == [
+        500, 501, 502,
+    ]
+    hist = snapshots.snapshot_history(path)
+    assert [h["op"] for h in hist] == ["append", "overwrite", "restore"]
+    # vacuum keeps the restored head's files (referenced via the
+    # original commit id)
+    snapshots.snapshot_vacuum(path, keep_versions=1, retain_seconds=0)
+    assert snapshots.snapshot_read(spark, path).count() == 5
+    with pytest.raises(ValueError):
+        snapshots.snapshot_restore(spark, path, version=99)
+
+
+def test_append_schema_enforcement(spark, tmp_path):
+    """Delta-default enforcement: dropped/changed columns are rejected
+    outright; added columns need allow_schema_evolution, after which
+    reads merge schemas and old files surface NULLs."""
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 3), path)
+    # type change: rejected
+    changed = spark.range(3, 5).select(
+        F.col("id"), F.col("id").cast("string").alias("doubled")
+    )
+    with pytest.raises(ValueError, match="changes a type"):
+        snapshots.snapshot_commit(changed, path)
+    # dropped column: rejected
+    with pytest.raises(ValueError, match="drops a column"):
+        snapshots.snapshot_commit(spark.range(3, 5).select("id"), path)
+    # additive without the flag: rejected
+    wider = _df(spark, 3, 5).withColumn("extra", F.lit("x"))
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        snapshots.snapshot_commit(wider, path)
+    # nothing was committed by the rejections
+    assert [h["version"] for h in snapshots.snapshot_history(path)] == [1]
+
+    v = snapshots.snapshot_commit(wider, path, allow_schema_evolution=True)
+    assert v == 2
+    back = snapshots.snapshot_read(spark, path)
+    assert set(back.columns) == {"id", "doubled", "extra"}
+    rows = {(r.id, r.extra) for r in back.collect()}
+    assert rows == {(0, None), (1, None), (2, None), (3, "x"), (4, "x")}
+    # the evolved flag is inherited: a same-schema follow-up append
+    # still merge-reads the mixed lineage
+    snapshots.snapshot_commit(
+        _df(spark, 5, 6).withColumn("extra", F.lit("y")), path
+    )
+    assert snapshots.snapshot_read(spark, path).count() == 6
+    # nullability drift alone is NOT a schema change
+    renull = spark.createDataFrame(
+        [(9, 18)], "id long, doubled long"
+    ).withColumn("extra", F.lit(None).cast("string"))
+    snapshots.snapshot_commit(renull, path)
+    assert snapshots.snapshot_read(spark, path).count() == 7
+    # overwrite replaces the schema freely and resets evolution
+    snapshots.snapshot_commit(spark.range(2).select("id"), path, mode="overwrite")
+    assert snapshots.snapshot_read(spark, path).columns == ["id"]
