@@ -181,6 +181,7 @@ HEADLINE_V2_EXTRA = [
     "funnel_step_latency",
     "funnel_conversion_values",
     "error_burst_sessions",
+    "events_daily_backfill_log",
 ]
 
 #: Quiet-host reading of the calibration probe (min-of-8 on an idle

@@ -1414,10 +1414,63 @@ FROM events GROUP BY strftime(ts, '%Y-%m-%d')
 """
 
 
+def events_daily_backfill_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional-log twin of ``events_daily_backfill``:
+    identical incremental rollup, but the fingerprint manifest is
+    VERSIONED through the shared TxnLog backend
+    (``backend="log"`` — one immutable manifest version per run,
+    snapshot isolation, bounded retention) instead of
+    replace-in-place. Same full-recompute oracle, so the driver gate
+    itself certifies that both commit backends converge to the same
+    end state. Separate target dir: the two backends must not share a
+    manifest lineage."""
+    import os
+
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+    from pubg_data_pipeline_spark.sources.io import backfill_stale_partitions
+
+    tag = dataset_cache_tag(sf_dir, "events")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    target = os.path.join(repo_root, ".index_cache", f"backfill_daily_log_{tag}")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+
+    def compute(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(exact_scaled(F.coalesce(F.col("value"), F.lit(0.0)))) / 100.0, 2
+            ).alias("total_value"),
+        )
+
+    backfill_stale_partitions(
+        spark,
+        ev,
+        target,
+        "day",
+        compute,
+        fingerprint_cols=["event_id", "ts", "value"],
+        logic_version="daily-rollup-v1",
+        backend="log",
+    )
+    return spark.read.parquet(target).select(
+        F.col("day").cast("string").alias("day"), "n_events", "total_value"
+    )
+
+
 SPECS = [
     QuerySpec("ab_welch_ttest", ab_welch_ttest, _WELCH_SQL, ("stats", "experiment")),
     QuerySpec(
         "events_daily_backfill", events_daily_backfill, _BACKFILL_SQL, ("incremental", "io")
+    ),
+    QuerySpec(
+        "events_daily_backfill_log",
+        events_daily_backfill_log,
+        _BACKFILL_SQL,
+        ("incremental", "io"),
     ),
     QuerySpec("event_hour_chi2", event_hour_chi2, _CHI2_SQL, ("stats", "experiment")),
     QuerySpec("event_value_winsorized", event_value_winsorized, _WINSORIZED_SQL, ("stats", "robust")),
