@@ -123,11 +123,26 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         # executor-side: one immutable parquet file -> rows in declared
-        # field order (pyarrow, no Spark session in the worker)
+        # field order (pyarrow, no Spark session in the worker).
+        # Spark-written parquet timestamps are UTC-adjusted but pyarrow
+        # surfaces them tz-NAIVE; Spark's Arrow ingest requires tz-aware
+        # values for TimestampType (the engine session tz is UTC), so
+        # naive datetimes are localized to UTC — a value-preserving
+        # relabel, not a conversion.
+        import datetime as dt
+
         import pyarrow.parquet as pq
 
+        def utc(v):
+            if isinstance(v, dt.datetime) and v.tzinfo is None:
+                return v.replace(tzinfo=dt.timezone.utc)
+            return v
+
         table = pq.read_table(partition.file_path)
-        cols = [table.column(name).to_pylist() for name in self.field_names]
+        cols = [
+            [utc(v) for v in table.column(name).to_pylist()]
+            for name in self.field_names
+        ]
         return iter(zip(*cols)) if cols else iter([])
 
     def commit(self, end):

@@ -98,3 +98,126 @@ def test_bronze_silver_gold_composes(spark, tmp_path):
     )
     assert sorted(map(tuple, gold.collect())) == sorted(map(tuple, direct.collect()))
     assert inc  # imported as the gold-layer contract (states are mergeable)
+
+
+def test_lakehouse_loop_snapshot_cdf_funnel(spark, tmp_path):
+    """Round-7 composition: BRONZE = manifest-committed snapshot table
+    (idempotent txn epochs) -> streaming CDF tails the commits into a
+    SILVER parquet dir across restarts -> GOLD = funnel step measures
+    over silver, which must equal computing directly from the bronze
+    head. Then a GDPR delete on bronze (serializable RMW) and the
+    documented CDF recovery path (append-only break -> restart from
+    latest)."""
+    from pubg_data_pipeline_spark.operators import sequence
+    from pubg_data_pipeline_spark.sources import snapshot_cdf, snapshots
+
+    snapshot_cdf.register(spark)
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "cdf_ckpt")
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(e, ts, u, t) for e, ts, u, t in rows],
+            "event_id long, ts string, user_id long, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    epoch1 = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:05:00", 1, "click"),
+        (3, "2024-01-02 09:00:00", 2, "view"),
+    ]
+    epoch2 = [
+        (4, "2024-01-03 10:10:00", 1, "purchase"),  # completes user 1
+        (5, "2024-01-03 11:00:00", 2, "click"),
+    ]
+    snapshots.snapshot_commit(events(epoch1), bronze, txn=("ingest", 0))
+    snapshots.snapshot_commit(events(epoch1), bronze, txn=("ingest", 0))  # replay: no-op
+    assert snapshots.snapshot_history(bronze)[-1]["version"] == 1
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", bronze)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", silver)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    snapshots.snapshot_commit(events(epoch2), bronze, txn=("ingest", 1))
+    drain()  # restart: only epoch2's files flow
+
+    silver_df = spark.read.parquet(silver)
+    assert silver_df.count() == 5
+
+    def gold(df):
+        ft = sequence.funnel_step_times(
+            df, ["view", "click", "purchase"], gap_seconds=None
+        )
+        return {
+            (r["user_id"], r["completed"], str(r["step_ts"][0]))
+            for r in ft.collect()
+        }
+
+    # gold from the CDF-built silver == gold straight off the bronze head
+    assert gold(silver_df) == gold(snapshots.snapshot_read(spark, bronze))
+    assert gold(silver_df) == {
+        (1, True, "2024-01-01 10:00:00"),
+        (2, False, "2024-01-02 09:00:00"),
+    }
+
+    # GDPR: serializable delete of user 1 on bronze; batch gold follows
+    rep = snapshots.snapshot_delete_where(spark, bronze, F.col("user_id") == 1)
+    assert rep["deleted_rows"] == 3
+    assert gold(snapshots.snapshot_read(spark, bronze)) == {
+        (2, False, "2024-01-02 09:00:00")
+    }
+    # the delete is an overwrite: the old CDF checkpoint must FAIL LOUD
+    # (silent under-reporting would leak the deleted rows downstream)...
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not append-only"):
+        drain()
+    # ...and the documented recovery — fresh checkpoint from the new
+    # head — tails subsequent appends cleanly
+    ckpt2 = str(tmp_path / "cdf_ckpt2")
+    silver2 = str(tmp_path / "silver2")
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", bronze)
+        .option("starting_version", "latest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", silver2)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    snapshots.snapshot_commit(
+        events([(9, "2024-01-04 08:00:00", 3, "view")]), bronze, txn=("ingest", 2)
+    )
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", bronze)
+        .option("starting_version", "latest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", silver2)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert {r["event_id"] for r in spark.read.parquet(silver2).collect()} == {9}
