@@ -502,3 +502,61 @@ def test_streaming_pattern_twin_matches_batch_at_6m(spark, burst_events_file, tm
     # session population (no unbounded per-event state); 2x slack for
     # windows awaiting the watermark across batch boundaries
     assert 0 < peak_state <= 2 * 600_000, f"peak state rows {peak_state}"
+
+
+def test_snapshot_cdf_tails_millions_of_rows_in_arrow_batches(spark, tmp_path_factory):
+    """The CDF source at volume: two ~1.5M-row commits (32 files each)
+    tailed across two availableNow restarts — the Arrow-record-batch
+    read path must move millions of rows through executor tasks (one
+    per file) without a driver bottleneck, and the version-offset
+    resume must emit each commit exactly once."""
+    from pyspark.sql import functions as F  # noqa: F811 - probe-local alias
+
+    from pubg_data_pipeline_spark.sources import snapshot_cdf, snapshots
+
+    snapshot_cdf.register(spark)
+    d = tmp_path_factory.mktemp("cdf_probe")
+    table = str(d / "tbl")
+    sink = str(d / "sink")
+    ckpt = str(d / "ckpt")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=(F.col("id") % 86_400).cast("double"))
+            ).alias("ts"),
+            F.pmod(F.hash("id"), F.lit(1000)).alias("bucket"),
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    snapshots.snapshot_commit(batch(0, 1_500_000).repartition(32), table)
+    drain()
+    assert spark.read.parquet(sink).count() == 1_500_000
+    snapshots.snapshot_commit(batch(1_500_000, 3_000_000).repartition(32), table)
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 3_000_000  # exactly once per commit, no replays
+    agg = out.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi"), F.countDistinct("id").alias("n")
+    ).first()
+    assert (agg["lo"], agg["hi"], agg["n"]) == (0, 2_999_999, 3_000_000)
+    # timestamps survived the arrow unit/tz relabel end-to-end
+    ts_bounds = out.agg(F.min("ts").cast("string"), F.max("ts").cast("string")).first()
+    assert ts_bounds[0] == "2024-01-01 00:00:00"
+    assert ts_bounds[1] == "2024-01-01 23:59:59"
