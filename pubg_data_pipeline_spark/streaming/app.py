@@ -1587,3 +1587,56 @@ def streaming_moments(
         available_now=available_now,
         checkpoint=checkpoint,
     )
+
+
+def maintain_derived_table(
+    spark,
+    source_table: str,
+    target_table: str,
+    app_id: str,
+    transform=None,
+    starting_version: str = "0",
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Incremental derived-table maintenance over the lakehouse loop:
+    tail ``source_table``'s change feed (sources/snapshot_cdf — offsets
+    are manifest versions), apply ``transform`` to each micro-batch of
+    ADDED rows, and commit the result to ``target_table`` as one atomic
+    snapshot version with per-epoch txn dedup — exactly-once end to end
+    across restarts and foreachBatch replays, O(new data) per trigger.
+
+    This is the materialized-view form a lake format calls
+    "streaming table -> streaming table": both ends are
+    manifest-committed, so readers of the TARGET also get snapshot
+    isolation and time travel. ``transform`` must be per-ROW
+    (filter/project/enrich): each batch is transformed independently,
+    so cross-row aggregates would double-count across batches — use
+    the incremental rollup sinks (streaming_incremental_rollup) for
+    those. An overwrite/restore on the source breaks the append-only
+    feed and fails the query loudly (snapshot_cdf contract); restart
+    from ``starting_version="latest"`` after rebuilding the target."""
+    from pubg_data_pipeline_spark.sources import snapshot_cdf
+
+    _require_local_path(target_table, "maintain_derived_table")
+    snapshot_cdf.register(spark)
+    stream = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", source_table)
+        .option("starting_version", starting_version)
+        .load()
+    )
+
+    def epoch(df: DataFrame, eid: int) -> None:
+        out = transform(df) if transform is not None else df
+        snapshot_sink_epoch(out, eid, target_table, app_id)
+
+    return sinks.foreach_batch_sink(
+        stream,
+        epoch,
+        trigger_seconds,
+        output_mode="append",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )

@@ -122,3 +122,54 @@ def test_cdf_guards(spark, tmp_path):
             .option("path", str(tmp_path / "missing"))
             .load()
         )
+
+
+def test_maintain_derived_table_exactly_once(spark, tmp_path):
+    """Table-to-table maintenance: CDF tail -> per-row transform ->
+    txn-deduped snapshot commits. Across restarts the target holds
+    exactly transform(source head), all append lineage, and a manual
+    epoch replay is a no-op."""
+    from pubg_data_pipeline_spark.streaming import app
+
+    src_tbl = str(tmp_path / "src")
+    dst_tbl = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    snapshots.snapshot_commit(_df(spark, 0, 6), src_tbl)
+
+    def run():
+        q = app.maintain_derived_table(
+            spark,
+            src_tbl,
+            dst_tbl,
+            app_id="derive_even",
+            transform=lambda df: df.filter(F.col("id") % 2 == 0).withColumn(
+                "quad", F.col("doubled") * 2
+            ),
+            available_now=True,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    got = {
+        (r.id, r.quad) for r in snapshots.snapshot_read(spark, dst_tbl).collect()
+    }
+    assert got == {(0, 0), (2, 8), (4, 16)}
+    # source grows while the maintainer is down; restart catches up
+    snapshots.snapshot_commit(_df(spark, 6, 10), src_tbl)
+    run()
+    got2 = {
+        (r.id, r.quad) for r in snapshots.snapshot_read(spark, dst_tbl).collect()
+    }
+    assert got2 == {(i, 4 * i) for i in range(0, 10, 2)}
+    # idle restart commits nothing (no empty versions minted)
+    run()
+    hist = snapshots.snapshot_history(dst_tbl)
+    assert [h["op"] for h in hist] == ["append", "append"]
+    # manual replay of an already-committed epoch: txn dedup holds
+    replay = _df(spark, 0, 6).filter(F.col("id") % 2 == 0).withColumn(
+        "quad", F.col("doubled") * 2
+    )
+    app.snapshot_sink_epoch(replay, 0, dst_tbl, "derive_even")
+    assert snapshots.snapshot_read(spark, dst_tbl).count() == 5
