@@ -373,18 +373,28 @@ def _step_fold_exprs(
     full MATCH_RECOGNIZE MEASURES surface (``A.value``), still one fold.
     The measure columns ride at the END of the collected struct, after
     the unique tiebreak, so they can never perturb the canonical
-    array_sort order."""
+    array_sort order.
+
+    Only STEP-RELEVANT events enter the collected array (when-NULL
+    before collect_list, the same buffer-bounding trick as the capped
+    string fold): an event whose type is not in ``steps`` can never
+    bind a slot, so a whole-journey binding over a heavy user costs
+    O(step events), not O(lifetime events) — while the caller's
+    ``count(1)`` still counts every row. No delimiter check here: the
+    measures fold never builds a delimited string, so ``>`` in an
+    irrelevant type is harmless (step names themselves are validated
+    by the callers via _escape_step)."""
     n = len(steps)
-    ordered = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col(ts_col),
-                F.col(tiebreak),
-                _checked_type(type_col).alias(type_col),
-                *[F.col(m) for m, _ in measures],
-            )
-        )
+    relevant = F.when(
+        F.col(type_col).isin(list(steps)),
+        F.struct(
+            F.col(ts_col),
+            F.col(tiebreak),
+            F.col(type_col),
+            *[F.col(m) for m, _ in measures],
+        ),
     )
+    ordered = F.array_sort(F.collect_list(relevant))
     fields = []
     for i in range(n):
         fields.append((f"t{i}", "timestamp", ts_col))

@@ -562,3 +562,28 @@ def test_funnel_step_times_stream_agrees_with_batch(spark, tmp_path):
         1: (["2024-01-01 10:00:00", "2024-01-01 10:05:00", "2024-01-01 10:10:00"], True),
         2: ([None, None, None], False),
     }
+
+
+def test_funnel_fold_buffer_holds_only_step_relevant_events(spark):
+    """The measures fold collects ONLY events whose type is a funnel
+    step (irrelevant types can never bind a slot) while n_events still
+    counts every row — binding identical under a flood of noise."""
+    rows = [(i, f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}", 1, f"noise{i}") for i in range(200)]
+    rows += [
+        (900, "2024-01-01 10:00:30", 1, "view"),
+        (901, "2024-01-01 10:01:30", 1, "click"),
+        (902, "2024-01-01 10:02:30", 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sequence.funnel_step_times(df, ["view", "click", "purchase"]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_events"] == 203  # full session size, not just the 3 steps
+    assert r["completed"]
+    assert [str(t) for t in r["step_ts"]] == [
+        "2024-01-01 10:00:30",
+        "2024-01-01 10:01:30",
+        "2024-01-01 10:02:30",
+    ]
