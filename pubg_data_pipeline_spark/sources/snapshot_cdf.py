@@ -3,6 +3,10 @@ DataSource API): ``spark.readStream.format("snapshot_cdf")`` tails a
 manifest-committed table (sources/snapshots.py) and emits each
 version's ADDED rows as a micro-batch — the Delta CDF / ``readStream``
 -on-a-table capability, built on the engine's own transactional log.
+(Reference contrast: the reference has no table metadata layer at all
+— downstream consumers re-list raw HDFS directories and cannot tell
+"new since last read" from "everything"; spark_apps/
+pubg_streaming.py:236-244.)
 
 Why this shape:
 

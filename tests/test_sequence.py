@@ -587,3 +587,59 @@ def test_funnel_fold_buffer_holds_only_step_relevant_events(spark):
         "2024-01-01 10:01:30",
         "2024-01-01 10:02:30",
     ]
+
+
+def test_funnel_binding_property_vs_python_reference(spark):
+    """Hypothesis: the measures fold's first-match skip-to-next binding
+    equals a trivial Python walker on random event sequences and random
+    step lists. Many users per example -> one Spark job checks a whole
+    batch of cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["view", "click", "purchase", "error"])
+
+    def ref_bind(tokens, steps):
+        """Walk tokens in order; slot i binds the first token equal to
+        steps[i] strictly after slot i-1's binding."""
+        out = [None] * len(steps)
+        i = 0
+        for pos, t in enumerate(tokens):
+            if i < len(steps) and t == steps[i]:
+                out[i] = pos
+                i += 1
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        cases=st.lists(
+            st.lists(token, min_size=1, max_size=12), min_size=1, max_size=8
+        ),
+        steps=st.lists(token, min_size=1, max_size=4),
+    )
+    def check(cases, steps):
+        rows = [
+            (u * 100 + pos, f"2024-01-01 10:{pos:02d}:00", u, t)
+            for u, tokens in enumerate(cases)
+            for pos, t in enumerate(tokens)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r["user_id"]: r["step_ts"]
+            for r in sequence.funnel_step_times(
+                df, list(steps), gap_seconds=None
+            ).collect()
+        }
+        for u, tokens in enumerate(cases):
+            want = ref_bind(tokens, list(steps))
+            got_ts = got[u]
+            for i, pos in enumerate(want):
+                if pos is None:
+                    assert got_ts[i] is None, (tokens, steps, i)
+                else:
+                    assert got_ts[i] is not None, (tokens, steps, i)
+                    assert got_ts[i].minute == pos, (tokens, steps, i)
+
+    check()
