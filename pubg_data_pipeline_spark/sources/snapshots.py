@@ -338,6 +338,73 @@ def snapshot_history(path: str) -> list[dict]:
     return out
 
 
+def snapshot_merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    max_retries: int = 5,
+) -> dict:
+    """``MERGE INTO table USING updates ON keys`` (upsert form: matched
+    rows replaced by the update, unmatched updates inserted) with the
+    same serializable read-modify-write protocol as
+    :func:`snapshot_delete_where` — pinned to the head it read,
+    :class:`CommitConflict` retries the whole merge, so a concurrent
+    append can never be silently clobbered. ``updates`` must be
+    key-unique (enforced — a multi-match MERGE is nondeterministic and
+    every real MERGE implementation rejects it) and schema-compatible
+    with the table. Returns ``{"version", "updated", "inserted"}``.
+
+    Plan shape: one left_anti join on the keys (survivors) + one union
+    — the keys side is ``updates``, typically small enough that AQE
+    broadcasts it; the table side is scanned once. On a lake format
+    this is file-pruned MERGE; here the whole head is rewritten (the
+    snapshot layer tracks files per COMMIT, not per key range)."""
+    from pyspark.sql import functions as F
+
+    _require_local(path)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    dup = (
+        updates.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "snapshot_merge_upsert: updates contain duplicate keys — a "
+            "multi-match MERGE is nondeterministic; dedupe updates first "
+            "(e.g. latest-wins by a version column)."
+        )
+    updates = updates.localCheckpoint()  # one plan, stable across retries
+    n_updates = updates.count()
+    for _ in range(max_retries):
+        versions = _versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot commits at {path!r}")
+        head = versions[-1]
+        current = snapshot_read(spark, path, version=head)
+        if set(current.columns) != set(updates.columns):
+            raise ValueError(
+                f"snapshot_merge_upsert: updates columns {sorted(updates.columns)} "
+                f"!= table columns {sorted(current.columns)}"
+            )
+        survivors = current.join(updates.select(*key_cols), key_cols, "left_anti")
+        n_survivors = survivors.count()
+        n_current = current.count()
+        merged = survivors.select(*current.columns).unionByName(
+            updates.select(*current.columns)
+        )
+        try:
+            v = snapshot_commit(merged, path, mode="overwrite", expected_parent=head)
+        except CommitConflict:
+            continue
+        updated = n_current - n_survivors
+        return {"version": v, "updated": updated, "inserted": n_updates - updated}
+    raise RuntimeError(
+        f"snapshot_merge_upsert lost the read-modify-write race "
+        f"{max_retries} times at {path!r}."
+    )
+
+
 def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE TABLE to an earlier version — as a NEW commit whose file
     list is the old version's (Delta RESTORE semantics): history is
@@ -473,7 +540,11 @@ def snapshot_delete_where(
 
 
 def snapshot_compact(
-    spark: SparkSession, path: str, target_files: int = 8, max_retries: int = 5
+    spark: SparkSession,
+    path: str,
+    target_files: int = 8,
+    max_retries: int = 5,
+    sort_within_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE for snapshot tables: rewrite the head version's file
     list into ``target_files`` files as one overwrite commit — rows
@@ -484,8 +555,12 @@ def snapshot_compact(
     conflict = re-read and retry, so compaction can never swallow a
     concurrent append. Readers are never disturbed — the old files
     remain until ``snapshot_vacuum``, and a reader planned against the
-    pre-compaction version keeps serving it. Returns ``{"version",
-    "files_before", "files_after"}``."""
+    pre-compaction version keeps serving it. ``sort_within_by``
+    additionally range-partitions + sorts on those columns (OPTIMIZE's
+    clustering half): a streaming sink's arrival-ordered files have
+    useless min-max stats, and re-clustering restores file skipping on
+    the sort columns. Returns ``{"version", "files_before",
+    "files_after"}``."""
     _require_local(path)
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
@@ -501,7 +576,12 @@ def snapshot_compact(
                 "files_before": files_before,
                 "files_after": files_before,
             }
-        df = snapshot_read(spark, path, version=head).repartition(target_files)
+        df = snapshot_read(spark, path, version=head)
+        if sort_within_by:
+            df = df.repartitionByRange(target_files, *sort_within_by)
+            df = df.sortWithinPartitions(*sort_within_by)
+        else:
+            df = df.repartition(target_files)
         try:
             v = snapshot_commit(df, path, mode="overwrite", expected_parent=head)
         except CommitConflict:

@@ -381,3 +381,88 @@ def test_append_schema_enforcement(spark, tmp_path):
     # overwrite replaces the schema freely and resets evolution
     snapshots.snapshot_commit(spark.range(2).select("id"), path, mode="overwrite")
     assert snapshots.snapshot_read(spark, path).columns == ["id"]
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)  # (id, doubled=2*id)
+    updates = spark.createDataFrame(
+        [(2, 999), (4, 888), (10, 20)], "id long, doubled long"
+    )
+    rep = snapshots.snapshot_merge_upsert(spark, path, updates, ["id"])
+    assert rep["updated"] == 2 and rep["inserted"] == 1
+    back = {(r.id, r.doubled) for r in snapshots.snapshot_read(spark, path).collect()}
+    assert back == {(0, 0), (1, 2), (2, 999), (3, 6), (4, 888), (10, 20)}
+    # pre-merge version intact (time travel)
+    assert {
+        (r.id, r.doubled)
+        for r in snapshots.snapshot_read(spark, path, version=1).collect()
+    } == {(i, 2 * i) for i in range(5)}
+    # duplicate update keys rejected before any commit
+    dup = spark.createDataFrame([(7, 1), (7, 2)], "id long, doubled long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snapshots.snapshot_merge_upsert(spark, path, dup, ["id"])
+    # schema mismatch rejected
+    bad = spark.createDataFrame([(1, 2, 3)], "id long, doubled long, extra long")
+    with pytest.raises(ValueError, match="columns"):
+        snapshots.snapshot_merge_upsert(spark, path, bad, ["id"])
+    assert snapshots.snapshot_history(path)[-1]["version"] == 2
+
+
+def test_merge_upsert_retries_past_conflict(spark, tmp_path, monkeypatch):
+    """Same injected-race proof as delete: a row appended concurrently
+    mid-merge survives because the merge re-derives from the new head."""
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 3), path)
+
+    real_commit = snapshots.snapshot_commit
+    fired = {"done": False}
+
+    def racing_commit(df, p, **kw):
+        if not fired["done"] and kw.get("expected_parent") is not None:
+            fired["done"] = True
+            real_commit(_df(spark, 50, 51), p)  # concurrent append (50, 100)
+        return real_commit(df, p, **kw)
+
+    monkeypatch.setattr(snapshots, "snapshot_commit", racing_commit)
+    updates = spark.createDataFrame([(1, 111)], "id long, doubled long")
+    rep = snapshots.snapshot_merge_upsert(spark, path, updates, ["id"])
+    assert rep["updated"] == 1 and rep["inserted"] == 0
+    back = {(r.id, r.doubled) for r in snapshots.snapshot_read(spark, path).collect()}
+    assert back == {(0, 0), (1, 111), (2, 4), (50, 100)}  # append NOT lost
+
+
+def test_compact_with_clustering_restores_file_skipping(spark, tmp_path):
+    """sort_within_by: post-compaction files tile the sort column
+    (disjoint min-max ranges), so predicates on it prune files."""
+    import glob
+    import json as _json
+
+    path = str(tmp_path / "tbl")
+    # arrival order scrambles id across files
+    for i in range(4):
+        snapshots.snapshot_commit(
+            _df(spark, 0, 40).filter(F.col("id") % 4 == i).repartition(3), path
+        )
+    rep = snapshots.snapshot_compact(spark, path, target_files=4, sort_within_by=["id"])
+    assert rep["files_after"] <= 4
+    back = snapshots.snapshot_read(spark, path)
+    assert back.count() == 40
+    # read each compacted file's id range: ranges must be disjoint
+    files = [
+        f
+        for f in snapshots._read_manifest(path, rep["version"])["files"]
+    ]
+    import os as _os
+
+    ranges = []
+    for f in files:
+        stats = (
+            spark.read.parquet(_os.path.join(path, f))
+            .agg(F.min("id"), F.max("id"))
+            .first()
+        )
+        ranges.append((stats[0], stats[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {ranges}"
