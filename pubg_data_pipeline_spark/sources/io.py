@@ -313,25 +313,61 @@ def _require_backend(backend: str, allowed: tuple[str, ...], op: str) -> None:
 
 
 def complete_pending_maintenance(table_path: str, partition_col: str) -> list[str]:
-    """Re-apply the NEWEST journaled doom-set for ``partition_col``
-    (log-backend crash recovery): a maintenance run that committed its
-    journal entry but died mid-sweep leaves doomed directories a direct
-    reader still serves; the sweep is idempotent, so re-running it
-    converges. Only the newest entry is replayed — older entries'
-    sweeps completed before their successors were journaled, and
-    replaying ancient doom-sets could delete a legitimately re-created
-    partition (value-level tombstones don't age well; a lake format
-    tombstones FILES for exactly this reason)."""
+    """Re-apply every journaled doom-set for ``partition_col`` whose
+    sweep never recorded completion (log-backend crash recovery): a
+    maintenance run that committed its journal entry but died mid-sweep
+    leaves doomed directories a direct reader still serves; the sweep
+    is idempotent, so re-running it converges.
+
+    Completion is tracked PER ENTRY: every successful sweep (the
+    journaling callers' own, and this recovery's) publishes a
+    ``sweep_complete`` marker citing the doom entry's version. Replaying
+    only unmarked entries closes the burial hazard where a crashed
+    sweep followed by a LATER successful run (newer journal entry)
+    would hide the older incomplete doom-set forever — while marked
+    entries are never re-swept, so an old doom-set can't delete a
+    legitimately re-created partition value. Entries replay oldest
+    first; each replay publishes its own marker, so recovery itself is
+    crash-safe and convergent. Recovery must run within the journal's
+    retention horizon (_MAINTENANCE_LOG_KEEP) — vacuuming past an
+    unswept entry abandons it, same contract as any log retention."""
     from pubg_data_pipeline_spark.sources.commitproto import sweep_partition_dirs
 
     log = _maintenance_log(table_path)
-    for v in reversed(log.versions()):
+    pending: list[tuple[int, set[str]]] = []
+    completed: set[int] = set()
+    for v in log.versions():
         doc = log.read(v)
-        if doc.get("partition_col") == partition_col:
-            return sweep_partition_dirs(
-                table_path, partition_col, set(doc.get("doomed", []))
-            )
-    return []
+        if doc.get("partition_col") != partition_col:
+            continue
+        if doc.get("op") == "sweep_complete":
+            completed.add(doc.get("for_version"))
+        else:
+            pending.append((v, set(doc.get("doomed", []))))
+    removed: list[str] = []
+    for v, doomed in pending:
+        if v in completed:
+            continue
+        removed.extend(sweep_partition_dirs(table_path, partition_col, doomed))
+        log.publish(
+            {"op": "sweep_complete", "partition_col": partition_col, "for_version": v}
+        )
+    return removed
+
+
+def _journal_swept(mlog, partition_col: str, doom_version: int) -> None:
+    """Record that the sweep for journal entry ``doom_version``
+    finished — the completion half of the journal-first protocol (see
+    complete_pending_maintenance). Published AFTER the physical sweep,
+    then the journal is vacuumed to its audit horizon."""
+    mlog.publish(
+        {
+            "op": "sweep_complete",
+            "partition_col": partition_col,
+            "for_version": doom_version,
+        }
+    )
+    mlog.vacuum(_MAINTENANCE_LOG_KEEP)
 
 
 def propagate_deletes(
@@ -429,7 +465,7 @@ def propagate_deletes(
     doomed = {str(p) for p in affected} - kept
     if backend == "log":
         mlog = _maintenance_log(table_path)
-        mlog.publish(
+        jv = mlog.publish(
             {
                 "op": "propagate_deletes",
                 "partition_col": partition_col,
@@ -438,8 +474,10 @@ def propagate_deletes(
                 "deleted_rows": pre - post,
             }
         )
-        mlog.vacuum(_MAINTENANCE_LOG_KEEP)
-    sweep_partition_dirs(table_path, partition_col, doomed)
+        sweep_partition_dirs(table_path, partition_col, doomed)
+        _journal_swept(mlog, partition_col, jv)
+    else:
+        sweep_partition_dirs(table_path, partition_col, doomed)
     return {"affected_partitions": len(affected), "deleted_rows": pre - post}
 
 
@@ -473,14 +511,16 @@ def expire_partitions(
     if backend == "log":
         # journal-first, same contract as propagate_deletes' log mode
         mlog = _maintenance_log(table_path)
-        mlog.publish(
+        jv = mlog.publish(
             {
                 "op": "expire_partitions",
                 "partition_col": partition_col,
                 "doomed": sorted(doomed),
             }
         )
-        mlog.vacuum(_MAINTENANCE_LOG_KEEP)
+        swept = sweep_partition_dirs(table_path, partition_col, doomed)
+        _journal_swept(mlog, partition_col, jv)
+        return swept
     return sweep_partition_dirs(table_path, partition_col, doomed)
 
 

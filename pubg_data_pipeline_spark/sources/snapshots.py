@@ -482,9 +482,7 @@ def snapshot_vacuum(
     log = _log(path)
     for v in versions:
         if v not in keep:
-            p = log._path(v)
-            os.unlink(p)
-            removed.append(p)
+            removed.append(log.remove(v))
     data_root = os.path.join(path, "data")
     now = time.time()
     if os.path.isdir(data_root):

@@ -643,3 +643,23 @@ def test_funnel_binding_property_vs_python_reference(spark):
                     assert got_ts[i].minute == pos, (tokens, steps, i)
 
     check()
+
+
+def test_funnel_step_times_non_timestamp_ts_dtypes(spark):
+    """The t{i} accumulator slots derive their dtype from the actual ts
+    column (round-7 ADVICE): a numeric-epoch or timestamp_ntz ts column
+    must plan and bind, not fail F.aggregate analysis on a hardcoded
+    'timestamp' init."""
+    rows = [(1, 10, 7, "a"), (2, 20, 7, "b"), (3, 30, 7, "c")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    )
+    out = sequence.funnel_step_times(df, ["a", "c"], gap_seconds=None).collect()
+    assert out[0]["step_ts"] == [10, 30] and out[0]["completed"]
+
+    ntz = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "a"), (2, "2024-01-01 10:05:00", 7, "b")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = sequence.funnel_step_times(ntz, ["a", "b"], gap_seconds=None).collect()
+    assert got[0]["completed"] and got[0]["step_ts"][0].minute == 0

@@ -75,11 +75,16 @@ def test_propagate_deletes_log_backend_journals_before_sweep(spark, tmp_path):
     assert stats == {"affected_partitions": 2, "deleted_rows": 11}
     assert not os.path.isdir(os.path.join(path, "day=0"))
     assert spark.read.parquet(path).count() == 19
-    # ...plus an auditable journal entry with the doom-set
-    entry = TxnLog(os.path.join(path, "_maintenance_log")).read()
+    # ...plus an auditable journal entry with the doom-set, followed by
+    # the sweep-completion marker citing it
+    log = TxnLog(os.path.join(path, "_maintenance_log"))
+    entry = log.read(log.versions()[0])
     assert entry["op"] == "propagate_deletes"
     assert entry["doomed"] == ["0"]
     assert entry["deleted_rows"] == 11
+    marker = log.read()
+    assert marker["op"] == "sweep_complete"
+    assert marker["for_version"] == entry["_txn"]["version"]
 
 
 def test_expire_partitions_log_backend_and_crash_replay(spark, tmp_path):
@@ -92,23 +97,29 @@ def test_expire_partitions_log_backend_and_crash_replay(spark, tmp_path):
         path, "day", keep=lambda d: d >= "2024-01-15", backend="log"
     )
     assert dropped == ["2024-01-10"]
-    entry = TxnLog(os.path.join(path, "_maintenance_log")).read()
+    log = TxnLog(os.path.join(path, "_maintenance_log"))
+    entry = log.read(log.versions()[0])
     assert entry["op"] == "expire_partitions" and entry["doomed"] == ["2024-01-10"]
     # crash window: journal committed but the sweep died — simulate by
-    # resurrecting the doomed directory, then replay converges
+    # resurrecting the doomed directory AND removing the completion
+    # marker (a finished sweep is never replayed), then replay converges
     os.makedirs(os.path.join(path, "day=2024-01-10"))
     (tmp_path / "t3" / "day=2024-01-10" / "part-0.parquet").write_text("stale")
+    log.remove(log.versions()[-1])
     removed = sio.complete_pending_maintenance(path, "day")
     assert removed == ["2024-01-10"]
     assert not os.path.isdir(os.path.join(path, "day=2024-01-10"))
-    # idempotent: nothing left to do
+    # recovery published its own completion marker: nothing left to do,
+    # and a second resurrection is NOT re-swept (the entry is complete)
+    assert sio.complete_pending_maintenance(path, "day") == []
+    os.makedirs(os.path.join(path, "day=2024-01-10"))
     assert sio.complete_pending_maintenance(path, "day") == []
 
 
-def test_complete_pending_maintenance_replays_only_newest_entry(spark, tmp_path):
-    """An OLD doom-set must never kill a legitimately re-created
-    partition — only the newest journal entry can have crashed
-    mid-sweep (ops are sequential per table)."""
+def test_complete_pending_maintenance_skips_completed_entries(spark, tmp_path):
+    """A COMPLETED doom-set must never kill a legitimately re-created
+    partition — completion is tracked per entry (sweep_complete
+    markers), so only entries whose sweep never finished replay."""
     path = str(tmp_path / "t4")
     spark.createDataFrame(
         [(1, "2024-01-10"), (2, "2024-01-20")], "id long, day string"
@@ -126,6 +137,40 @@ def test_complete_pending_maintenance_replays_only_newest_entry(spark, tmp_path)
     # a table with no journal is a no-op
     bare = _partitioned_table(spark, tmp_path, "bare")
     assert sio.complete_pending_maintenance(bare, "day") == []
+
+
+def test_complete_pending_maintenance_replays_buried_incomplete_entry(
+    spark, tmp_path
+):
+    """The round-7 ADVICE burial hazard: a sweep that crashed, followed
+    by a LATER maintenance run that completed, must still be recovered —
+    the old newest-entry-only replay hid it forever."""
+    path = str(tmp_path / "t6")
+    spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-20"), (3, "2024-01-30")],
+        "id long, day string",
+    ).write.partitionBy("day").parquet(path)
+    sio.expire_partitions(path, "day", keep=lambda d: d >= "2024-01-15", backend="log")
+    log = TxnLog(os.path.join(path, "_maintenance_log"))
+    crashed_version = log.versions()[0]
+    # simulate the crash: doomed dir resurrected, completion marker gone
+    os.makedirs(os.path.join(path, "day=2024-01-10"))
+    log.remove(log.versions()[-1])
+    # a LATER run on a different value completes normally — under the
+    # old protocol this BURIED the crashed entry
+    sio.expire_partitions(path, "day", keep=lambda d: d != "2024-01-30", backend="log")
+    assert not os.path.isdir(os.path.join(path, "day=2024-01-30"))
+    # recovery replays the buried incomplete doom-set
+    assert sio.complete_pending_maintenance(path, "day") == ["2024-01-10"]
+    assert not os.path.isdir(os.path.join(path, "day=2024-01-10"))
+    # and records its completion against the crashed entry
+    markers = [
+        log.read(v)
+        for v in log.versions()
+        if log.read(v).get("op") == "sweep_complete"
+    ]
+    assert crashed_version in {m["for_version"] for m in markers}
+    assert sio.complete_pending_maintenance(path, "day") == []
 
 
 def test_unknown_maintenance_backend_rejected(spark, tmp_path):
