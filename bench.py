@@ -182,6 +182,9 @@ HEADLINE_V2_EXTRA = [
     "funnel_conversion_values",
     "error_burst_sessions",
     "events_daily_backfill_log",
+    "customer_cdf_net_changes",
+    "hourly_rollup_retraction_merge",
+    "customer_snapshot_pruned_read",
 ]
 
 #: Quiet-host reading of the calibration probe (min-of-8 on an idle

@@ -54,6 +54,23 @@ def merge_hourly_states(*states: DataFrame) -> DataFrame:
     )
 
 
+def negate_hourly_state(state: DataFrame) -> DataFrame:
+    """The retraction form of a partial hourly state: counts and sums
+    negated, so merging it SUBTRACTS the underlying rows' contribution
+    — exact because (count, scaled-integer sum) form an abelian group
+    under addition. This is what makes the hourly rollup maintainable
+    through change feeds that carry deletes/updates (rollup_cdf_epoch):
+    a deleted source row's partial is merged with flipped sign and the
+    state lands exactly where a batch recompute would. Hours whose
+    count returns to zero should be filtered out after the merge
+    (``n != 0``)."""
+    return state.select(
+        "hour_key",
+        (-F.col("n")).alias("n"),
+        (-F.col("scaled_sum")).alias("scaled_sum"),
+    )
+
+
 def partial_distinct_state(
     df: DataFrame, ts_col: str = "ts", key_col: str = "user_id", lg_k: int = 12
 ) -> DataFrame:

@@ -300,9 +300,183 @@ WHERE e.event_type = 'error'
 
 
 
+# ------------------------------------------- round 8: lakehouse CDC
+
+
+def _snap_cache_path(name: str, sf_dir: str, table: str) -> str:
+    import os
+
+    from pubg_data_pipeline_spark.plans.base import dataset_cache_tag
+
+    tag = dataset_cache_tag(sf_dir, table)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, ".snap_cache", f"{name}_{tag}")
+
+
+def customer_cdf_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the change-data-feed THROUGH a rewrite: a snapshot
+    table is built as append(%3==0) -> append(%3==1) -> DELETE WHERE
+    c_acctbal < 0 -> append(%3==2), then the full change feed
+    (sources/snapshots.snapshot_table_changes — inserts from the
+    appends' data files, row-level deletes from the DELETE's recorded
+    change files) is replayed into NET state (inserts ``exceptAll``
+    deletes) and aggregated. The oracle recomputes the final world
+    directly, so a hash match proves the feed's deletes carry exactly
+    the rows the rewrite removed — the capability the reference's
+    append-only sink lacks entirely (spark_apps/
+    pubg_streaming.py:236-244: no retraction story).
+
+    Scale: the feed reads added data files + recorded change files
+    only (O(changed rows)); the exceptAll is one hash exchange over
+    the change set."""
+    import shutil
+
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _snap_cache_path("customer_cdf", sf_dir, "customer")
+    if len(snapshots.snapshot_history(path)) != 4:
+        shutil.rmtree(path, ignore_errors=True)
+        snapshots.snapshot_commit(cust.filter(F.col("c_custkey") % 3 == 0), path)
+        snapshots.snapshot_commit(cust.filter(F.col("c_custkey") % 3 == 1), path)
+        snapshots.snapshot_delete_where(spark, path, F.col("c_acctbal") < 0.0)
+        snapshots.snapshot_commit(cust.filter(F.col("c_custkey") % 3 == 2), path)
+    ch = snapshots.snapshot_table_changes(spark, path, 0)
+    data_cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    adds = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*data_cols)
+    removes = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(*data_cols)
+    net = adds.exceptAll(removes)
+    return net.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(exact_scaled(F.col("c_acctbal"))) / 100.0, 2).alias(
+            "total_acctbal"
+        ),
+    )
+
+
+_CDF_NET_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM({sql_scaled('c_acctbal')}) AS BIGINT) / 100.0, 2)
+         AS total_acctbal
+FROM customer
+WHERE (c_custkey % 3 IN (0, 1) AND c_acctbal >= 0) OR c_custkey % 3 = 2
+GROUP BY c_mktsegment
+"""
+
+
+def hourly_rollup_retraction_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction algebra for incremental aggregate maintenance
+    (operators/incremental.negate_hourly_state): the full-events hourly
+    state minus the NEGATED partial state of the 'error' rows must
+    equal a recompute over the surviving rows — because (count,
+    scaled-integer sum) form an abelian group, a change feed's deletes
+    can be folded into a stored rollup exactly (rollup_cdf_epoch /
+    maintain_rollup_table use this per micro-batch). Hours whose count
+    returns to zero drop out of the state."""
+    from pubg_data_pipeline_spark.operators import incremental
+
+    ev = load_table(spark, sf_dir, "events")
+    base = incremental.partial_hourly_state(ev)
+    retract = incremental.negate_hourly_state(
+        incremental.partial_hourly_state(ev.filter(F.col("event_type") == "error"))
+    )
+    merged = incremental.merge_hourly_states(base, retract).filter(F.col("n") != 0)
+    # count + exact scaled-integer sum only: the retraction proof lives
+    # in the integer state (avg is derive-at-read and its double
+    # division lands on 0.5-ULP rounding boundaries DuckDB and the JVM
+    # round differently — determinism rules in plans/base.py)
+    return incremental.finalize_hourly(merged).select(
+        "hour_key", "n_events", "total_value"
+    )
+
+
+_RETRACTION_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_key,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS total_value
+FROM events WHERE event_type != 'error' GROUP BY 1
+"""
+
+
+def customer_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-statistics file pruning (sources/snapshots round 8):
+    the customer table committed as four key-range-clustered versions
+    with ``stats_cols=["c_custkey"]``, then read back through
+    ``snapshot_read(where=[("c_custkey","<=",500)])`` — the manifest's
+    per-file min/max selects only the overlapping files BEFORE Spark
+    sees the list (tests/test_snapshots.py asserts the input-file
+    count; this oracle pins that pruning never changes semantics). At
+    100 TB with fine-grained commits this is manifest-level skipping on
+    top of parquet footer skipping."""
+    import shutil
+
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _snap_cache_path("customer_pruned", sf_dir, "customer")
+    if len(snapshots.snapshot_history(path)) != 4:
+        shutil.rmtree(path, ignore_errors=True)
+        # bounded scalars, build-only (the key span; keys start at 0)
+        lo0, m = cust.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+        bounds = [lo0 - 1, m // 4, m // 2, (3 * m) // 4, m]
+        for lo, hi in zip(bounds, bounds[1:]):
+            snapshots.snapshot_commit(
+                cust.filter(
+                    (F.col("c_custkey") > lo) & (F.col("c_custkey") <= hi)
+                ).coalesce(1),
+                path,
+                stats_cols=["c_custkey"],
+            )
+    pruned = snapshots.snapshot_read(spark, path, where=[("c_custkey", "<=", 500)])
+    return pruned.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(exact_scaled(F.col("c_acctbal"))) / 100.0, 2).alias(
+            "total_acctbal"
+        ),
+    )
+
+
+_PRUNED_READ_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM({sql_scaled('c_acctbal')}) AS BIGINT) / 100.0, 2)
+         AS total_acctbal
+FROM customer
+WHERE c_custkey <= 500
+GROUP BY c_mktsegment
+"""
+
+
 SPECS = [
     QuerySpec(
         "error_events_with_band", error_events_with_band, _TEMPORAL_JOIN_SQL, ("cdc", "join", "time")
+    ),
+    QuerySpec(
+        "customer_cdf_net_changes", customer_cdf_net_changes, _CDF_NET_SQL, ("cdc", "io", "snapshot")
+    ),
+    QuerySpec(
+        "hourly_rollup_retraction_merge",
+        hourly_rollup_retraction_merge,
+        _RETRACTION_SQL,
+        ("cdc", "incremental", "agg"),
+    ),
+    QuerySpec(
+        "customer_snapshot_pruned_read",
+        customer_snapshot_pruned_read,
+        _PRUNED_READ_SQL,
+        ("io", "snapshot"),
     ),
     QuerySpec("customer_snapshot_diff", customer_snapshot_diff, _DIFF_SQL, ("cdc", "join")),
     QuerySpec("customer_merge_upsert", customer_merge_upsert, _MERGE_SQL, ("cdc", "join")),

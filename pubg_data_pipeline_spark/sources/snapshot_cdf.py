@@ -1,8 +1,9 @@
 """Streaming change-data-feed over snapshot tables (Spark 4 Python
 DataSource API): ``spark.readStream.format("snapshot_cdf")`` tails a
 manifest-committed table (sources/snapshots.py) and emits each
-version's ADDED rows as a micro-batch — the Delta CDF / ``readStream``
--on-a-table capability, built on the engine's own transactional log.
+version's row-level changes as a micro-batch — the Delta CDF /
+``readStream``-on-a-table capability, built on the engine's own
+transactional log.
 (Reference contrast: the reference has no table metadata layer at all
 — downstream consumers re-list raw HDFS directories and cannot tell
 "new since last read" from "everything"; spark_apps/
@@ -18,22 +19,33 @@ Why this shape:
   the simple-reader contract does not exist here, which is why this
   source can use the full ``DataSourceStreamReader`` and read files
   in EXECUTOR tasks instead of on the driver).
-- **One input partition per added file.** ``partitions(start, end)``
-  diffs the two manifests' file lists (data files are immutable, so
-  the version delta is exactly the file-list delta — same invariant
-  snapshot_changes uses batch-side); each file becomes one task that
-  reads it with pyarrow and yields rows. Parallelism scales with the
-  commit's file count, not the driver.
-- **Append-only, fail-loud.** An overwrite/restore in the offset range
-  raises: added-files no longer mean added-rows and silently
-  under-reporting a change set is worse than stopping the stream
-  (same contract as snapshot_changes; full CDF with remove-records is
-  a table-format feature, out of scope here).
+- **One input partition per file, attributed per commit.** Each
+  version in the offset range contributes its own partitions: an
+  APPEND's added files (data files are immutable, so the version
+  delta is exactly the file-list delta) are emitted as ``insert``
+  rows; a REWRITE that recorded change data at commit time
+  (``snapshot_delete_where`` / ``snapshot_merge_upsert`` /
+  ``snapshot_restore``) emits exactly its change files — rows already
+  carrying ``_change_type`` — and a compaction's recorded-empty
+  change set emits nothing, so the stream rides through maintenance
+  instead of breaking on it. Every row also carries
+  ``_commit_version``. Parallelism scales with the commits' file
+  counts, not the driver.
+- **Fail-loud on unservable history.** A rewrite commit that predates
+  change recording raises (no change data exists to serve — silently
+  under-reporting a change set is worse than stopping the stream),
+  and a VACUUMED offset raises too: if the stream's start version is
+  gone, diffing against "empty table" would re-emit the entire head
+  as inserts and permanently duplicate derived tables (the round-7
+  ADVICE hazard). Restart such streams from
+  ``starting_version=latest`` after rebuilding the target.
 
 Schema comes from the head manifest's recorded schema (every commit
-records one since the schema-enforcement round); tables predating
-that must pass an explicit ``.schema(...)``. Local/shared filesystem
-only — the same scope as the snapshot tables themselves.
+records one since the schema-enforcement round) plus the two change
+columns; tables predating that must pass an explicit ``.schema(...)``
+INCLUDING ``_change_type string`` / ``_commit_version long``. Local/
+shared filesystem only — the same scope as the snapshot tables
+themselves.
 
 Options: ``path`` (required), ``starting_version`` (int, default 0 =
 emit the whole table first; ``"latest"`` = only new commits).
@@ -56,6 +68,9 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+#: Metadata columns every CDF row carries (Delta CDF's column names).
+META_COLS = ("_change_type", "_commit_version")
+
 
 def _versions(manifest_dir: str) -> list[int]:
     if not os.path.isdir(manifest_dir):
@@ -77,8 +92,12 @@ def _manifest(manifest_dir: str, version: int) -> dict:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str):
+    def __init__(self, file_path: str, change_type: str | None, version: int):
         self.file_path = file_path
+        # 'insert' for an append's data files; None for change files,
+        # whose rows carry their own _change_type column
+        self.change_type = change_type
+        self.version = version
 
 
 class SnapshotCdfStreamReader(DataSourceStreamReader):
@@ -91,6 +110,7 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
             )
         self.mdir = os.path.join(self.table_path, "_manifests")
         self.field_names = [f.name for f in schema.fields]
+        self.data_fields = [n for n in self.field_names if n not in META_COLS]
         self.start_opt = str(options.get("starting_version", "0"))
 
     def initialOffset(self):
@@ -107,23 +127,48 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         if hi <= lo:
             return []
-        versions = _versions(self.mdir)
-        for v in versions:
-            if lo < v <= hi and _manifest(self.mdir, v)["op"] != "append":
+        have = set(_versions(self.mdir))
+        # a vacuumed offset MUST raise (round-7 ADVICE): treating a
+        # missing lo as "empty table" would re-emit every file through
+        # the head as inserts and silently duplicate derived tables —
+        # and vacuumed non-append versions inside the range would skip
+        # the fail-loud op check below
+        missing = [v for v in range((lo or 1), hi + 1) if v not in have]
+        if missing:
+            raise ValueError(
+                f"snapshot_cdf at {self.table_path!r}: versions {missing} in "
+                f"the {lo}->{hi} delta were vacuumed — the change feed cannot "
+                "be served; restart from starting_version=latest after "
+                "rebuilding the derived state."
+            )
+        parts: list[_FilePartition] = []
+        for v in range(lo + 1, hi + 1):
+            m = _manifest(self.mdir, v)
+            if m["op"] == "append":
+                before = (
+                    set(_manifest(self.mdir, v - 1)["files"]) if v > 1 else set()
+                )
+                parts.extend(
+                    _FilePartition(os.path.join(self.table_path, f), "insert", v)
+                    for f in m["files"]
+                    if f not in before
+                )
+            elif "change" in m:
+                # rewrite with recorded change data: exactly its change
+                # files (a compaction records an empty list -> nothing)
+                parts.extend(
+                    _FilePartition(os.path.join(self.table_path, f), None, v)
+                    for f in m["change"]["files"]
+                )
+            else:
                 raise ValueError(
                     f"snapshot_cdf at {self.table_path!r}: version {v} is "
-                    f"'{_manifest(self.mdir, v)['op']}' — the {lo}->{hi} delta "
-                    "is not append-only; restart the stream from the new head "
-                    "(starting_version=latest) after handling the rewrite."
+                    f"'{m['op']}' with no recorded change data — the "
+                    f"{lo}->{hi} delta cannot be served; restart the stream "
+                    "from the new head (starting_version=latest) after "
+                    "handling the rewrite."
                 )
-        # base version 0 = empty table; otherwise diff the file lists
-        before = set(_manifest(self.mdir, lo)["files"]) if lo in versions else set()
-        after = _manifest(self.mdir, hi)["files"]
-        return [
-            _FilePartition(os.path.join(self.table_path, f))
-            for f in after
-            if f not in before
-        ]
+        return parts
 
     def read(self, partition):
         # executor-side: one immutable parquet file -> ARROW RECORD
@@ -141,9 +186,22 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.file_path, columns=self.field_names)
+        want = list(self.data_fields)
+        if partition.change_type is None:
+            want.append("_change_type")
+        table = pq.read_table(partition.file_path, columns=want)
+        n = table.num_rows
         cols = []
         for name in self.field_names:
+            if name == "_change_type":
+                if partition.change_type is not None:
+                    cols.append(pa.array([partition.change_type] * n, pa.string()))
+                else:
+                    cols.append(table.column("_change_type").cast(pa.string()))
+                continue
+            if name == "_commit_version":
+                cols.append(pa.array([partition.version] * n, pa.int64()))
+                continue
             col = table.column(name)
             if pa.types.is_timestamp(col.type):
                 col = col.cast(pa.timestamp(col.type.unit, tz=col.type.tz or "UTC"))
@@ -173,11 +231,14 @@ class SnapshotCdfSource(DataSource):
         if "schema" not in head:
             raise ValueError(
                 "snapshot_cdf: this table's manifests predate recorded "
-                "schemas — pass an explicit .schema(...) to readStream."
+                "schemas — pass an explicit .schema(...) to readStream "
+                "(include _change_type string and _commit_version long)."
             )
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import LongType, StringType, StructType
 
-        return StructType.fromJson(json.loads(head["schema"]))
+        st = StructType.fromJson(json.loads(head["schema"]))
+        st = st.add("_change_type", StringType()).add("_commit_version", LongType())
+        return st
 
     def streamReader(self, schema):
         return SnapshotCdfStreamReader(schema, self.options)

@@ -33,6 +33,27 @@ Commit protocol (optimistic concurrency):
 Readers never list ``data/``: they load exactly the files named by one
 manifest, so a query planned against version N is immune to later
 commits (snapshot isolation) and ``version=`` gives time travel.
+
+Round 8 adds the two metadata features a real lake format layers on
+this skeleton:
+
+- **Change data through rewrites** (Delta CDF semantics): rewrite
+  commits (DELETE WHERE, MERGE, RESTORE) record their row-level change
+  set as parquet files under ``_changes/<commit-uuid>/`` at COMMIT
+  time — when the writer already holds both worlds as DataFrames — so
+  change consumers never pay a read-time table diff;
+  ``snapshot_compact`` records a provably-empty change set (rows
+  identical by construction) with zero IO. ``snapshot_table_changes``
+  (batch) and the ``snapshot_cdf`` streaming source serve
+  ``_change_type`` / ``_commit_version`` rows through appends AND
+  rewrites; only commits that predate change recording still raise.
+- **Manifest file statistics + pruning**: commits record per-file
+  min/max/null-count for declared ``stats_cols`` (one driver-side
+  parquet-footer listing pass over the new files — no data read), and
+  ``snapshot_read(where=...)`` selects only the files whose recorded
+  range can satisfy the conjuncts BEFORE Spark sees the file list —
+  at 100 TB with fine-grained commits this is the difference between
+  opening 10 footers and 100k.
 """
 
 from __future__ import annotations
@@ -127,6 +148,143 @@ def _schema_compat(parent_json: str, new_json: str) -> str:
     return "additive" if len(new) > len(parent) else "same"
 
 
+#: Change-type values change files may carry (Delta CDF vocabulary).
+CHANGE_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
+
+
+def _stat_value(v):
+    """JSON-safe, ORDER-PRESERVING encoding of a parquet footer stat.
+    Timestamps/dates become ISO strings (fixed-width → lexicographic
+    order == chronological order); bytes decode as UTF-8 (parquet
+    string stats arrive as bytes). Types whose encoding would not
+    preserve order for pruning (Decimal → float rounding could
+    mis-prune at the boundary) return None = "unprunable", never an
+    approximation."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return v if v is None else bool(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return None
+    return None
+
+
+def _collect_file_stats(
+    table_root: str, relpaths: list[str], stats_cols: list[str]
+) -> dict[str, dict]:
+    """Per-file min/max/null-count for ``stats_cols``, from parquet
+    FOOTERS only (metadata read — no row data touched; this is the
+    cheap listing pass a lake format's commit does). A column whose
+    stats are absent/undecodable in any row group records None for that
+    file — the pruner then always keeps it (safe, never wrong)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in relpaths:
+        md = pq.ParquetFile(os.path.join(table_root, rel)).metadata
+        colstats: dict[str, dict | None] = {}
+        if md.num_row_groups == 0:
+            for c in stats_cols:
+                colstats[c] = {"min": None, "max": None, "nulls": 0, "rows": 0}
+            out[rel] = colstats
+            continue
+        idx = {
+            md.row_group(0).column(j).path_in_schema: j
+            for j in range(md.num_columns)
+        }
+        for c in stats_cols:
+            if c not in idx:
+                colstats[c] = None  # nested/missing column: unprunable
+                continue
+            mn = mx = None
+            nulls = 0
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx[c]).statistics
+                if st is None:
+                    ok = False
+                    break
+                nulls += st.null_count or 0
+                if not st.has_min_max:
+                    # all-null row group: contributes no min/max
+                    continue
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+                if lo is None or hi is None:
+                    ok = False
+                    break
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            colstats[c] = (
+                {"min": mn, "max": mx, "nulls": nulls, "rows": md.num_rows}
+                if ok
+                else None
+            )
+        out[rel] = colstats
+    return out
+
+
+_PRUNE_OPS = ("==", "<", "<=", ">", ">=")
+
+
+def _file_may_match(stats: dict | None, where: list[tuple]) -> bool:
+    """Can a file with these recorded stats contain a row satisfying
+    ALL conjuncts? Missing/None stats → True (keep; pruning is an
+    optimization, never a correctness lever). A file whose stats PROVE
+    no row can satisfy some conjunct → False (skip). Comparisons
+    against a mismatched type keep the file."""
+    if not stats:
+        return True
+    for col, op, value in where:
+        cs = stats.get(col)
+        if cs is None:
+            continue
+        mn, mx = cs.get("min"), cs.get("max")
+        if mn is None or mx is None:
+            if cs.get("rows", 1) == cs.get("nulls", 0):
+                # every value NULL: no comparison conjunct can match
+                return False
+            continue
+        v = _stat_value(value)
+        if v is None:
+            continue
+        if (
+            isinstance(v, str)
+            and isinstance(mn, str)
+            and len(mn) > 10
+            and mn[10] == "T"
+            and len(v) > 10
+            and v[10] == " "
+        ):
+            # stats store timestamps as ISO ('T' separator); a caller's
+            # 'YYYY-MM-DD HH:MM:SS' literal must be normalized or the
+            # space (0x20 < 'T') would wrongly prune same-date files
+            v = v[:10] + "T" + v[11:]
+        try:
+            if op == "==" and (v < mn or v > mx):
+                return False
+            if op == "<" and not (mn < v):
+                return False
+            if op == "<=" and not (mn <= v):
+                return False
+            if op == ">" and not (mx > v):
+                return False
+            if op == ">=" and not (mx >= v):
+                return False
+        except TypeError:
+            continue  # incomparable encodings: keep the file
+    return True
+
+
 class CommitConflict(RuntimeError):
     """A commit pinned to ``expected_parent`` found the table head
     moved — the serializable-conflict signal for read-modify-write
@@ -142,6 +300,9 @@ def snapshot_commit(
     txn: tuple[str, int] | None = None,
     expected_parent: int | None = None,
     allow_schema_evolution: bool = False,
+    change_data: DataFrame | None = None,
+    op_hint: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version and return its number.
 
@@ -169,6 +330,24 @@ def snapshot_commit(
     invisible and reclaimed by ``snapshot_vacuum``, same as any
     crashed commit.
 
+    ``change_data`` (rewrite commits only) records the commit's
+    row-level change set — table columns plus a ``_change_type`` column
+    (values from :data:`CHANGE_TYPES`) — written once to
+    ``_changes/<commit-uuid>/`` and referenced from the manifest, so
+    ``snapshot_table_changes`` / the ``snapshot_cdf`` stream can serve
+    deletes and updates without a read-time diff (Delta CDF's
+    write-time design). ``op_hint`` labels the rewrite ("delete",
+    "merge", "compact", "restore"); ``op_hint="compact"`` with no
+    ``change_data`` records a provably-EMPTY change set (a compaction
+    rewrites files, never rows) with zero IO. An overwrite with neither
+    stays a legacy opaque rewrite: change consumers fail loudly on it.
+
+    ``stats_cols`` declares the columns whose per-file min/max/null
+    stats the manifest records (inherited from the parent manifest when
+    omitted — a table property). Stats come from the new files' parquet
+    footers (metadata-only pass); ``snapshot_read(where=...)`` uses
+    them to hand Spark only the files that can match.
+
     Schema enforcement (the Delta default): every manifest records its
     commit's schema; an APPEND whose schema drops a column or changes
     a type is rejected outright (readers of the mixed file list would
@@ -185,6 +364,19 @@ def snapshot_commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     _require_local(path)
+    if change_data is not None or op_hint is not None:
+        if mode != "overwrite":
+            raise ValueError(
+                "change_data/op_hint apply to overwrite commits only — an "
+                "append's change set IS its added files."
+            )
+    if change_data is not None:
+        expected = set(df.columns) | {"_change_type"}
+        if set(change_data.columns) != expected:
+            raise ValueError(
+                "change_data must carry the table columns plus _change_type; "
+                f"got {sorted(change_data.columns)} vs table {sorted(df.columns)}"
+            )
     if txn is not None:
         done = last_committed_txn(path, txn[0])
         if done is not None and done >= txn[1]:
@@ -197,6 +389,21 @@ def snapshot_commit(
     new_files = [
         os.path.relpath(p, path) for p in _list_part_files(data_dir)
     ]
+    change: dict | None = None
+    if change_data is not None:
+        change_dir = os.path.join(path, "_changes", commit_id)
+        change_data.write.mode("error").parquet(change_dir)
+        change = {
+            "files": [os.path.relpath(p, path) for p in _list_part_files(change_dir)],
+            "op_hint": op_hint,
+        }
+    elif op_hint == "compact":
+        change = {"files": [], "op_hint": "compact"}  # rows provably identical
+    elif op_hint is not None:
+        raise ValueError(
+            f"op_hint {op_hint!r} without change_data — only 'compact' may "
+            "assert an empty change set."
+        )
 
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
@@ -215,10 +422,26 @@ def snapshot_commit(
             )
         files = list(new_files)
         evolved = False
+        pm = _read_manifest(path, parent) if parent else None
+        effective_stats_cols = (
+            stats_cols
+            if stats_cols is not None
+            else (pm.get("stats_cols") if pm else None)
+        )
+        file_stats: dict[str, dict] = {}
+        if effective_stats_cols:
+            file_stats = _collect_file_stats(path, new_files, effective_stats_cols)
         if mode == "append" and parent:
-            pm = _read_manifest(path, parent)
-            files = pm["files"] + files
+            files = pm["files"] + new_files
             evolved = bool(pm.get("evolved"))
+            if effective_stats_cols:
+                # parent files keep their recorded stats (they are
+                # immutable); only the new files paid a footer read
+                parent_stats = pm.get("file_stats", {})
+                file_stats = {
+                    **{f: parent_stats[f] for f in pm["files"] if f in parent_stats},
+                    **file_stats,
+                }
             if "schema" in pm:
                 compat = _schema_compat(pm["schema"], new_schema)
                 if compat == "incompatible":
@@ -250,6 +473,11 @@ def snapshot_commit(
         }
         if txn is not None:
             manifest["txn"] = {"app_id": txn[0], "version": txn[1]}
+        if change is not None:
+            manifest["change"] = change
+        if effective_stats_cols:
+            manifest["stats_cols"] = list(effective_stats_cols)
+            manifest["file_stats"] = file_stats
         if _log(path).try_publish_version(manifest, version, commit_id):
             return version
         continue  # a concurrent commit took this slot — rebase
@@ -260,11 +488,23 @@ def snapshot_commit(
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Read one table version (latest by default). The plan references
     exactly the manifest's files, so concurrent commits — including
-    overwrites — cannot change or tear this query's input."""
+    overwrites — cannot change or tear this query's input.
+
+    ``where=[(col, op, value), ...]`` (ops ``== < <= > >=``, ANDed)
+    prunes files from the MANIFEST's recorded stats before Spark sees
+    the list — the metadata half of predicate pushdown a lake format
+    does (parquet footer min/max skipping still applies inside the
+    surviving files). The same conjuncts are then applied as a real
+    ``filter`` on the returned DataFrame, so the result is exactly
+    "this version WHERE ...": pruning is transparent, never a
+    correctness lever. Files without recorded stats are always kept."""
     _require_local(path)
     versions = _versions(path)
     if not versions:
@@ -277,17 +517,39 @@ def snapshot_read(
         )
     meta = _read_manifest(path, version)
     files = meta["files"]
+    if where:
+        from pyspark.sql import functions as F
+
+        for col, op, _ in where:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"where op must be one of {_PRUNE_OPS}, got {op!r}")
+        file_stats = meta.get("file_stats", {})
+        files = [f for f in files if _file_may_match(file_stats.get(f), where)]
     if not files:
-        # an overwrite with an empty DataFrame: preserve its schema via
-        # the commit's (empty) data directory
-        return spark.read.parquet(os.path.join(path, "data", meta["commit_id"]))
-    reader = spark.read
-    if meta.get("evolved"):
-        # schema-evolved lineage: union all footers so pre-evolution
-        # files surface the added columns as NULLs. Only these tables
-        # pay the merge cost — a healthy table reads one footer.
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(path, f) for f in files])
+        # an overwrite with an empty DataFrame — or every file pruned:
+        # preserve schema via the commit's data directory footers
+        out = spark.read.parquet(os.path.join(path, "data", meta["commit_id"]))
+        out = out.limit(0) if meta["files"] else out
+    else:
+        reader = spark.read
+        if meta.get("evolved"):
+            # schema-evolved lineage: union all footers so pre-evolution
+            # files surface the added columns as NULLs. Only these tables
+            # pay the merge cost — a healthy table reads one footer.
+            reader = reader.option("mergeSchema", "true")
+        out = reader.parquet(*[os.path.join(path, f) for f in files])
+    if where:
+        for col, op, value in where:
+            c = F.col(col)
+            cond = {
+                "==": c == value,
+                "<": c < value,
+                "<=": c <= value,
+                ">": c > value,
+                ">=": c >= value,
+            }[op]
+            out = out.filter(cond)
+    return out
 
 
 def snapshot_changes(
@@ -327,6 +589,97 @@ def snapshot_changes(
         # zero-delta: preserve schema via the base version's read
         return snapshot_read(spark, path, since_version).limit(0)
     return spark.read.parquet(*[os.path.join(path, f) for f in added])
+
+
+def snapshot_table_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between ``since_version`` (exclusive) and
+    ``to_version`` (inclusive, default head) — Delta's
+    ``table_changes``: every row carries ``_change_type`` (insert /
+    delete / update_preimage / update_postimage) and
+    ``_commit_version``. Unlike :func:`snapshot_changes` (the
+    append-only fast path), this serves REWRITE commits too, from the
+    change files their writers recorded at commit time
+    (``snapshot_delete_where`` / ``snapshot_merge_upsert`` /
+    ``snapshot_restore``); a compaction's recorded-empty change set
+    contributes nothing. Raises only for rewrite commits that predate
+    change recording (no change data exists to serve) and for vacuumed
+    history (the per-version file diff needs each version's parent).
+
+    Plan shape: appends read exactly their added files; rewrites read
+    exactly their change files — O(changed rows), never a table diff.
+    The per-version frames are unioned lazily (allowMissingColumns
+    covers schema-evolved lineages: pre-evolution commits surface the
+    added columns as NULLs)."""
+    from pyspark.sql import functions as F
+
+    _require_local(path)
+    versions = _versions(path)
+    if since_version != 0 and since_version not in versions:
+        hint = (
+            " — it was vacuumed; the change feed cannot be served from "
+            "there (re-read the full snapshot instead)"
+            if versions and since_version < versions[0]
+            else ""
+        )
+        raise ValueError(f"version {since_version} not found at {path!r}{hint}")
+    if to_version is None:
+        to_version = versions[-1] if versions else 0
+    elif to_version not in versions:
+        raise ValueError(f"version {to_version} not found at {path!r}")
+    if to_version < since_version:
+        raise ValueError(f"to_version {to_version} < since_version {since_version}")
+    have = set(versions)
+    missing = [
+        v for v in range(since_version or 1, to_version + 1) if v not in have
+    ]
+    if missing:
+        raise ValueError(
+            f"snapshot_table_changes at {path!r}: versions {missing} were "
+            f"vacuumed — the {since_version}->{to_version} delta cannot be "
+            "attributed per commit; re-read the full snapshot instead."
+        )
+    frames: list[DataFrame] = []
+    for v in range(since_version + 1, to_version + 1):
+        m = _read_manifest(path, v)
+        if m["op"] == "append":
+            before = set(_read_manifest(path, v - 1)["files"]) if v > 1 else set()
+            added = [f for f in m["files"] if f not in before]
+            if not added:
+                continue
+            frames.append(
+                spark.read.parquet(*[os.path.join(path, f) for f in added])
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        elif "change" in m:
+            cfiles = m["change"]["files"]
+            if not cfiles:
+                continue  # compaction / no-op rewrite: zero row changes
+            frames.append(
+                spark.read.parquet(*[os.path.join(path, f) for f in cfiles])
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        else:
+            raise ValueError(
+                f"snapshot_table_changes at {path!r}: version {v} is a "
+                f"'{m['op']}' commit with no recorded change data (predates "
+                "change recording) — re-read the full snapshot instead."
+            )
+    if not frames:
+        base = snapshot_read(spark, path, to_version).limit(0)
+        return base.withColumn("_change_type", F.lit(None).cast("string")).withColumn(
+            "_commit_version", F.lit(None).cast("long")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    cols = [c for c in out.columns if c not in ("_change_type", "_commit_version")]
+    return out.select(*cols, "_change_type", "_commit_version")
 
 
 def snapshot_history(path: str) -> list[dict]:
@@ -393,8 +746,32 @@ def snapshot_merge_upsert(
         merged = survivors.select(*current.columns).unionByName(
             updates.select(*current.columns)
         )
+        # Delta-CDF-shaped change set, from frames this merge already
+        # holds: matched table rows -> update_preimage, their update
+        # rows -> update_postimage, unmatched updates -> insert
+        matched_old = current.join(
+            updates.select(*key_cols), key_cols, "left_semi"
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        matched_new = (
+            updates.join(current.select(*key_cols), key_cols, "left_semi")
+            .select(*current.columns)
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        inserted_rows = (
+            updates.join(current.select(*key_cols), key_cols, "left_anti")
+            .select(*current.columns)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        change = matched_old.unionByName(matched_new).unionByName(inserted_rows)
         try:
-            v = snapshot_commit(merged, path, mode="overwrite", expected_parent=head)
+            v = snapshot_commit(
+                merged,
+                path,
+                mode="overwrite",
+                expected_parent=head,
+                change_data=change,
+                op_hint="merge",
+            )
         except CommitConflict:
             continue
         updated = n_current - n_survivors
@@ -405,7 +782,9 @@ def snapshot_merge_upsert(
     )
 
 
-def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
+def snapshot_restore(
+    spark: SparkSession, path: str, version: int, record_changes: bool = True
+) -> int:
     """RESTORE TABLE to an earlier version — as a NEW commit whose file
     list is the old version's (Delta RESTORE semantics): history is
     never rewritten, the bad commits stay inspectable, and the restore
@@ -413,16 +792,27 @@ def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
     are immutable and still on disk unless vacuumed past). Returns the
     new head version. Rebasing is safe here only because the caller
     explicitly chose to discard later versions' content; concurrent
-    committers still CAS normally."""
+    committers still CAS normally.
+
+    ``record_changes`` (default) additionally computes and records the
+    restore's row-level change set — head rows not in the restored
+    version become ``delete``, restored rows not in the head become
+    ``insert`` (multiset ``exceptAll`` both ways) — so change consumers
+    ride through the restore instead of breaking on an opaque rewrite.
+    This is the one rewrite whose change set is NOT free at write time
+    (two table scans + two shuffles); pass ``record_changes=False`` to
+    keep the metadata-only publish when no change consumer exists."""
+    from pyspark.sql import functions as F
+
     _require_local(path)
     versions = _versions(path)
     if version not in versions:
         raise ValueError(f"version {version} not found at {path!r} (have {versions})")
     src = _read_manifest(path, version)
-    commit_id = uuid.uuid4().hex
     log = _log(path)
     for _ in range(_COMMIT_RETRIES):
         head = _versions(path)[-1]
+        commit_id = uuid.uuid4().hex
         manifest = {
             "version": head + 1,
             "parent": head,
@@ -432,10 +822,43 @@ def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
             "n_files": src["n_files"],
             "files": src["files"],
         }
-        if "schema" in src:
-            manifest["schema"] = src["schema"]
-        if "evolved" in src:
-            manifest["evolved"] = src["evolved"]
+        for key in ("schema", "evolved", "stats_cols", "file_stats"):
+            if key in src:
+                manifest[key] = src[key]
+        if record_changes:
+            if head == version:
+                manifest["change"] = {"files": [], "op_hint": "restore"}
+            else:
+                # diff is recomputed per retry: the head it was derived
+                # from may have moved; a lost CAS strands the change
+                # dir invisible (vacuum reclaims, like any lost commit)
+                head_df = snapshot_read(spark, path, version=head)
+                target_raw = snapshot_read(spark, path, version=version)
+                if set(target_raw.columns) != set(head_df.columns):
+                    raise ValueError(
+                        f"snapshot_restore at {path!r}: schema changed between "
+                        f"v{version} and the head — a row-level change set "
+                        "cannot be computed; pass record_changes=False."
+                    )
+                target_df = target_raw.select(*head_df.columns)
+                change = (
+                    head_df.exceptAll(target_df)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(
+                        target_df.exceptAll(head_df).withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    )
+                )
+                change_dir = os.path.join(path, "_changes", commit_id)
+                change.write.mode("error").parquet(change_dir)
+                manifest["change"] = {
+                    "files": [
+                        os.path.relpath(p, path)
+                        for p in _list_part_files(change_dir)
+                    ],
+                    "op_hint": "restore",
+                }
         if log.try_publish_version(manifest, head + 1, commit_id):
             return head + 1
     raise RuntimeError(
@@ -444,17 +867,20 @@ def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
 
 
 def snapshot_vacuum(
-    path: str, keep_versions: int = 1, retain_seconds: float = 3600.0
+    path: str,
+    keep_versions: int = 1,
+    retain_seconds: float = 3600.0,
+    min_version_age_seconds: float = 600.0,
 ) -> list[str]:
     """Physically delete data no retained version references: keeps the
     newest ``keep_versions`` manifests, removes older manifests and any
-    ``data/<commit>/`` directory none of the keepers cite (stranded
-    crash debris included). Returns removed paths. Callers give up time
-    travel past the retention horizon — same contract as Delta VACUUM —
-    and idempotent-sink users must keep retention LONGER than their
-    source's replay horizon: the ``txn`` dedup records live in the
-    manifests, so vacuuming past them would let an ancient replayed
-    epoch re-append.
+    ``data/<commit>/`` or ``_changes/<commit>/`` directory none of the
+    keepers cite (stranded crash debris included). Returns removed
+    paths. Callers give up time travel past the retention horizon —
+    same contract as Delta VACUUM — and idempotent-sink users must keep
+    retention LONGER than their source's replay horizon: the ``txn``
+    dedup records live in the manifests, so vacuuming past them would
+    let an ancient replayed epoch re-append.
 
     ``retain_seconds`` is the concurrent-writer guard (Delta VACUUM's
     file-age threshold): an unreferenced ``data/<commit>/`` directory
@@ -462,7 +888,14 @@ def snapshot_vacuum(
     ``snapshot_commit`` writes its data directory BEFORE publishing the
     manifest that references it — deleting the young directory would
     corrupt the about-to-publish version. Set 0 only when no writer can
-    be active (tests, offline maintenance)."""
+    be active (tests, offline maintenance).
+
+    ``min_version_age_seconds`` is the PINNED-READER guard (Delta's
+    retention check): a manifest younger than it is retained — with its
+    data — even when ``keep_versions`` would drop it, because a query
+    planned against that version may still be scanning its files, and a
+    ``snapshot_cdf`` stream may still hold it as its offset. Set 0 only
+    when no reader can be pinned past the horizon."""
     _require_local(path)
     import shutil
     import time
@@ -471,24 +904,38 @@ def snapshot_vacuum(
         raise ValueError("keep_versions must be >= 1")
     versions = _versions(path)
     keep = set(versions[-keep_versions:])
+    log = _log(path)
+    now = time.time()
+    if min_version_age_seconds > 0:
+        for v in versions:
+            if v not in keep and (
+                now - os.path.getmtime(log.version_path(v))
+                < min_version_age_seconds
+            ):
+                keep.add(v)  # possibly pinned by a live reader/stream
     live_commits = set()
+    live_changes = set()
     for v in keep:
         m = _read_manifest(path, v)
         live_commits.add(m["commit_id"])
         for f in m["files"]:
             # files may come from ancestor commits still referenced
             live_commits.add(f.split(os.sep)[1])
+        for f in m.get("change", {}).get("files", []):
+            live_changes.add(f.split(os.sep)[1])
     removed = []
-    log = _log(path)
     for v in versions:
         if v not in keep:
             removed.append(log.remove(v))
-    data_root = os.path.join(path, "data")
-    now = time.time()
-    if os.path.isdir(data_root):
-        for entry in sorted(os.listdir(data_root)):
-            if entry not in live_commits:
-                full = os.path.join(data_root, entry)
+    for root, live in (
+        (os.path.join(path, "data"), live_commits),
+        (os.path.join(path, "_changes"), live_changes),
+    ):
+        if not os.path.isdir(root):
+            continue
+        for entry in sorted(os.listdir(root)):
+            if entry not in live:
+                full = os.path.join(root, entry)
                 if now - os.path.getmtime(full) < retain_seconds:
                     continue  # possibly an in-flight commit's data
                 shutil.rmtree(full)
@@ -526,8 +973,20 @@ def snapshot_delete_where(
         deleted = df.count() - kept.count()
         if deleted == 0:
             return {"version": head, "deleted_rows": 0}  # no-op, no commit
+        # the deleted rows ARE the commit's change set — record them at
+        # write time (Delta CDF) so change consumers never re-diff
+        removed = df.filter(F.coalesce(condition, F.lit(False))).withColumn(
+            "_change_type", F.lit("delete")
+        )
         try:
-            v = snapshot_commit(kept, path, mode="overwrite", expected_parent=head)
+            v = snapshot_commit(
+                kept,
+                path,
+                mode="overwrite",
+                expected_parent=head,
+                change_data=removed,
+                op_hint="delete",
+            )
             return {"version": v, "deleted_rows": deleted}
         except CommitConflict:
             continue  # head moved: re-read, re-derive, re-commit
@@ -581,7 +1040,12 @@ def snapshot_compact(
         else:
             df = df.repartition(target_files)
         try:
-            v = snapshot_commit(df, path, mode="overwrite", expected_parent=head)
+            # op_hint="compact" records a provably-empty change set:
+            # a change consumer sees this rewrite as zero row changes
+            # instead of a stream-breaking opaque overwrite
+            v = snapshot_commit(
+                df, path, mode="overwrite", expected_parent=head, op_hint="compact"
+            )
         except CommitConflict:
             continue
         return {

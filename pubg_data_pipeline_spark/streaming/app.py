@@ -1589,6 +1589,94 @@ def streaming_moments(
     )
 
 
+#: CDF change types that add rows / remove rows (Delta CDF vocabulary).
+_CDF_ADDS = ("insert", "update_postimage")
+_CDF_REMOVES = ("delete", "update_preimage")
+
+
+def cdf_apply_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    target_table: str,
+    app_id: str,
+    transform=None,
+) -> None:
+    """One epoch of change-feed application to a derived snapshot
+    table: the micro-batch's ``_change_type`` splits it into adds
+    (insert / update_postimage) and removes (delete / update_preimage),
+    ``transform`` (per-row: filter/project/enrich) maps both sides into
+    target-space, and the target absorbs them as ONE atomic snapshot
+    commit with per-epoch txn dedup.
+
+    - A pure-add epoch (the overwhelmingly common case) stays a cheap
+      APPEND — O(new data), no table read.
+    - A retraction-bearing epoch does a serializable read-modify-write:
+      survivors = target ∖ transformed-removes (multiset ``exceptAll``
+      — each source row maps to ≤1 target row under a per-row
+      transform, so removing the transformed preimages is exact), plus
+      the transformed adds, committed as one overwrite pinned to the
+      head it read (CommitConflict retries). The commit records its own
+      change set (actually-removed rows as ``delete``, adds as
+      ``insert``), so maintenance chains COMPOSE: a CDF consumer of the
+      TARGET rides through this rewrite too.
+
+    Cost model at 100 TB: deletes rewrite the target (no deletion
+    vectors here) — which is why delete propagation arrives in rare,
+    batched epochs while the steady state is append-only."""
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    if batch_df.isEmpty():
+        return
+    data_cols = [
+        c for c in batch_df.columns if c not in ("_change_type", "_commit_version")
+    ]
+    adds = batch_df.filter(F.col("_change_type").isin(*_CDF_ADDS)).select(*data_cols)
+    removes = batch_df.filter(F.col("_change_type").isin(*_CDF_REMOVES)).select(
+        *data_cols
+    )
+    t_add = transform(adds) if transform is not None else adds
+    t_rem = transform(removes) if transform is not None else removes
+    if t_rem.isEmpty():
+        snapshot_sink_epoch(t_add, epoch_id, target_table, app_id)
+        return
+    t_rem = t_rem.localCheckpoint()  # stable across RMW retries
+    t_add = t_add.localCheckpoint()
+    spark = batch_df.sparkSession
+    for _ in range(5):
+        hist = snapshots.snapshot_history(target_table)
+        if not hist:
+            # empty target: removes have nothing to hit; adds append
+            snapshot_sink_epoch(t_add, epoch_id, target_table, app_id)
+            return
+        head = hist[-1]["version"]
+        current = snapshots.snapshot_read(spark, target_table, version=head)
+        survivors = current.exceptAll(t_rem.select(*current.columns))
+        removed = current.exceptAll(survivors)  # multiset ∩(current, t_rem)
+        new_table = survivors.unionByName(t_add.select(*current.columns))
+        change = removed.withColumn("_change_type", F.lit("delete")).unionByName(
+            t_add.select(*current.columns).withColumn("_change_type", F.lit("insert"))
+        )
+        try:
+            snapshots.snapshot_commit(
+                new_table,
+                target_table,
+                mode="overwrite",
+                expected_parent=head,
+                txn=(app_id, int(epoch_id)),
+                change_data=change,
+                op_hint="delete",
+            )
+            return
+        except snapshots.CommitConflict:
+            continue
+    raise RuntimeError(
+        f"cdf_apply_epoch lost the read-modify-write race 5 times at "
+        f"{target_table!r}."
+    )
+
+
 def maintain_derived_table(
     spark,
     source_table: str,
@@ -1603,9 +1691,10 @@ def maintain_derived_table(
     """Incremental derived-table maintenance over the lakehouse loop:
     tail ``source_table``'s change feed (sources/snapshot_cdf — offsets
     are manifest versions), apply ``transform`` to each micro-batch of
-    ADDED rows, and commit the result to ``target_table`` as one atomic
-    snapshot version with per-epoch txn dedup — exactly-once end to end
-    across restarts and foreachBatch replays, O(new data) per trigger.
+    changed rows, and commit the result to ``target_table`` as one
+    atomic snapshot version with per-epoch txn dedup — exactly-once end
+    to end across restarts and foreachBatch replays, O(new data) per
+    trigger.
 
     This is the materialized-view form a lake format calls
     "streaming table -> streaming table": both ends are
@@ -1613,10 +1702,13 @@ def maintain_derived_table(
     isolation and time travel. ``transform`` must be per-ROW
     (filter/project/enrich): each batch is transformed independently,
     so cross-row aggregates would double-count across batches — use
-    the incremental rollup sinks (streaming_incremental_rollup) for
-    those. An overwrite/restore on the source breaks the append-only
-    feed and fails the query loudly (snapshot_cdf contract); restart
-    from ``starting_version="latest"`` after rebuilding the target."""
+    :func:`maintain_rollup_table` for those. Round 8: the feed now
+    rides THROUGH source rewrites — a ``snapshot_compact`` emits
+    nothing (rows provably identical), a ``snapshot_delete_where`` /
+    MERGE propagates row-level deletes and updates into the target
+    (see :func:`cdf_apply_epoch`); only rewrites that predate change
+    recording, or a vacuumed offset, still fail the query loudly —
+    restart from ``starting_version="latest"`` after rebuilding."""
     from pubg_data_pipeline_spark.sources import snapshot_cdf
 
     _require_local_path(target_table, "maintain_derived_table")
@@ -1628,15 +1720,121 @@ def maintain_derived_table(
         .load()
     )
 
-    def epoch(df: DataFrame, eid: int) -> None:
-        out = transform(df) if transform is not None else df
-        snapshot_sink_epoch(out, eid, target_table, app_id)
-
     return sinks.foreach_batch_sink(
         stream,
-        epoch,
+        lambda df, eid: cdf_apply_epoch(df, eid, target_table, app_id, transform),
         trigger_seconds,
         output_mode="append",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )
+
+
+def rollup_cdf_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    target_table: str,
+    app_id: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> None:
+    """One epoch of RETRACTION-AWARE incremental aggregate maintenance:
+    reduce the change-feed micro-batch to mergeable hourly states
+    (operators/incremental) — added rows as positive partials, removed
+    rows as NEGATED partials — merge with the stored state table, and
+    commit the merged state as one snapshot version with txn dedup.
+
+    The negation trick is why count + exact scaled-integer sum are the
+    stored states (both form an abelian group): a delete's contribution
+    subtracts exactly, so the maintained rollup equals the batch
+    recompute after ANY interleaving of appends, deletes, merges, and
+    compactions on the source — O(changed rows + state buckets) per
+    trigger, never O(history). Hours whose count returns to zero drop
+    out of the state entirely. (Averages stay derive-at-read:
+    ``incremental.finalize_hourly``.)"""
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import incremental
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    if batch_df.isEmpty():
+        return
+    adds = batch_df.filter(F.col("_change_type").isin(*_CDF_ADDS))
+    removes = batch_df.filter(F.col("_change_type").isin(*_CDF_REMOVES))
+    delta = incremental.merge_hourly_states(
+        incremental.partial_hourly_state(adds, ts_col, value_col),
+        incremental.negate_hourly_state(
+            incremental.partial_hourly_state(removes, ts_col, value_col)
+        ),
+    ).localCheckpoint()  # stable across RMW retries
+    spark = batch_df.sparkSession
+    for _ in range(5):
+        hist = snapshots.snapshot_history(target_table)
+        if not hist:
+            merged = delta.filter(F.col("n") != 0)
+            snapshots.snapshot_commit(
+                merged, target_table, mode="append", txn=(app_id, int(epoch_id))
+            )
+            return
+        head = hist[-1]["version"]
+        current = snapshots.snapshot_read(spark, target_table, version=head)
+        merged = incremental.merge_hourly_states(current, delta).filter(
+            F.col("n") != 0
+        )
+        try:
+            snapshots.snapshot_commit(
+                merged,
+                target_table,
+                mode="overwrite",
+                expected_parent=head,
+                txn=(app_id, int(epoch_id)),
+            )
+            return
+        except snapshots.CommitConflict:
+            continue
+    raise RuntimeError(
+        f"rollup_cdf_epoch lost the read-modify-write race 5 times at "
+        f"{target_table!r}."
+    )
+
+
+def maintain_rollup_table(
+    spark,
+    source_table: str,
+    target_table: str,
+    app_id: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    starting_version: str = "0",
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Incrementally-maintained AGGREGATE table over the lakehouse
+    loop — the "continuous aggregate" a warehouse user asks for first:
+    tail ``source_table``'s change feed, fold each micro-batch into the
+    stored hourly state via :func:`rollup_cdf_epoch` (retraction-aware:
+    source deletes/updates subtract), exactly-once across restarts via
+    per-epoch txn dedup on the target's manifest log. Read the result
+    with ``incremental.finalize_hourly(snapshots.snapshot_read(spark,
+    target_table))``."""
+    from pubg_data_pipeline_spark.sources import snapshot_cdf
+
+    _require_local_path(target_table, "maintain_rollup_table")
+    snapshot_cdf.register(spark)
+    stream = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", source_table)
+        .option("starting_version", starting_version)
+        .load()
+    )
+    return sinks.foreach_batch_sink(
+        stream,
+        lambda df, eid: rollup_cdf_epoch(
+            df, eid, target_table, app_id, ts_col, value_col
+        ),
+        trigger_seconds,
+        output_mode="update",
         available_now=available_now,
         checkpoint=checkpoint,
     )

@@ -105,9 +105,9 @@ def test_lakehouse_loop_snapshot_cdf_funnel(spark, tmp_path):
     (idempotent txn epochs) -> streaming CDF tails the commits into a
     SILVER parquet dir across restarts -> GOLD = funnel step measures
     over silver, which must equal computing directly from the bronze
-    head. Then a GDPR delete on bronze (serializable RMW) and the
-    documented CDF recovery path (append-only break -> restart from
-    latest)."""
+    head. Then a GDPR delete on bronze (serializable RMW) whose change
+    rows flow THROUGH the feed (round 8): silver becomes a changelog
+    whose net state keeps tracking the bronze head."""
     from pubg_data_pipeline_spark.operators import sequence
     from pubg_data_pipeline_spark.sources import snapshot_cdf, snapshots
 
@@ -179,45 +179,36 @@ def test_lakehouse_loop_snapshot_cdf_funnel(spark, tmp_path):
     assert gold(snapshots.snapshot_read(spark, bronze)) == {
         (2, False, "2024-01-02 09:00:00")
     }
-    # the delete is an overwrite: the old CDF checkpoint must FAIL LOUD
-    # (silent under-reporting would leak the deleted rows downstream)...
-    import pytest as _pytest
-
-    with _pytest.raises(Exception, match="not append-only"):
-        drain()
-    # ...and the documented recovery — fresh checkpoint from the new
-    # head — tails subsequent appends cleanly
-    ckpt2 = str(tmp_path / "cdf_ckpt2")
-    silver2 = str(tmp_path / "silver2")
-    q = (
-        spark.readStream.format("snapshot_cdf")
-        .option("path", bronze)
-        .option("starting_version", "latest")
-        .load()
-        .writeStream.format("parquet")
-        .option("path", silver2)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt2)
-        .trigger(availableNow=True)
-        .start()
+    # round 8: the delete FLOWS through the change feed instead of
+    # breaking it — the same checkpoint drains the delete's change rows
+    # into silver, which is now a CHANGELOG: its net state (inserts
+    # minus deletes) tracks the bronze head exactly, so the forgotten
+    # user's rows are retractable downstream, not leaked
+    drain()
+    changelog = spark.read.parquet(silver)
+    deletes = changelog.filter(F.col("_change_type") == "delete")
+    assert {r["user_id"] for r in deletes.collect()} == {1}
+    data_cols = ["event_id", "ts", "user_id", "event_type"]
+    net = changelog.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*data_cols).exceptAll(
+        changelog.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(*data_cols)
     )
-    q.awaitTermination(120)
-    q.stop()
+    assert gold(net) == gold(snapshots.snapshot_read(spark, bronze))
+    # subsequent appends keep flowing on the SAME checkpoint
     snapshots.snapshot_commit(
         events([(9, "2024-01-04 08:00:00", 3, "view")]), bronze, txn=("ingest", 2)
     )
-    q = (
-        spark.readStream.format("snapshot_cdf")
-        .option("path", bronze)
-        .option("starting_version", "latest")
-        .load()
-        .writeStream.format("parquet")
-        .option("path", silver2)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt2)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    q.stop()
-    assert {r["event_id"] for r in spark.read.parquet(silver2).collect()} == {9}
+    drain()
+    assert gold(
+        spark.read.parquet(silver)
+        .filter(F.col("_change_type").isin("insert", "update_postimage"))
+        .select(*data_cols)
+        .exceptAll(
+            spark.read.parquet(silver)
+            .filter(F.col("_change_type").isin("delete", "update_preimage"))
+            .select(*data_cols)
+        )
+    ) == gold(snapshots.snapshot_read(spark, bronze))

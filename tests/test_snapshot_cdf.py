@@ -65,11 +65,18 @@ def test_cdf_emits_each_commit_and_resumes_from_checkpoint(spark, tmp_path):
     # idle restart: nothing new, nothing re-emitted
     assert _drain(spark, table, ckpt, sink) == set()
 
-    # schema came from the head manifest, not a user hint
+    # schema came from the head manifest, not a user hint, plus the
+    # CDF metadata columns
     stream_df = (
         spark.readStream.format("snapshot_cdf").option("path", table).load()
     )
-    assert stream_df.columns == ["id", "doubled"]
+    assert stream_df.columns == ["id", "doubled", "_change_type", "_commit_version"]
+    # appended rows are attributed to their commit as inserts
+    rows = spark.read.parquet(sink)
+    assert rows.filter(F.col("_change_type") != "insert").count() == 0
+    assert {
+        r["_commit_version"] for r in rows.select("_commit_version").collect()
+    } == {1, 2, 3, 4}
 
 
 def test_cdf_starting_version_latest_skips_history(spark, tmp_path):
@@ -89,7 +96,10 @@ def test_cdf_starting_version_latest_skips_history(spark, tmp_path):
     }
 
 
-def test_cdf_fails_loud_on_overwrite_in_range(spark, tmp_path):
+def test_cdf_fails_loud_on_legacy_overwrite_in_range(spark, tmp_path):
+    """An overwrite that recorded NO change data (a raw
+    snapshot_commit, not delete/merge/compact/restore) is unservable
+    and must stop the stream, not under-report."""
     snapshot_cdf.register(spark)
     table = str(tmp_path / "tbl")
     ckpt = str(tmp_path / "ckpt")
@@ -108,7 +118,40 @@ def test_cdf_fails_loud_on_overwrite_in_range(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception, match="not append-only"):
+    with pytest.raises(Exception, match="no recorded change data"):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed")
+    q.stop()
+
+
+def test_cdf_fails_loud_on_vacuumed_offset(spark, tmp_path):
+    """Round-7 ADVICE: a vacuumed stream offset must raise — treating
+    the missing version as an empty table would re-emit the whole head
+    as inserts and silently duplicate every derived table."""
+    snapshot_cdf.register(spark)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    snapshots.snapshot_commit(_df(spark, 0, 3), table)
+    _drain(spark, table, ckpt, sink)  # checkpointed offset = version 1
+    snapshots.snapshot_commit(_df(spark, 3, 5), table)
+    snapshots.snapshot_commit(_df(spark, 5, 6), table)
+    # vacuum past the stream's offset while it is down
+    snapshots.snapshot_vacuum(
+        table, keep_versions=1, retain_seconds=0, min_version_age_seconds=0
+    )
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="vacuumed"):
         q.awaitTermination(120)
         raise AssertionError("stream should have failed")
     q.stop()
@@ -173,3 +216,178 @@ def test_maintain_derived_table_exactly_once(spark, tmp_path):
     )
     app.snapshot_sink_epoch(replay, 0, dst_tbl, "derive_even")
     assert snapshots.snapshot_read(spark, dst_tbl).count() == 5
+
+
+def test_maintain_derived_table_rides_through_compaction(spark, tmp_path):
+    """Round 8 headline: a mid-stream snapshot_compact on the SOURCE is
+    a provably-empty change set — the maintained table is untouched and
+    the stream keeps serving later appends (round-7's residual #1: the
+    lakehouse features no longer fight each other)."""
+    from pubg_data_pipeline_spark.streaming import app
+
+    src_tbl = str(tmp_path / "src")
+    dst_tbl = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    # many small commits -> many files, then compact
+    for lo in range(0, 12, 3):
+        snapshots.snapshot_commit(
+            _df(spark, lo, lo + 3).repartition(2), src_tbl
+        )
+
+    def run():
+        q = app.maintain_derived_table(
+            spark,
+            src_tbl,
+            dst_tbl,
+            app_id="derive",
+            transform=lambda df: df.filter(F.col("id") % 2 == 0),
+            available_now=True,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    assert {
+        r.id for r in snapshots.snapshot_read(spark, dst_tbl).collect()
+    } == set(range(0, 12, 2))
+    stats = snapshots.snapshot_compact(spark, src_tbl, target_files=2)
+    assert stats["files_after"] <= 2
+    snapshots.snapshot_commit(_df(spark, 12, 15), src_tbl)
+    run()  # drains the compact (nothing) + the append (one epoch)
+    got = sorted(r.id for r in snapshots.snapshot_read(spark, dst_tbl).collect())
+    assert got == sorted(set(range(0, 15, 2)))
+    # the compaction minted no target version of its own
+    assert [h["op"] for h in snapshots.snapshot_history(dst_tbl)] == [
+        "append",
+        "append",
+    ]
+
+
+def test_maintain_derived_table_propagates_deletes(spark, tmp_path):
+    """A snapshot_delete_where on the source propagates row-level
+    deletes into the derived table through the change feed; a MERGE's
+    update preimage/postimage pair lands as delete+insert."""
+    from pubg_data_pipeline_spark.streaming import app
+
+    src_tbl = str(tmp_path / "src")
+    dst_tbl = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    snapshots.snapshot_commit(_df(spark, 0, 10), src_tbl)
+
+    def run():
+        q = app.maintain_derived_table(
+            spark,
+            src_tbl,
+            dst_tbl,
+            app_id="derive",
+            transform=lambda df: df.filter(F.col("id") % 2 == 0).withColumn(
+                "quad", F.col("doubled") * 2
+            ),
+            available_now=True,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    assert {
+        r.id for r in snapshots.snapshot_read(spark, dst_tbl).collect()
+    } == {0, 2, 4, 6, 8}
+    # delete evens < 5 at the source; the derived table must forget them
+    snapshots.snapshot_delete_where(spark, src_tbl, F.col("id") < 5)
+    run()
+    remaining = {
+        (r.id, r.quad) for r in snapshots.snapshot_read(spark, dst_tbl).collect()
+    }
+    assert remaining == {(6, 24), (8, 32)}
+    # MERGE an update (id=6 gets doubled=100) + an insert (id=20)
+    upd = spark.createDataFrame([(6, 100), (20, 40)], "id long, doubled long")
+    snapshots.snapshot_merge_upsert(spark, src_tbl, upd, ["id"])
+    run()
+    final = {
+        (r.id, r.quad) for r in snapshots.snapshot_read(spark, dst_tbl).collect()
+    }
+    assert final == {(6, 200), (8, 32), (20, 80)}
+    # target equals transform(source head) cell-exactly — the
+    # materialized-view invariant through appends, deletes, and merges
+    expect = {
+        (r.id, r.doubled * 2)
+        for r in snapshots.snapshot_read(spark, src_tbl).collect()
+        if r.id % 2 == 0
+    }
+    assert final == expect
+
+
+def test_maintain_rollup_table_equals_batch_recompute(spark, tmp_path):
+    """Retraction-aware incremental AGGREGATE maintenance (round-8
+    items 3+5): the hourly rollup maintained over the change feed
+    equals the batch recompute cell-exactly after appends, a restart
+    mid-history, a source DELETE, and a compaction."""
+    from pubg_data_pipeline_spark.operators import incremental
+    from pubg_data_pipeline_spark.streaming import app
+
+    src_tbl = str(tmp_path / "src")
+    dst_tbl = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    def events(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2024-01-01 0"),
+                    (F.col("id") % 10).cast("string"),
+                    F.lit(":15:00"),
+                )
+            ).alias("ts"),
+            (F.col("id") % 7).cast("double").alias("value"),
+        )
+
+    snapshots.snapshot_commit(events(0, 40), src_tbl)
+    snapshots.snapshot_commit(events(40, 60), src_tbl)
+
+    def run():
+        q = app.maintain_rollup_table(
+            spark,
+            src_tbl,
+            dst_tbl,
+            app_id="rollup",
+            available_now=True,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def batch_recompute():
+        raw = snapshots.snapshot_read(spark, src_tbl)
+        return {
+            tuple(r)
+            for r in incremental.finalize_hourly(
+                incremental.partial_hourly_state(raw)
+            ).collect()
+        }
+
+    def maintained():
+        return {
+            tuple(r)
+            for r in incremental.finalize_hourly(
+                snapshots.snapshot_read(spark, dst_tbl)
+            ).collect()
+        }
+
+    run()
+    assert maintained() == batch_recompute()
+    # source delete -> negative partials subtract exactly
+    snapshots.snapshot_delete_where(spark, src_tbl, F.col("id") % 3 == 0)
+    snapshots.snapshot_commit(events(60, 70), src_tbl)
+    run()  # restart picks up delete + append epochs
+    assert maintained() == batch_recompute()
+    # compaction is a no-op for the rollup
+    snapshots.snapshot_compact(spark, src_tbl, target_files=1)
+    run()
+    assert maintained() == batch_recompute()
+    # fully-retracted hours drop out of the state instead of lingering
+    # as zero rows
+    state = snapshots.snapshot_read(spark, dst_tbl)
+    assert state.filter(F.col("n") <= 0).count() == 0

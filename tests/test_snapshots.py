@@ -97,7 +97,7 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
     snapshots.snapshot_commit(_df(spark, 5, 10), path)
     snapshots.snapshot_commit(_df(spark, 50, 53), path, mode="overwrite")
     snapshots.snapshot_commit(_df(spark, 53, 55), path)
-    removed = snapshots.snapshot_vacuum(path, keep_versions=2, retain_seconds=0)
+    removed = snapshots.snapshot_vacuum(path, keep_versions=2, retain_seconds=0, min_version_age_seconds=0)
     # v1/v2 manifests gone; the appended-only commits from before the
     # overwrite are unreferenced by v3/v4 and physically deleted
     assert any("v000000000001.json" in p for p in removed)
@@ -122,7 +122,7 @@ def test_vacuum_reclaims_stranded_crash_debris(spark, tmp_path):
     assert stranded not in snapshots.snapshot_vacuum(path, keep_versions=1)
     assert os.path.isdir(stranded)
     # with the guard lifted (offline maintenance) the debris goes
-    removed = snapshots.snapshot_vacuum(path, keep_versions=1, retain_seconds=0)
+    removed = snapshots.snapshot_vacuum(path, keep_versions=1, retain_seconds=0, min_version_age_seconds=0)
     assert stranded in removed
     assert snapshots.snapshot_read(spark, path).count() == 5
 
@@ -332,7 +332,7 @@ def test_restore_is_a_new_commit_preserving_history(spark, tmp_path):
     assert [h["op"] for h in hist] == ["append", "overwrite", "restore"]
     # vacuum keeps the restored head's files (referenced via the
     # original commit id)
-    snapshots.snapshot_vacuum(path, keep_versions=1, retain_seconds=0)
+    snapshots.snapshot_vacuum(path, keep_versions=1, retain_seconds=0, min_version_age_seconds=0)
     assert snapshots.snapshot_read(spark, path).count() == 5
     with pytest.raises(ValueError):
         snapshots.snapshot_restore(spark, path, version=99)
@@ -466,3 +466,182 @@ def test_compact_with_clustering_restores_file_skipping(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"file ranges overlap: {ranges}"
+
+
+# ------------------------------------------------ round 8: change feed
+
+
+def _changes(spark, path, since, to=None):
+    return {
+        tuple(r)
+        for r in snapshots.snapshot_table_changes(spark, path, since, to)
+        .select("id", "doubled", "_change_type", "_commit_version")
+        .collect()
+    }
+
+
+def test_table_changes_through_appends_and_delete(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 4), path)          # v1
+    snapshots.snapshot_commit(_df(spark, 4, 6), path)          # v2
+    snapshots.snapshot_delete_where(spark, path, F.col("id") < 2)  # v3
+    got = _changes(spark, path, 0)
+    expect = (
+        {(i, 2 * i, "insert", 1) for i in range(4)}
+        | {(i, 2 * i, "insert", 2) for i in (4, 5)}
+        | {(i, 2 * i, "delete", 3) for i in (0, 1)}
+    )
+    assert got == expect
+    # a bounded slice attributes per commit
+    assert _changes(spark, path, 1, 2) == {(i, 2 * i, "insert", 2) for i in (4, 5)}
+    # net state from the feed equals the head read (CDC replay check)
+    assert _changes(spark, path, 2) == {(i, 2 * i, "delete", 3) for i in (0, 1)}
+
+
+def test_table_changes_compaction_is_silent_merge_is_rowlevel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    for lo in range(0, 8, 2):
+        snapshots.snapshot_commit(_df(spark, lo, lo + 2).repartition(2), path)
+    head = snapshots.snapshot_history(path)[-1]["version"]
+    snapshots.snapshot_compact(spark, path, target_files=1)
+    # compaction contributes zero change rows
+    assert _changes(spark, path, head) == set()
+    upd = spark.createDataFrame([(3, 99), (50, 100)], "id long, doubled long")
+    snapshots.snapshot_merge_upsert(spark, path, upd, ["id"])
+    mv = snapshots.snapshot_history(path)[-1]["version"]
+    assert _changes(spark, path, head) == {
+        (3, 6, "update_preimage", mv),
+        (3, 99, "update_postimage", mv),
+        (50, 100, "insert", mv),
+    }
+
+
+def test_table_changes_restore_records_row_diff(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 3), path)              # v1
+    snapshots.snapshot_commit(_df(spark, 3, 5), path)              # v2
+    v3 = snapshots.snapshot_restore(spark, path, 1)                # v3
+    assert _changes(spark, path, 2) == {(i, 2 * i, "delete", v3) for i in (3, 4)}
+    # restore to the current head is an empty change set
+    v4 = snapshots.snapshot_restore(spark, path, v3)
+    assert _changes(spark, path, v3) == set()
+    assert snapshots.snapshot_history(path)[-1]["version"] == v4
+
+
+def test_table_changes_fails_loud_on_legacy_overwrite_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 3), path)
+    snapshots.snapshot_commit(_df(spark, 9, 12), path, mode="overwrite")
+    with pytest.raises(ValueError, match="no recorded change data"):
+        snapshots.snapshot_table_changes(spark, path, 0)
+    snapshots.snapshot_commit(_df(spark, 12, 14), path)
+    snapshots.snapshot_vacuum(
+        path, keep_versions=1, retain_seconds=0, min_version_age_seconds=0
+    )
+    with pytest.raises(ValueError, match="vacuumed"):
+        snapshots.snapshot_table_changes(spark, path, 1)
+
+
+def test_vacuum_reclaims_unreferenced_change_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 6), path)
+    snapshots.snapshot_delete_where(spark, path, F.col("id") < 2)
+    changes_root = os.path.join(path, "_changes")
+    assert os.listdir(changes_root)  # delete recorded change files
+    snapshots.snapshot_vacuum(
+        path, keep_versions=1, retain_seconds=0, min_version_age_seconds=0
+    )
+    # the delete commit is retained (head) -> its change dir survives;
+    # now delete again and vacuum past it
+    snapshots.snapshot_delete_where(spark, path, F.col("id") == 2)
+    snapshots.snapshot_vacuum(
+        path, keep_versions=1, retain_seconds=0, min_version_age_seconds=0
+    )
+    head_v = snapshots.snapshot_history(path)[-1]["version"]
+    live = snapshots._read_manifest(path, head_v)
+    cited = {f.split(os.sep)[1] for f in live.get("change", {}).get("files", [])}
+    assert cited and set(os.listdir(changes_root)) == cited
+
+
+# ------------------------------------- round 8: stats pruning + vacuum guard
+
+
+def test_manifest_stats_prune_files_and_preserve_semantics(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    # clustered commits: each version's file covers a disjoint id range
+    for lo in range(0, 100, 20):
+        snapshots.snapshot_commit(
+            _df(spark, lo, lo + 20).coalesce(1), path, stats_cols=["id"]
+        )
+    full = snapshots.snapshot_read(spark, path)
+    assert len(full.inputFiles()) == 5
+    pruned = snapshots.snapshot_read(spark, path, where=[("id", ">=", 77)])
+    assert len(pruned.inputFiles()) == 2  # [60,80) + [80,100) survive
+    assert {r.id for r in pruned.collect()} == set(range(77, 100))
+    # equality prune: single file
+    one = snapshots.snapshot_read(spark, path, where=[("id", "==", 5)])
+    assert len(one.inputFiles()) == 1
+    assert one.collect()[0].doubled == 10
+    # impossible predicate: zero files, empty result, schema preserved
+    none = snapshots.snapshot_read(spark, path, where=[("id", ">", 1000)])
+    assert none.count() == 0 and none.columns == ["id", "doubled"]
+    # files without recorded stats are always kept (older table)
+    bare = str(tmp_path / "bare")
+    snapshots.snapshot_commit(_df(spark, 0, 5), bare)
+    kept = snapshots.snapshot_read(spark, bare, where=[("id", "==", 1)])
+    assert kept.count() == 1
+
+
+def test_compact_with_clustering_then_stats_prune(spark, tmp_path):
+    """snapshot_compact's 'restores file skipping' docstring claim,
+    now an assertion: arrival-ordered files have overlapping ranges
+    (no pruning), re-clustering + stats makes selective reads touch
+    a strict subset of files."""
+    path = str(tmp_path / "tbl")
+    # interleaved commits: every file spans nearly the full id range
+    for k in range(4):
+        part = spark.range(k, 100, 4).select(
+            F.col("id"), (F.col("id") * 2).alias("doubled")
+        )
+        snapshots.snapshot_commit(part.coalesce(1), path, stats_cols=["id"])
+    overlapped = snapshots.snapshot_read(spark, path, where=[("id", "<", 10)])
+    assert len(overlapped.inputFiles()) == 4  # all ranges overlap: no skip
+    snapshots.snapshot_compact(spark, path, target_files=2, sort_within_by=["id"])
+    clustered = snapshots.snapshot_read(spark, path, where=[("id", "<", 10)])
+    assert len(clustered.inputFiles()) == 1  # disjoint ranges: one file
+    assert {r.id for r in clustered.collect()} == set(range(10))
+    # stats survive the compaction (recomputed for the new files)
+    head = snapshots.snapshot_history(path)[-1]["version"]
+    m = snapshots._read_manifest(path, head)
+    assert m["stats_cols"] == ["id"]
+    assert all(f in m["file_stats"] for f in m["files"])
+
+
+def test_stats_inherited_as_table_property(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 10).coalesce(1), path, stats_cols=["id"])
+    # later appends inherit stats_cols without restating it
+    snapshots.snapshot_commit(_df(spark, 10, 20).coalesce(1), path)
+    m = snapshots._read_manifest(path, 2)
+    assert m["stats_cols"] == ["id"]
+    assert len(m["file_stats"]) == 2
+    pruned = snapshots.snapshot_read(spark, path, where=[("id", ">=", 15)])
+    assert len(pruned.inputFiles()) == 1
+
+
+def test_vacuum_min_version_age_guards_pinned_readers(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 5), path)
+    snapshots.snapshot_commit(_df(spark, 5, 8), path)
+    pinned = snapshots.snapshot_read(spark, path, version=1)  # open reader
+    # a vacuum with the default pinned-reader guard keeps the young
+    # version even though keep_versions=1 would drop it
+    removed = snapshots.snapshot_vacuum(path, keep_versions=1, retain_seconds=0)
+    assert removed == []
+    assert pinned.count() == 5  # files still there mid-"scan"
+    assert [h["version"] for h in snapshots.snapshot_history(path)] == [1, 2]
+    # explicit opt-out reclaims it (offline maintenance)
+    snapshots.snapshot_vacuum(
+        path, keep_versions=1, retain_seconds=0, min_version_age_seconds=0
+    )
+    assert [h["version"] for h in snapshots.snapshot_history(path)] == [2]
