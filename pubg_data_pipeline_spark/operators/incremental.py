@@ -71,6 +71,43 @@ def negate_hourly_state(state: DataFrame) -> DataFrame:
     )
 
 
+def partial_keyed_state(
+    df: DataFrame, key_cols: list[str], value_col: str, digits: int = 2
+) -> DataFrame:
+    """Generalized mergeable state over arbitrary group keys: (keys...,
+    n, scaled-integer total) — the hourly state with the bucketing key
+    swapped for the caller's keys. Feeds the keyed aggregate-view
+    maintenance loop (streaming/app.maintain_agg_view_table) and the
+    batch counting algorithm (maintain_agg_view)."""
+    scaled = F.round(F.col(value_col) * (10**digits), 0).cast("long")
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(scaled).alias("total"),
+    )
+
+
+def negate_keyed_state(state: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Retraction form of :func:`partial_keyed_state` (see
+    negate_hourly_state — same abelian-group argument)."""
+    return state.select(
+        *key_cols,
+        (-F.col("n")).alias("n"),
+        (-F.col("total")).alias("total"),
+    )
+
+
+def merge_keyed_states(key_cols: list[str], *states: DataFrame) -> DataFrame:
+    """Union + re-aggregate over the keys; shuffle cardinality = number
+    of distinct keys, never number of events."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*key_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+    )
+
+
 def partial_distinct_state(
     df: DataFrame, ts_col: str = "ts", key_col: str = "user_id", lg_k: int = 12
 ) -> DataFrame:

@@ -48,7 +48,18 @@ shared filesystem only — the same scope as the snapshot tables
 themselves.
 
 Options: ``path`` (required), ``starting_version`` (int, default 0 =
-emit the whole table first; ``"latest"`` = only new commits).
+emit the whole table first; ``"latest"`` = only new commits),
+``max_versions_per_batch`` (int, default 0 = unbounded) — admission
+control: each micro-batch advances the offset by at most N table
+versions (Delta's ``maxFilesPerTrigger`` analog at version
+granularity), so a fast-committing source drains in bounded bites
+instead of ever-growing plans. The cursor is in-memory, learned from
+``partitions``/``commit`` (the Python stream API has no
+admission-control hook and may call ``latestOffset`` before
+``initialOffset``), so the FIRST batch of a (re)started query is a
+full catch-up — capping it blindly could regress below a checkpointed
+offset and re-emit rows, which is strictly worse; steady-state
+batches are bounded.
 
 Trigger note: Spark's Python micro-batch stream wrapper does not yet
 implement ``Trigger.AvailableNow`` natively and falls back to a
@@ -112,19 +123,33 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         self.field_names = [f.name for f in schema.fields]
         self.data_fields = [n for n in self.field_names if n not in META_COLS]
         self.start_opt = str(options.get("starting_version", "0"))
+        self.max_versions = int(options.get("max_versions_per_batch", 0))
+        self._cursor: int | None = None  # last planned end (see module doc)
 
     def initialOffset(self):
         if self.start_opt == "latest":
             versions = _versions(self.mdir)
-            return {"version": versions[-1] if versions else 0}
-        return {"version": int(self.start_opt)}
+            offset = versions[-1] if versions else 0
+        else:
+            offset = int(self.start_opt)
+        if self._cursor is None:
+            self._cursor = offset
+        return {"version": offset}
 
     def latestOffset(self):
         versions = _versions(self.mdir)
-        return {"version": versions[-1] if versions else 0}
+        head = versions[-1] if versions else 0
+        if self.max_versions > 0 and self._cursor is not None:
+            # never below the cursor: a capped offset that regressed
+            # under the checkpointed offset would re-emit rows
+            head = min(head, self._cursor + self.max_versions)
+        return {"version": head}
 
     def partitions(self, start, end):
         lo, hi = int(start["version"]), int(end["version"])
+        # rate-limit cursor learns the planned end (and never regresses)
+        if self._cursor is None or max(lo, hi) > self._cursor:
+            self._cursor = max(lo, hi)
         if hi <= lo:
             return []
         have = set(_versions(self.mdir))
@@ -211,8 +236,11 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         # offsets live in the table's own manifest log + Spark's
-        # checkpoint; nothing external to acknowledge
-        pass
+        # checkpoint; nothing external to acknowledge — but the
+        # rate-limit cursor learns the committed end
+        v = int(end["version"])
+        if self._cursor is None or v > self._cursor:
+            self._cursor = v
 
 
 class SnapshotCdfSource(DataSource):

@@ -1838,3 +1838,107 @@ def maintain_rollup_table(
         available_now=available_now,
         checkpoint=checkpoint,
     )
+
+
+def agg_view_cdf_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    target_table: str,
+    app_id: str,
+    key_cols: list[str],
+    value_col: str,
+) -> None:
+    """Keyed twin of :func:`rollup_cdf_epoch`: one epoch of the
+    counting algorithm (operators/incremental.maintain_agg_view's batch
+    semantics) over the change feed — adds as positive keyed partials,
+    removes negated, merged into the stored (keys, n, total) view with
+    txn dedup; keys whose count returns to zero drop out. This is the
+    streaming twin of the oracle-paired `event_agg_view_retractions`
+    query: a delete-bearing replay leaves the materialized view equal
+    to the batch retraction arithmetic."""
+    from pyspark.sql import functions as F
+
+    from pubg_data_pipeline_spark.operators import incremental
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    if batch_df.isEmpty():
+        return
+    adds = batch_df.filter(F.col("_change_type").isin(*_CDF_ADDS))
+    removes = batch_df.filter(F.col("_change_type").isin(*_CDF_REMOVES))
+    delta = incremental.merge_keyed_states(
+        key_cols,
+        incremental.partial_keyed_state(adds, key_cols, value_col),
+        incremental.negate_keyed_state(
+            incremental.partial_keyed_state(removes, key_cols, value_col), key_cols
+        ),
+    ).localCheckpoint()
+    spark = batch_df.sparkSession
+    for _ in range(5):
+        hist = snapshots.snapshot_history(target_table)
+        if not hist:
+            snapshots.snapshot_commit(
+                delta.filter(F.col("n") != 0),
+                target_table,
+                mode="append",
+                txn=(app_id, int(epoch_id)),
+            )
+            return
+        head = hist[-1]["version"]
+        current = snapshots.snapshot_read(spark, target_table, version=head)
+        merged = incremental.merge_keyed_states(key_cols, current, delta).filter(
+            F.col("n") != 0
+        )
+        try:
+            snapshots.snapshot_commit(
+                merged,
+                target_table,
+                mode="overwrite",
+                expected_parent=head,
+                txn=(app_id, int(epoch_id)),
+            )
+            return
+        except snapshots.CommitConflict:
+            continue
+    raise RuntimeError(
+        f"agg_view_cdf_epoch lost the read-modify-write race 5 times at "
+        f"{target_table!r}."
+    )
+
+
+def maintain_agg_view_table(
+    spark,
+    source_table: str,
+    target_table: str,
+    app_id: str,
+    key_cols: list[str],
+    value_col: str,
+    starting_version: str = "0",
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Continuously-maintained keyed aggregate view (count + exact
+    scaled-integer sum per key) over a snapshot table's change feed —
+    retraction-aware, exactly-once, O(changed rows + distinct keys)
+    per trigger. The streaming form of the counting algorithm the
+    `event_agg_view_retractions` oracle pins in batch."""
+    from pubg_data_pipeline_spark.sources import snapshot_cdf
+
+    _require_local_path(target_table, "maintain_agg_view_table")
+    snapshot_cdf.register(spark)
+    stream = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", source_table)
+        .option("starting_version", starting_version)
+        .load()
+    )
+    return sinks.foreach_batch_sink(
+        stream,
+        lambda df, eid: agg_view_cdf_epoch(
+            df, eid, target_table, app_id, key_cols, value_col
+        ),
+        trigger_seconds,
+        output_mode="update",
+        available_now=available_now,
+        checkpoint=checkpoint,
+    )

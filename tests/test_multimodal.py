@@ -174,3 +174,133 @@ def test_null_payload_rows_yield_nulls_not_crash(spark):
 
     ph = {r["media_id"]: r for r in mm.perceptual_hash(df, "media_id", "payload").collect()}
     assert ph[2]["phash"] is None
+
+
+# ------------------------------- round 8: pure-Python BMP/WAV decoders
+
+
+def _make_bmp(pixels):
+    """Minimal 24-bit BI_RGB bottom-up BMP from a top-down [[(b,g,r)]]
+    pixel grid — pure struct packing, mirrors what any image tool
+    writes."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = b""
+    for row in reversed(pixels):  # bottom-up storage
+        line = b"".join(bytes(px) for px in row)
+        rows += line + b"\x00" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + dib + rows
+
+
+def _make_wav(samples, bits=16, channels=1, rate=8000):
+    """Minimal RIFF PCM WAV from float samples in [-1, 1]."""
+    import struct
+
+    if bits == 16:
+        raw = b"".join(
+            struct.pack("<h", int(max(-1.0, min(1.0, s)) * 32767)) for s in samples
+        )
+    else:
+        raw = bytes(int((max(-1.0, min(1.0, s)) * 127) + 128) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(raw))
+        + raw
+    )
+
+
+def test_decode_bmp_real_pixels():
+    # 2x4 gradient: left dark, right bright (BGR byte order)
+    px = [
+        [(0, 0, 0), (60, 60, 60), (180, 180, 180), (255, 255, 255)],
+        [(0, 0, 0), (60, 60, 60), (180, 180, 180), (255, 255, 255)],
+    ]
+    gray = multimodal.decode_bmp(_make_bmp(px))
+    assert gray.shape == (2, 4)
+    assert list(gray[0]) == sorted(gray[0])  # monotone left->right
+    assert abs(gray[0][0] - 0.0) < 1e-9 and abs(gray[0][3] - 255.0) < 1e-6
+    with pytest.raises(ValueError, match="BMP"):
+        multimodal.decode_bmp(b"not a bitmap")
+
+
+def test_bmp_features_through_mapinpandas(spark):
+    dark = _make_bmp([[(10, 10, 10)] * 8] * 4)
+    bright = _make_bmp([[(250, 250, 250)] * 8] * 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(dark)), (2, bytearray(bright)), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r["features"]
+        for r in multimodal.decode_image_features(
+            df, "media_id", "payload", real_decoder="bmp"
+        ).collect()
+    }
+    assert all(abs(v - 10 / 255) < 1e-6 for v in out[1])
+    assert all(abs(v - 250 / 255) < 1e-6 for v in out[2])
+    assert out[3] is None  # null payload stays null
+
+
+def test_bmp_blockhash_locality():
+    base = [[(((x * 7 + y * 13) % 256),) * 3 for x in range(16)] for y in range(16)]
+    a = _make_bmp(base)
+    tweaked = [row[:] for row in base]
+    tweaked[3][5] = (255, 255, 255)  # one-pixel edit
+    b = _make_bmp(tweaked)
+    inverted = _make_bmp([[(255 - px[0],) * 3 for px in row] for row in base])
+    ha = multimodal.bmp_blockhash(a)
+    hb = multimodal.bmp_blockhash(b)
+    hi = multimodal.bmp_blockhash(inverted)
+    near = bin(ha ^ hb).count("1")
+    far = bin(ha ^ hi).count("1")
+    assert near <= 2 < far  # near-identical images collide, inverse doesn't
+
+
+def test_decode_wav_and_features(spark):
+    import math
+
+    quiet = [0.01 * math.sin(i / 5) for i in range(4000)]
+    loud = [0.9 * math.sin(i / 5) for i in range(4000)]
+    wav = _make_wav(quiet + loud)
+    samples = multimodal.decode_wav(wav)
+    assert len(samples) == 8000 and abs(max(samples) - 0.9) < 0.01
+    feats = multimodal.wav_features(wav, n_coeffs=4)
+    assert feats[0] < 0.02 and feats[1] < 0.02  # quiet half
+    assert feats[2] > 0.5 and feats[3] > 0.5  # loud half
+    # stereo averages to mono; 8-bit path decodes too
+    stereo = _make_wav([0.5, -0.5] * 100, channels=2)
+    assert abs(float(multimodal.decode_wav(stereo).mean())) < 1e-6
+    eight = _make_wav(loud[:500], bits=8)
+    assert abs(max(multimodal.decode_wav(eight)) - 0.9) < 0.05
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_wav(b"mp3junk")
+    # through the Spark operator
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id long, payload binary"
+    )
+    row = multimodal.audio_features(
+        df, "media_id", "payload", n_coeffs=4, real_decoder="wav"
+    ).collect()[0]
+    assert row["coeffs"][3] > 0.5 > row["coeffs"][0]
+
+
+def test_codec_requiring_formats_still_guarded():
+    import pandas as pd  # noqa: F401 - environment sanity
+
+    with pytest.raises(NotImplementedError, match="bmp"):
+        multimodal.decode_image_features(None, "id", "p", real_decoder="real")

@@ -560,3 +560,72 @@ def test_snapshot_cdf_tails_millions_of_rows_in_arrow_batches(spark, tmp_path_fa
     ts_bounds = out.agg(F.min("ts").cast("string"), F.max("ts").cast("string")).first()
     assert ts_bounds[0] == "2024-01-01 00:00:00"
     assert ts_bounds[1] == "2024-01-01 23:59:59"
+
+
+def test_cdf_rewrite_propagation_at_volume(spark, tmp_path_factory):
+    """Round-8 CDC at volume: a 2M-row snapshot table maintained into a
+    retraction-aware hourly rollup through a DELETE WHERE rewrite. The
+    delete epoch must be served from the commit's RECORDED change files
+    (O(deleted rows) = ~286k, never a table diff), and the maintained
+    state must equal the batch recompute cell-exactly after the delete
+    and a subsequent append."""
+    import json
+    import os as _os
+
+    from pubg_data_pipeline_spark.operators import incremental
+    from pubg_data_pipeline_spark.sources import snapshots
+    from pubg_data_pipeline_spark.streaming import app
+
+    d = tmp_path_factory.mktemp("cdc_volume")
+    src = str(d / "src")
+    dst = str(d / "dst")
+    ckpt = str(d / "ckpt")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=(F.col("id") % 86_400).cast("double"))
+            ).alias("ts"),
+            ((F.col("id") % 997).cast("double") / 10.0).alias("value"),
+        )
+
+    snapshots.snapshot_commit(batch(0, 2_000_000).repartition(32), src)
+
+    def run():
+        q = app.maintain_rollup_table(
+            spark, src, dst, app_id="rollup_vol",
+            available_now=True, checkpoint=ckpt,
+        )
+        q.awaitTermination(600)
+        q.stop()
+
+    def recompute():
+        return {
+            tuple(r)
+            for r in incremental.finalize_hourly(
+                incremental.partial_hourly_state(snapshots.snapshot_read(spark, src))
+            ).collect()
+        }
+
+    run()
+    rep = snapshots.snapshot_delete_where(spark, src, F.col("id") % 7 == 0)
+    assert rep["deleted_rows"] == 285_715
+    # the rewrite recorded exactly its deleted rows as change data
+    m = snapshots._read_manifest(src, rep["version"])
+    cfiles = m["change"]["files"]
+    assert cfiles and m["change"]["op_hint"] == "delete"
+    recorded = spark.read.parquet(
+        *[_os.path.join(src, f) for f in cfiles]
+    )
+    assert recorded.count() == 285_715
+    snapshots.snapshot_commit(batch(2_000_000, 2_200_000).repartition(8), src)
+    run()  # drains the delete epoch (change files only) + the append
+    maintained = {
+        tuple(r)
+        for r in incremental.finalize_hourly(
+            snapshots.snapshot_read(spark, dst)
+        ).collect()
+    }
+    assert maintained == recompute()

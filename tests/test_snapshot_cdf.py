@@ -391,3 +391,141 @@ def test_maintain_rollup_table_equals_batch_recompute(spark, tmp_path):
     # as zero rows
     state = snapshots.snapshot_read(spark, dst_tbl)
     assert state.filter(F.col("n") <= 0).count() == 0
+
+
+def test_maintain_agg_view_table_retraction_streaming_twin(spark, tmp_path):
+    """Round-8 item 5: the streaming keyed aggregate view maintained
+    over the change feed equals the batch retraction arithmetic
+    (event_agg_view_retractions' counting algorithm) after a
+    delete-bearing replay — retract every 7th event via DELETE WHERE,
+    re-insert every 5th via append, mid-stream restart included."""
+    from pubg_data_pipeline_spark.streaming import app
+
+    src_tbl = str(tmp_path / "src")
+    dst_tbl = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    def events(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            F.concat(F.lit("t"), (F.col("id") % 4).cast("string")).alias(
+                "event_type"
+            ),
+            ((F.col("id") % 13).cast("double") * 1.25).alias("value"),
+        )
+
+    snapshots.snapshot_commit(events(0, 150), src_tbl)
+    snapshots.snapshot_commit(events(150, 280), src_tbl)
+
+    def run():
+        q = app.maintain_agg_view_table(
+            spark,
+            src_tbl,
+            dst_tbl,
+            app_id="aggview",
+            key_cols=["event_type"],
+            value_col="value",
+            available_now=True,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def recompute():
+        raw = snapshots.snapshot_read(spark, src_tbl)
+        return {
+            (r["event_type"], r["n"], r["total"])
+            for r in raw.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("long")
+                ).alias("total"),
+            )
+            .collect()
+        }
+
+    def view():
+        return {
+            (r["event_type"], r["n"], r["total"])
+            for r in snapshots.snapshot_read(spark, dst_tbl).collect()
+        }
+
+    run()
+    assert view() == recompute()
+    # the delete-bearing replay: retract every 7th, re-insert every 5th
+    snapshots.snapshot_delete_where(spark, src_tbl, F.col("event_id") % 7 == 0)
+    snapshots.snapshot_commit(
+        events(0, 280).filter(F.col("event_id") % 5 == 0), src_tbl
+    )
+    run()  # restart drains both epochs
+    assert view() == recompute()
+    # replayed epoch is a no-op (txn dedup on the view table)
+    hist_len = len(snapshots.snapshot_history(dst_tbl))
+    run()
+    assert len(snapshots.snapshot_history(dst_tbl)) == hist_len
+
+
+def test_cdf_max_versions_per_batch_bounds_each_bite(spark, tmp_path):
+    """Admission control: once the stream is in steady state (cursor
+    learned — the runner may call latestOffset before initialOffset, so
+    the FIRST batch is a documented full catch-up), a 5-commit backlog
+    that lands mid-run drains in bites of at most 2 versions per
+    micro-batch — and nothing is lost or duplicated."""
+    import json as _json
+    import os as _os
+    import time
+
+    snapshot_cdf.register(spark)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    snapshots.snapshot_commit(_df(spark, 0, 5), table)  # v1: the catch-up
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table)
+        .option("starting_version", "0")
+        .option("max_versions_per_batch", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def sink_count():
+        try:
+            return spark.read.parquet(sink).count()
+        except Exception:
+            return 0
+
+    deadline = time.time() + 60
+    while time.time() < deadline and sink_count() < 5:
+        time.sleep(1)
+    assert sink_count() == 5  # catch-up batch done, cursor learned
+    # the backlog lands while the stream runs: v2..v6
+    for lo in range(5, 30, 5):
+        snapshots.snapshot_commit(_df(spark, lo, lo + 5), table)
+    while time.time() < deadline and sink_count() < 30:
+        time.sleep(1)
+    q.stop()
+    assert sink_count() == 30  # nothing lost, nothing duplicated
+    # offsets advanced by at most 2 versions per micro-batch past the
+    # catch-up, and the backlog really was split across several batches
+    offs = []
+    odir = _os.path.join(ckpt, "offsets")
+    for fname in sorted(_os.listdir(odir), key=lambda s: (len(s), s)):
+        if not fname.isdigit():
+            continue  # .crc companions are binary
+        with open(_os.path.join(odir, fname)) as f:
+            tail = f.read().strip().splitlines()[-1]
+        try:
+            offs.append(_json.loads(tail)["version"])
+        except (ValueError, KeyError):
+            pass
+    assert offs[-1] == 6  # reached the head
+    post_catchup = [v for v in offs if v >= 1]
+    assert all(b - a <= 2 for a, b in zip(post_catchup, post_catchup[1:]))
+    assert len(set(post_catchup)) >= 3  # split into multiple bites
