@@ -40,7 +40,7 @@ def main() -> int:
         "passed": int(m.group(1)) if m else 0,
         "failed": int(f.group(1)) if f else (0 if proc.returncode == 0 else -1),
         "wall_sec": wall,
-        "rows": "~6M synthesized events (60x sf0.1) + 1M-doc viral corpus (100k-copy page) + 1M-vector ANN corpus (skewed cluster, planted dups)",
+        "rows": "~6M synthesized events (60x sf0.1) + 1M-doc viral corpus (100k-copy page) + 1M-vector ANN corpus (skewed cluster, planted dups) + 6M-row streaming pattern twin (cell-exact vs batch, bounded state) + 3M-row snapshot-table CDF tail (arrow-batch executor reads, exactly-once across restarts) + 2M-row CDC-through-rewrites maintenance (285k-row DELETE served from recorded change files, rollup == batch recompute)",
         "cmd": "SPARK_GRAFT_SCALE_PROBE=1 pytest tests/test_scale_probe.py -q",
     }
     path = os.path.join(root, f"SCALE_r{rnd:02d}.json")

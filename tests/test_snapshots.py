@@ -645,3 +645,53 @@ def test_vacuum_min_version_age_guards_pinned_readers(spark, tmp_path):
         path, keep_versions=1, retain_seconds=0, min_version_age_seconds=0
     )
     assert [h["version"] for h in snapshots.snapshot_history(path)] == [2]
+
+
+def test_file_may_match_pure_predicate_logic():
+    """The pruning predicate in isolation: missing stats keep, all-null
+    skip, boundary equality, type mismatch keeps, and the
+    'YYYY-MM-DD HH:MM:SS' vs ISO-'T' normalization that would
+    otherwise mis-prune same-date files (space sorts before 'T')."""
+    m = snapshots._file_may_match
+    s = lambda mn, mx, nulls=0, rows=10: {"c": {"min": mn, "max": mx, "nulls": nulls, "rows": rows}}
+    assert m(None, [("c", "==", 5)])  # no stats recorded: keep
+    assert m({"c": None}, [("c", "==", 5)])  # column unprunable: keep
+    assert m(s(1, 10), [("c", "==", 10)])  # inclusive upper boundary
+    assert m(s(1, 10), [("c", "==", 1)])  # inclusive lower boundary
+    assert not m(s(1, 10), [("c", "==", 11)])
+    assert not m(s(1, 10), [("c", ">", 10)])
+    assert m(s(1, 10), [("c", ">=", 10)])
+    assert not m(s(1, 10), [("c", "<", 1)])
+    assert m(s(1, 10), [("c", "<=", 1)])
+    # conjuncts AND together: any impossible conjunct skips
+    assert not m(s(1, 10), [("c", ">=", 2), ("c", "==", 0)])
+    # all-null file can satisfy no comparison
+    assert not m(s(None, None, nulls=10, rows=10), [("c", "==", 3)])
+    # empty file (0 rows) can satisfy no comparison
+    assert not m(s(None, None, nulls=0, rows=0), [("c", ">=", 0)])
+    # type mismatch: keep (never unsafe-prune)
+    assert m(s("a", "z"), [("c", "==", 5)])
+    # timestamp literal with a space separator vs ISO stats
+    iso = s("2024-01-15T08:00:00", "2024-01-15T20:00:00")
+    assert m(iso, [("c", ">=", "2024-01-15 12:00:00")])
+    assert not m(iso, [("c", ">=", "2024-01-15 21:00:00")])
+    assert not m(iso, [("c", "<", "2024-01-15 08:00:00")])
+    # datetime objects normalize through isoformat
+    import datetime
+
+    assert m(iso, [("c", "==", datetime.datetime(2024, 1, 15, 9, 0))])
+    assert not m(iso, [("c", "==", datetime.datetime(2024, 1, 16, 9, 0))])
+
+
+def test_stat_value_encoding_rules():
+    import datetime
+    import decimal
+
+    sv = snapshots._stat_value
+    assert sv(5) == 5 and sv(2.5) == 2.5 and sv("x") == "x"
+    assert sv(b"abc") == "abc"
+    assert sv(b"\xff\xfe") is None  # undecodable bytes: unprunable
+    assert sv(datetime.date(2024, 1, 15)) == "2024-01-15"
+    assert sv(datetime.datetime(2024, 1, 15, 8)) == "2024-01-15T08:00:00"
+    assert sv(decimal.Decimal("1.23")) is None  # order-unsafe encoding
+    assert sv(None) is None
