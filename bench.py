@@ -340,12 +340,13 @@ def main(argv: list[str] | None = None) -> None:
                     # flagged) — a re-measure crash is its own class, not a
                     # query error: keep the sweep timing in totals and mark
                     # the flag explicitly so every entry carries a verdict.
+                    # the sweep timing stays in timings/totals (every
+                    # flagged name succeeded in the sweep); the crash is
+                    # recorded on the regression entry itself
                     regressions[name]["verdict"] = "remeasure_error"
                     regressions[name]["remeasure_error"] = (
                         f"{type(exc).__name__}: {exc}"[:200]
                     )
-                    if name not in timings:
-                        errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                     break
                 elapsed = time.perf_counter() - start
                 best = elapsed if best is None else min(best, elapsed)

@@ -330,20 +330,45 @@ def complete_pending_maintenance(table_path: str, partition_col: str) -> list[st
     first; each replay publishes its own marker, so recovery itself is
     crash-safe and convergent. Recovery must run within the journal's
     retention horizon (_MAINTENANCE_LOG_KEEP) — vacuuming past an
-    unswept entry abandons it, same contract as any log retention."""
+    unswept entry abandons it, same contract as any log retention.
+
+    Back-compat: a journal whose entries FOR THIS COLUMN carry no
+    markers at all predates the marker protocol; those entries were all
+    swept by the marker-less code except possibly the newest, so only
+    the newest replays (the old semantics) — replaying every legacy
+    entry would re-doom partitions that were legitimately re-created
+    after their (completed) sweeps. The older legacy entries are then
+    marked ``legacy: true`` complete, so the exemption is durable (a
+    later recovery must not suddenly treat them as pending once the
+    first marker exists)."""
     from pubg_data_pipeline_spark.sources.commitproto import sweep_partition_dirs
 
     log = _maintenance_log(table_path)
     pending: list[tuple[int, set[str]]] = []
     completed: set[int] = set()
+    any_marker = False  # per column: each migrates independently
     for v in log.versions():
         doc = log.read(v)
         if doc.get("partition_col") != partition_col:
             continue
         if doc.get("op") == "sweep_complete":
             completed.add(doc.get("for_version"))
+            any_marker = True
         else:
             pending.append((v, set(doc.get("doomed", []))))
+    if not any_marker and pending:
+        # legacy journal: assume all but the newest completed, and say
+        # so in the log so the exemption survives future recoveries
+        for v, _ in pending[:-1]:
+            log.publish(
+                {
+                    "op": "sweep_complete",
+                    "partition_col": partition_col,
+                    "for_version": v,
+                    "legacy": True,
+                }
+            )
+        pending = pending[-1:]
     removed: list[str] = []
     for v, doomed in pending:
         if v in completed:

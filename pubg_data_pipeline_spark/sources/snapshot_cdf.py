@@ -102,6 +102,43 @@ def _manifest(manifest_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def plan_changes(
+    mdir: str, lo: int, hi: int, label: str, hint: str
+) -> list[tuple[int, str | None, list[str]]]:
+    """THE per-version change enumeration, shared by the batch reader
+    (snapshots.snapshot_table_changes) and the streaming source so the
+    two can never disagree about the same history. Returns
+    ``(version, change_type, relpaths)`` triples for versions in
+    (lo, hi]: an APPEND contributes its added data files tagged
+    ``"insert"``; a rewrite with recorded change data contributes its
+    change files tagged ``None`` (rows carry their own _change_type;
+    a compaction's empty list contributes nothing). Raises on a
+    vacuumed range (the delta cannot be attributed — and a missing
+    ``lo`` would otherwise diff against 'empty table' and re-emit the
+    whole head) and on rewrites that predate change recording."""
+    have = set(_versions(mdir))
+    missing = [v for v in range((lo or 1), hi + 1) if v not in have]
+    if missing:
+        raise ValueError(
+            f"{label}: versions {missing} in the {lo}->{hi} delta were "
+            f"vacuumed — the change feed cannot be served; {hint}"
+        )
+    out: list[tuple[int, str | None, list[str]]] = []
+    for v in range(lo + 1, hi + 1):
+        m = _manifest(mdir, v)
+        if m["op"] == "append":
+            before = set(_manifest(mdir, v - 1)["files"]) if v > 1 else set()
+            out.append((v, "insert", [f for f in m["files"] if f not in before]))
+        elif "change" in m:
+            out.append((v, None, list(m["change"]["files"])))
+        else:
+            raise ValueError(
+                f"{label}: version {v} is '{m['op']}' with no recorded "
+                f"change data — the {lo}->{hi} delta cannot be served; {hint}"
+            )
+    return out
+
+
 class _FilePartition(InputPartition):
     def __init__(self, file_path: str, change_type: str | None, version: int):
         self.file_path = file_path
@@ -152,48 +189,19 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
             self._cursor = max(lo, hi)
         if hi <= lo:
             return []
-        have = set(_versions(self.mdir))
-        # a vacuumed offset MUST raise (round-7 ADVICE): treating a
-        # missing lo as "empty table" would re-emit every file through
-        # the head as inserts and silently duplicate derived tables —
-        # and vacuumed non-append versions inside the range would skip
-        # the fail-loud op check below
-        missing = [v for v in range((lo or 1), hi + 1) if v not in have]
-        if missing:
-            raise ValueError(
-                f"snapshot_cdf at {self.table_path!r}: versions {missing} in "
-                f"the {lo}->{hi} delta were vacuumed — the change feed cannot "
-                "be served; restart from starting_version=latest after "
-                "rebuilding the derived state."
+        return [
+            _FilePartition(os.path.join(self.table_path, f), ct, v)
+            for v, ct, relpaths in plan_changes(
+                self.mdir,
+                lo,
+                hi,
+                f"snapshot_cdf at {self.table_path!r}",
+                "restart the stream from the new head "
+                "(starting_version=latest) after rebuilding the derived "
+                "state.",
             )
-        parts: list[_FilePartition] = []
-        for v in range(lo + 1, hi + 1):
-            m = _manifest(self.mdir, v)
-            if m["op"] == "append":
-                before = (
-                    set(_manifest(self.mdir, v - 1)["files"]) if v > 1 else set()
-                )
-                parts.extend(
-                    _FilePartition(os.path.join(self.table_path, f), "insert", v)
-                    for f in m["files"]
-                    if f not in before
-                )
-            elif "change" in m:
-                # rewrite with recorded change data: exactly its change
-                # files (a compaction records an empty list -> nothing)
-                parts.extend(
-                    _FilePartition(os.path.join(self.table_path, f), None, v)
-                    for f in m["change"]["files"]
-                )
-            else:
-                raise ValueError(
-                    f"snapshot_cdf at {self.table_path!r}: version {v} is "
-                    f"'{m['op']}' with no recorded change data — the "
-                    f"{lo}->{hi} delta cannot be served; restart the stream "
-                    "from the new head (starting_version=latest) after "
-                    "handling the rewrite."
-                )
-        return parts
+            for f in relpaths
+        ]
 
     def read(self, partition):
         # executor-side: one immutable parquet file -> ARROW RECORD

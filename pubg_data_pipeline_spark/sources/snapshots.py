@@ -236,6 +236,34 @@ def _collect_file_stats(
 _PRUNE_OPS = ("==", "<", "<=", ">", ">=")
 
 
+def _looks_iso_ts(s) -> bool:
+    return isinstance(s, str) and len(s) > 10 and s[10] == "T" and s[4] == "-"
+
+
+def _looks_date_only(s) -> bool:
+    return (
+        isinstance(s, str)
+        and len(s) == 10
+        and s[4] == "-"
+        and s[7] == "-"
+        and s[:4].isdigit()
+    )
+
+
+def _norm_temporal(a, b):
+    """Make two temporal string encodings comparable: when one side is
+    a bare date ('YYYY-MM-DD') and the other an ISO timestamp, pad the
+    date to its midnight instant — exactly the cast Spark/SQL applies
+    to a date literal compared against a timestamp. Without this a
+    bare date sorts lexicographically BELOW every same-day ISO
+    timestamp and boundary files would be wrongly pruned."""
+    if _looks_date_only(a) and _looks_iso_ts(b):
+        a = a + "T00:00:00"
+    elif _looks_date_only(b) and _looks_iso_ts(a):
+        b = b + "T00:00:00"
+    return a, b
+
+
 def _file_may_match(stats: dict | None, where: list[tuple]) -> bool:
     """Can a file with these recorded stats contain a row satisfying
     ALL conjuncts? Missing/None stats → True (keep; pruning is an
@@ -269,16 +297,18 @@ def _file_may_match(stats: dict | None, where: list[tuple]) -> bool:
             # 'YYYY-MM-DD HH:MM:SS' literal must be normalized or the
             # space (0x20 < 'T') would wrongly prune same-date files
             v = v[:10] + "T" + v[11:]
+        lo_v, lo_mn = _norm_temporal(v, mn)
+        hi_v, hi_mx = _norm_temporal(v, mx)
         try:
-            if op == "==" and (v < mn or v > mx):
+            if op == "==" and (lo_v < lo_mn or hi_v > hi_mx):
                 return False
-            if op == "<" and not (mn < v):
+            if op == "<" and not (lo_mn < lo_v):
                 return False
-            if op == "<=" and not (mn <= v):
+            if op == "<=" and not (lo_mn <= lo_v):
                 return False
-            if op == ">" and not (mx > v):
+            if op == ">" and not (hi_mx > hi_v):
                 return False
-            if op == ">=" and not (mx >= v):
+            if op == ">=" and not (hi_mx >= hi_v):
                 return False
         except TypeError:
             continue  # incomparable encodings: keep the file
@@ -407,6 +437,9 @@ def snapshot_commit(
 
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
+    # the new files are immutable across CAS retries — pay their footer
+    # read once per stats-column set, not once per lost race
+    stats_memo: dict[tuple, dict] = {}
     for _ in range(_COMMIT_RETRIES):
         versions = _versions(path)
         if txn is not None:
@@ -430,7 +463,12 @@ def snapshot_commit(
         )
         file_stats: dict[str, dict] = {}
         if effective_stats_cols:
-            file_stats = _collect_file_stats(path, new_files, effective_stats_cols)
+            key = tuple(effective_stats_cols)
+            if key not in stats_memo:
+                stats_memo[key] = _collect_file_stats(
+                    path, new_files, effective_stats_cols
+                )
+            file_stats = dict(stats_memo[key])
         if mode == "append" and parent:
             files = pm["files"] + new_files
             evolved = bool(pm.get("evolved"))
@@ -527,9 +565,22 @@ def snapshot_read(
         files = [f for f in files if _file_may_match(file_stats.get(f), where)]
     if not files:
         # an overwrite with an empty DataFrame — or every file pruned:
-        # preserve schema via the commit's data directory footers
-        out = spark.read.parquet(os.path.join(path, "data", meta["commit_id"]))
-        out = out.limit(0) if meta["files"] else out
+        # preserve schema from the manifest (always recorded since the
+        # schema-enforcement round; covers RESTORE commits, which are
+        # manifest-only and have NO data/<commit_id> directory), else
+        # fall back to the commit's data-directory footers (pre-schema
+        # manifests)
+        if "schema" in meta:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            out = spark.createDataFrame(
+                [], StructType.fromJson(_json.loads(meta["schema"]))
+            )
+        else:
+            out = spark.read.parquet(os.path.join(path, "data", meta["commit_id"]))
+            out = out.limit(0) if meta["files"] else out
     else:
         reader = spark.read
         if meta.get("evolved"):
@@ -633,43 +684,24 @@ def snapshot_table_changes(
         raise ValueError(f"version {to_version} not found at {path!r}")
     if to_version < since_version:
         raise ValueError(f"to_version {to_version} < since_version {since_version}")
-    have = set(versions)
-    missing = [
-        v for v in range(since_version or 1, to_version + 1) if v not in have
-    ]
-    if missing:
-        raise ValueError(
-            f"snapshot_table_changes at {path!r}: versions {missing} were "
-            f"vacuumed — the {since_version}->{to_version} delta cannot be "
-            "attributed per commit; re-read the full snapshot instead."
-        )
+    from pubg_data_pipeline_spark.sources.snapshot_cdf import plan_changes
+
     frames: list[DataFrame] = []
-    for v in range(since_version + 1, to_version + 1):
-        m = _read_manifest(path, v)
-        if m["op"] == "append":
-            before = set(_read_manifest(path, v - 1)["files"]) if v > 1 else set()
-            added = [f for f in m["files"] if f not in before]
-            if not added:
-                continue
-            frames.append(
-                spark.read.parquet(*[os.path.join(path, f) for f in added])
-                .withColumn("_change_type", F.lit("insert"))
-                .withColumn("_commit_version", F.lit(v).cast("long"))
-            )
-        elif "change" in m:
-            cfiles = m["change"]["files"]
-            if not cfiles:
-                continue  # compaction / no-op rewrite: zero row changes
-            frames.append(
-                spark.read.parquet(*[os.path.join(path, f) for f in cfiles])
-                .withColumn("_commit_version", F.lit(v).cast("long"))
-            )
-        else:
-            raise ValueError(
-                f"snapshot_table_changes at {path!r}: version {v} is a "
-                f"'{m['op']}' commit with no recorded change data (predates "
-                "change recording) — re-read the full snapshot instead."
-            )
+    for v, change_type, relpaths in plan_changes(
+        _manifest_dir(path),
+        since_version,
+        to_version,
+        f"snapshot_table_changes at {path!r}",
+        "re-read the full snapshot instead.",
+    ):
+        if not relpaths:
+            continue  # compaction / no-op rewrite: zero row changes
+        frame = spark.read.parquet(*[os.path.join(path, f) for f in relpaths])
+        if change_type is not None:
+            frame = frame.withColumn("_change_type", F.lit(change_type))
+        frames.append(
+            frame.withColumn("_commit_version", F.lit(v).cast("long"))
+        )
     if not frames:
         base = snapshot_read(spark, path, to_version).limit(0)
         return base.withColumn("_change_type", F.lit(None).cast("string")).withColumn(

@@ -1610,15 +1610,24 @@ def cdf_apply_epoch(
 
     - A pure-add epoch (the overwhelmingly common case) stays a cheap
       APPEND — O(new data), no table read.
+    - Adds and removes are NETTED against each other first (multiset
+      ``exceptAll`` both ways): a row inserted AND deleted inside the
+      same micro-batch — a catch-up batch spanning an append and a
+      later DELETE — cancels exactly, because rows are
+      indistinguishable multiset members and a consistent feed only
+      deletes rows that exist at that version (so an uncancelled
+      remove always targets the target table, and an uncancelled add
+      always survives to the head). Without the netting, the
+      empty-target path would drop the removes and a one-drain
+      bootstrap over append+delete history would resurrect deleted
+      rows.
     - A retraction-bearing epoch does a serializable read-modify-write:
-      survivors = target ∖ transformed-removes (multiset ``exceptAll``
-      — each source row maps to ≤1 target row under a per-row
-      transform, so removing the transformed preimages is exact), plus
-      the transformed adds, committed as one overwrite pinned to the
-      head it read (CommitConflict retries). The commit records its own
-      change set (actually-removed rows as ``delete``, adds as
-      ``insert``), so maintenance chains COMPOSE: a CDF consumer of the
-      TARGET rides through this rewrite too.
+      survivors = target ∖ netted-removes, plus the netted adds,
+      committed as one overwrite pinned to the head it read
+      (CommitConflict retries). The commit records its own change set
+      (actually-removed rows as ``delete``, adds as ``insert``), so
+      maintenance chains COMPOSE: a CDF consumer of the TARGET rides
+      through this rewrite too.
 
     Cost model at 100 TB: deletes rewrite the target (no deletion
     vectors here) — which is why delete propagation arrives in rare,
@@ -1641,22 +1650,30 @@ def cdf_apply_epoch(
     if t_rem.isEmpty():
         snapshot_sink_epoch(t_add, epoch_id, target_table, app_id)
         return
-    t_rem = t_rem.localCheckpoint()  # stable across RMW retries
-    t_add = t_add.localCheckpoint()
+    # same-batch cancellation (see docstring): net the two sides before
+    # touching the target
+    net_add = t_add.exceptAll(t_rem).localCheckpoint()  # stable across retries
+    net_rem = t_rem.exceptAll(t_add).localCheckpoint()
+    if net_rem.isEmpty():
+        snapshot_sink_epoch(net_add, epoch_id, target_table, app_id)
+        return
     spark = batch_df.sparkSession
     for _ in range(5):
         hist = snapshots.snapshot_history(target_table)
         if not hist:
-            # empty target: removes have nothing to hit; adds append
-            snapshot_sink_epoch(t_add, epoch_id, target_table, app_id)
+            # empty target: uncancelled removes can only arise from an
+            # inconsistent feed; adds append
+            snapshot_sink_epoch(net_add, epoch_id, target_table, app_id)
             return
         head = hist[-1]["version"]
         current = snapshots.snapshot_read(spark, target_table, version=head)
-        survivors = current.exceptAll(t_rem.select(*current.columns))
-        removed = current.exceptAll(survivors)  # multiset ∩(current, t_rem)
-        new_table = survivors.unionByName(t_add.select(*current.columns))
+        survivors = current.exceptAll(net_rem.select(*current.columns))
+        removed = current.exceptAll(survivors)  # multiset ∩(current, net_rem)
+        new_table = survivors.unionByName(net_add.select(*current.columns))
         change = removed.withColumn("_change_type", F.lit("delete")).unionByName(
-            t_add.select(*current.columns).withColumn("_change_type", F.lit("insert"))
+            net_add.select(*current.columns).withColumn(
+                "_change_type", F.lit("insert")
+            )
         )
         try:
             snapshots.snapshot_commit(

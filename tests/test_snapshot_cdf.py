@@ -529,3 +529,33 @@ def test_cdf_max_versions_per_batch_bounds_each_bite(spark, tmp_path):
     post_catchup = [v for v in offs if v >= 1]
     assert all(b - a <= 2 for a, b in zip(post_catchup, post_catchup[1:]))
     assert len(set(post_catchup)) >= 3  # split into multiple bites
+
+
+def test_maintain_derived_table_one_drain_over_append_then_delete(spark, tmp_path):
+    """Review finding (round 8): a SINGLE catch-up batch spanning an
+    append AND a later DELETE of some of its rows must net them — the
+    bootstrap drain of a table with delete history must not resurrect
+    deleted rows into the derived table."""
+    from pubg_data_pipeline_spark.streaming import app
+
+    src_tbl = str(tmp_path / "src")
+    dst_tbl = str(tmp_path / "dst")
+    snapshots.snapshot_commit(_df(spark, 0, 10), src_tbl)          # v1
+    snapshots.snapshot_delete_where(spark, src_tbl, F.col("id") < 4)  # v2
+    snapshots.snapshot_commit(_df(spark, 10, 12), src_tbl)         # v3
+    # fresh checkpoint: ONE availableNow batch covers v1+v2+v3
+    q = app.maintain_derived_table(
+        spark,
+        src_tbl,
+        dst_tbl,
+        app_id="boot",
+        available_now=True,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(r.id for r in snapshots.snapshot_read(spark, dst_tbl).collect())
+    assert got == sorted(
+        r.id for r in snapshots.snapshot_read(spark, src_tbl).collect()
+    )
+    assert got == list(range(4, 12))

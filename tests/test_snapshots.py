@@ -695,3 +695,61 @@ def test_stat_value_encoding_rules():
     assert sv(datetime.datetime(2024, 1, 15, 8)) == "2024-01-15T08:00:00"
     assert sv(decimal.Decimal("1.23")) is None  # order-unsafe encoding
     assert sv(None) is None
+
+
+def test_pruning_date_only_literals_do_not_overprune():
+    """Review finding (round 8): a bare 'YYYY-MM-DD' literal (or
+    datetime.date) compared against ISO timestamp stats must behave as
+    its midnight instant — not sort lexicographically below every
+    same-day timestamp and wrongly skip boundary files."""
+    import datetime
+
+    m = snapshots._file_may_match
+    iso = {
+        "c": {
+            "min": "2024-01-05T00:00:00",
+            "max": "2024-01-05T20:00:00",
+            "nulls": 0,
+            "rows": 5,
+        }
+    }
+    # the midnight row matches ts <= date'2024-01-05' — keep the file
+    assert m(iso, [("c", "<=", "2024-01-05")])
+    assert m(iso, [("c", "<=", datetime.date(2024, 1, 5))])
+    assert m(iso, [("c", "==", "2024-01-05")])
+    assert m(iso, [("c", ">=", "2024-01-05")])
+    # a date strictly before the file still prunes
+    assert not m(iso, [("c", "<=", "2024-01-04")])
+    assert not m(iso, [("c", "==", "2024-01-06")])
+    # date-typed stats vs a timestamp literal: midnight boundary kept
+    date_stats = {
+        "c": {"min": "2024-01-05", "max": "2024-01-06", "nulls": 0, "rows": 5}
+    }
+    assert m(date_stats, [("c", ">=", "2024-01-06T00:00:00")])
+    assert not m(date_stats, [("c", ">", "2024-01-06T00:00:00")])
+
+
+def test_restore_then_pruned_or_empty_read_uses_manifest_schema(spark, tmp_path):
+    """Review finding (round 8): RESTORE commits are manifest-only (no
+    data/<commit_id> directory) — an all-files-pruned read of a
+    restored head must return the documented empty result, not crash
+    on a missing path."""
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(
+        _df(spark, 0, 10).coalesce(1), path, stats_cols=["id"]
+    )
+    snapshots.snapshot_commit(_df(spark, 10, 20).coalesce(1), path)
+    snapshots.snapshot_restore(spark, path, 1)
+    out = snapshots.snapshot_read(spark, path, where=[("id", ">", 10_000)])
+    assert out.count() == 0 and out.columns == ["id", "doubled"]
+    # restore of an empty overwrite reads back empty with schema
+    import pyspark.sql.functions as _F
+
+    snapshots.snapshot_commit(
+        _df(spark, 0, 0), path, mode="overwrite"
+    )
+    v_empty = snapshots.snapshot_history(path)[-1]["version"]
+    snapshots.snapshot_commit(_df(spark, 30, 33), path)
+    snapshots.snapshot_restore(spark, path, v_empty, record_changes=False)
+    back = snapshots.snapshot_read(spark, path)
+    assert back.count() == 0 and back.columns == ["id", "doubled"]

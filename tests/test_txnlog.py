@@ -268,3 +268,31 @@ def test_backfill_log_retention_bounds_metadata(spark, tmp_path):
         log_keep_versions=2,
     )
     assert rep["stale"] == []
+
+
+def test_legacy_markerless_journal_replays_only_newest_entry(spark, tmp_path):
+    """Review finding (round 8): a journal written by the pre-marker
+    protocol has no sweep_complete records at all — recovery must keep
+    the OLD newest-entry-only semantics there, or it would re-doom
+    every historical partition value including legitimately re-created
+    ones."""
+    path = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-20"), (3, "2024-01-30")],
+        "id long, day string",
+    ).write.partitionBy("day").parquet(path)
+    # hand-write a legacy journal: two completed doom entries, no markers
+    log = TxnLog(os.path.join(path, "_maintenance_log"))
+    log.publish(
+        {"op": "expire_partitions", "partition_col": "day", "doomed": ["2024-01-10"]}
+    )
+    log.publish(
+        {"op": "expire_partitions", "partition_col": "day", "doomed": ["2024-01-20"]}
+    )
+    # 2024-01-10 was swept long ago and legitimately re-created; the
+    # NEWEST entry's sweep crashed (its dir still present)
+    removed = sio.complete_pending_maintenance(path, "day")
+    assert removed == ["2024-01-20"]
+    assert os.path.isdir(os.path.join(path, "day=2024-01-10"))  # survives
+    # recovery published a marker -> the table is on the new protocol now
+    assert sio.complete_pending_maintenance(path, "day") == []
