@@ -185,6 +185,8 @@ HEADLINE_V2_EXTRA = [
     "customer_cdf_net_changes",
     "hourly_rollup_retraction_merge",
     "customer_snapshot_pruned_read",
+    "customer_dv_delete_state",
+    "customer_dv_cdf_replay",
 ]
 
 #: Quiet-host reading of the calibration probe (min-of-8 on an idle

@@ -459,6 +459,94 @@ GROUP BY c_mktsegment
 """
 
 
+def _dv_table(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic deletion-vector table shared by the two DV
+    queries: append(%2==0) -> DV DELETE acctbal<0 -> append(%2==1) ->
+    DV DELETE segment='MACHINERY'. Neither delete rewrites a data file
+    — the final state lives entirely in the manifests' merged DV."""
+    import shutil
+
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _snap_cache_path("customer_dv", sf_dir, "customer")
+    if len(snapshots.snapshot_history(path)) != 4:
+        shutil.rmtree(path, ignore_errors=True)
+        snapshots.snapshot_commit(cust.filter(F.col("c_custkey") % 2 == 0), path)
+        snapshots.snapshot_delete_where(
+            spark, path, F.col("c_acctbal") < 0.0, use_dv=True
+        )
+        snapshots.snapshot_commit(cust.filter(F.col("c_custkey") % 2 == 1), path)
+        snapshots.snapshot_delete_where(
+            spark, path, F.col("c_mktsegment") == "MACHINERY", use_dv=True
+        )
+    return path
+
+
+def customer_dv_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE (sources/snapshots
+    ``snapshot_delete_where(use_dv=True)``): two DV deletes stacked
+    over two appends, read back through the reader's anti-join — the
+    oracle recomputes the surviving world directly, so a hash match
+    proves position-level deletion is exact row-level DELETE
+    semantics. Neither delete rewrote a byte of table data (tests/
+    test_deletion_vectors.py pins the no-rewrite claim); at 100 TB
+    that is the difference between a metadata-sized commit and
+    rewriting the lake to drop 0.1% of it."""
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    path = _dv_table(spark, sf_dir)
+    cur = snapshots.snapshot_read(spark, path)
+    return cur.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(exact_scaled(F.col("c_acctbal"))) / 100.0, 2).alias(
+            "total_acctbal"
+        ),
+    )
+
+
+def customer_dv_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed THROUGH deletion-vector deletes: replaying the
+    full feed (appends' inserts, DV commits' recorded delete rows)
+    into net state must equal the direct read of the final version —
+    i.e. a DV delete is indistinguishable from a rewrite delete to a
+    CDF consumer, and each deleted row is emitted exactly once (a
+    re-matching later predicate must not re-emit rows the vector
+    already hides)."""
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    path = _dv_table(spark, sf_dir)
+    ch = snapshots.snapshot_table_changes(spark, path, 0)
+    data_cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    adds = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*data_cols)
+    removes = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(*data_cols)
+    net = adds.exceptAll(removes)
+    return net.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(exact_scaled(F.col("c_acctbal"))) / 100.0, 2).alias(
+            "total_acctbal"
+        ),
+    )
+
+
+_DV_STATE_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM({sql_scaled('c_acctbal')}) AS BIGINT) / 100.0, 2)
+         AS total_acctbal
+FROM customer
+WHERE ((c_custkey % 2 = 0 AND c_acctbal >= 0) OR c_custkey % 2 = 1)
+  AND c_mktsegment <> 'MACHINERY'
+GROUP BY c_mktsegment
+"""
+
+
 SPECS = [
     QuerySpec(
         "error_events_with_band", error_events_with_band, _TEMPORAL_JOIN_SQL, ("cdc", "join", "time")
@@ -477,6 +565,18 @@ SPECS = [
         customer_snapshot_pruned_read,
         _PRUNED_READ_SQL,
         ("io", "snapshot"),
+    ),
+    QuerySpec(
+        "customer_dv_delete_state",
+        customer_dv_delete_state,
+        _DV_STATE_SQL,
+        ("cdc", "io", "snapshot"),
+    ),
+    QuerySpec(
+        "customer_dv_cdf_replay",
+        customer_dv_cdf_replay,
+        _DV_STATE_SQL,
+        ("cdc", "io", "snapshot"),
     ),
     QuerySpec("customer_snapshot_diff", customer_snapshot_diff, _DIFF_SQL, ("cdc", "join")),
     QuerySpec("customer_merge_upsert", customer_merge_upsert, _MERGE_SQL, ("cdc", "join")),

@@ -54,6 +54,17 @@ this skeleton:
   range can satisfy the conjuncts BEFORE Spark sees the file list —
   at 100 TB with fine-grained commits this is the difference between
   opening 10 footers and 100k.
+- **Deletion vectors** (``snapshot_delete_where(use_dv=True)``): a
+  DELETE writes O(deleted rows) — per-file row positions captured
+  from Spark's ``_metadata.row_index`` into ``_dv/<commit-uuid>/``
+  parquet plus the usual change files — instead of rewriting the
+  table (the copy-on-write path rewrites 100 TB to delete 0.1% of
+  it; Delta/Iceberg ship DVs for exactly this reason). Readers apply
+  the version's DV as one distributed anti-join on
+  ``(file, row_index)`` — broadcast while the DV is small, shuffle
+  when it is not — so no driver state and no per-file Python.
+  Appends inherit the parent's DV; ``snapshot_compact`` materializes
+  it (rewrites survivors, clears the DV); overwrites drop it.
 """
 
 from __future__ import annotations
@@ -315,6 +326,54 @@ def _file_may_match(stats: dict | None, where: list[tuple]) -> bool:
     return True
 
 
+#: DVs at or under this many positions are broadcast to the anti-join
+#: (a position row is ~2 small values; 5M ≈ tens of MB — comfortably
+#: under executor broadcast budgets). Bigger DVs take the shuffle path.
+_DV_BROADCAST_ROWS = 5_000_000
+
+#: Extracts a manifest-relative data-file path ("data/<commit>/<file>")
+#: from Spark's absolute ``_metadata.file_path`` URI.
+_DV_REL_RE = r"(data/[^/]+/[^/]+)$"
+
+
+def _dv_frame(spark: SparkSession, path: str, dv: dict) -> DataFrame:
+    """The version's deletion vector as a DataFrame of
+    ``(_dv_file, _dv_pos)`` — broadcast while small (the overwhelming
+    case: a DV holds deleted positions only), plain otherwise (AQE
+    plans the shuffle join)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*[os.path.join(path, f) for f in dv["files"]])
+    if dv.get("rows", 0) <= _DV_BROADCAST_ROWS:
+        df = F.broadcast(df)
+    return df
+
+
+def _with_positions(df: DataFrame) -> DataFrame:
+    """Tag every scanned row with its physical identity — manifest-
+    relative file path + row index — from Spark's parquet metadata
+    pseudo-column (computed in the scan, no extra IO)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "*",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), _DV_REL_RE, 1
+        ).alias("__dv_rel"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+
+
+def _anti_join_dv(df: DataFrame, dv_df: DataFrame) -> DataFrame:
+    """Drop the rows a deletion vector names. ``df`` must carry
+    ``__dv_rel``/``__dv_pos`` (see :func:`_with_positions`)."""
+    return df.join(
+        dv_df,
+        (df["__dv_rel"] == dv_df["_dv_file"]) & (df["__dv_pos"] == dv_df["_dv_pos"]),
+        "left_anti",
+    )
+
+
 class CommitConflict(RuntimeError):
     """A commit pinned to ``expected_parent`` found the table head
     moved — the serializable-conflict signal for read-modify-write
@@ -513,6 +572,10 @@ def snapshot_commit(
             manifest["txn"] = {"app_id": txn[0], "version": txn[1]}
         if change is not None:
             manifest["change"] = change
+        if mode == "append" and parent and pm.get("dv"):
+            # the parent's deletion vector still governs the inherited
+            # files; an overwrite replaces the file list and drops it
+            manifest["dv"] = pm["dv"]
         if effective_stats_cols:
             manifest["stats_cols"] = list(effective_stats_cols)
             manifest["file_stats"] = file_stats
@@ -589,6 +652,15 @@ def snapshot_read(
             # pay the merge cost — a healthy table reads one footer.
             reader = reader.option("mergeSchema", "true")
         out = reader.parquet(*[os.path.join(path, f) for f in files])
+        dv = meta.get("dv")
+        if dv and dv["files"]:
+            # deletion-vector versions: drop the positions the DV names
+            # — one anti-join (broadcast while the DV is small), applied
+            # BEFORE the where-filter so pruning stays purely an
+            # optimization on top of exact semantics
+            cols = out.columns
+            out = _anti_join_dv(_with_positions(out), _dv_frame(spark, path, dv))
+            out = out.select(*cols)
     if where:
         for col, op, value in where:
             c = F.col(col)
@@ -719,7 +791,10 @@ def snapshot_history(path: str) -> list[dict]:
     out = []
     for v in _versions(path):
         m = _read_manifest(path, v)
-        out.append({k: m[k] for k in ("version", "parent", "op", "n_files")})
+        row = {k: m[k] for k in ("version", "parent", "op", "n_files")}
+        if "dv" in m:
+            row["dv_rows"] = m["dv"].get("rows", 0)
+        out.append(row)
     return out
 
 
@@ -854,7 +929,7 @@ def snapshot_restore(
             "n_files": src["n_files"],
             "files": src["files"],
         }
-        for key in ("schema", "evolved", "stats_cols", "file_stats"):
+        for key in ("schema", "evolved", "stats_cols", "file_stats", "dv"):
             if key in src:
                 manifest[key] = src[key]
         if record_changes:
@@ -947,6 +1022,7 @@ def snapshot_vacuum(
                 keep.add(v)  # possibly pinned by a live reader/stream
     live_commits = set()
     live_changes = set()
+    live_dv = set()
     for v in keep:
         m = _read_manifest(path, v)
         live_commits.add(m["commit_id"])
@@ -955,6 +1031,10 @@ def snapshot_vacuum(
             live_commits.add(f.split(os.sep)[1])
         for f in m.get("change", {}).get("files", []):
             live_changes.add(f.split(os.sep)[1])
+        for f in m.get("dv", {}).get("files", []):
+            # DV files accumulate across versions (each manifest carries
+            # its full effective DV), so ancestors' dirs stay live too
+            live_dv.add(f.split(os.sep)[1])
     removed = []
     for v in versions:
         if v not in keep:
@@ -962,6 +1042,7 @@ def snapshot_vacuum(
     for root, live in (
         (os.path.join(path, "data"), live_commits),
         (os.path.join(path, "_changes"), live_changes),
+        (os.path.join(path, "_dv"), live_dv),
     ):
         if not os.path.isdir(root):
             continue
@@ -976,7 +1057,12 @@ def snapshot_vacuum(
 
 
 def snapshot_delete_where(
-    spark: SparkSession, path: str, condition, max_retries: int = 5
+    spark: SparkSession,
+    path: str,
+    condition,
+    max_retries: int = 5,
+    use_dv: bool = False,
+    prune_where: list[tuple] | None = None,
 ) -> dict:
     """``DELETE FROM table WHERE condition`` with snapshot-table
     semantics: read the head version, keep the survivors, commit them
@@ -989,12 +1075,35 @@ def snapshot_delete_where(
     condition=TRUE deletes), spelled explicitly because a bare
     ``filter(~cond)`` would drop NULL-condition rows too.
 
+    ``use_dv=True`` switches from copy-on-write to a DELETION VECTOR
+    commit: instead of rewriting every surviving row, the matched
+    rows' physical positions (``_metadata.row_index`` per file) are
+    written as ``_dv/<commit>/`` parquet and the new manifest keeps
+    the PARENT'S file list + the merged DV — IO is O(deleted rows),
+    not O(table), which at 100 TB is the difference between a
+    metadata-sized commit and rewriting the lake to drop 0.1% of it.
+    Readers pay one (usually broadcast) anti-join until
+    ``snapshot_compact`` materializes the DV away. The change feed is
+    identical in both modes: the deleted rows are recorded at commit
+    time, so CDF consumers cannot tell the strategies apart.
+
+    ``prune_where`` (``use_dv`` only): optional conjuncts in
+    ``snapshot_read(where=...)`` form that the DELETE's scan uses to
+    skip files via manifest stats. CONTRACT: every row matching
+    ``condition`` must also satisfy the conjuncts (they are implied by
+    it) — a conjunct that excludes matching rows silently under-
+    deletes, same as Delta's file-pruned DELETE.
+
     Old files stay readable for time travel until ``snapshot_vacuum``
     (and the ``txn`` dedup history is untouched — deletes don't replay
     epochs). Returns ``{"version", "deleted_rows"}``."""
     from pyspark.sql import functions as F
 
     _require_local(path)
+    if use_dv:
+        return _delete_where_dv(spark, path, condition, max_retries, prune_where)
+    if prune_where is not None:
+        raise ValueError("prune_where applies to use_dv=True deletes only")
     for _ in range(max_retries):
         versions = _versions(path)
         if not versions:
@@ -1028,6 +1137,107 @@ def snapshot_delete_where(
     )
 
 
+def _delete_where_dv(
+    spark: SparkSession,
+    path: str,
+    condition,
+    max_retries: int,
+    prune_where: list[tuple] | None,
+) -> dict:
+    """Deletion-vector DELETE (see :func:`snapshot_delete_where`).
+
+    Per attempt: scan the head's (optionally stats-pruned) files with
+    their physical positions, drop rows the EXISTING DV already hides
+    (so a re-matching predicate cannot re-record them — the change
+    feed must emit each deleted row exactly once), evaluate the
+    condition, and publish a manifest that keeps the parent's files
+    verbatim with the merged DV + the deleted rows as change files.
+    The publish is CAS-pinned to the head the scan read: losing the
+    race strands the just-written ``_dv``/``_changes`` dirs invisible
+    (vacuum reclaims them, like any lost commit) and the whole
+    read-modify-write retries on the new head."""
+    from pyspark.sql import functions as F
+
+    if prune_where:
+        for _, op, _ in prune_where:
+            if op not in _PRUNE_OPS:
+                raise ValueError(
+                    f"prune_where op must be one of {_PRUNE_OPS}, got {op!r}"
+                )
+    log = _log(path)
+    for _ in range(max_retries):
+        versions = _versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot commits at {path!r}")
+        head = versions[-1]
+        meta = _read_manifest(path, head)
+        files = meta["files"]
+        if prune_where:
+            file_stats = meta.get("file_stats", {})
+            files = [
+                f for f in files if _file_may_match(file_stats.get(f), prune_where)
+            ]
+        if not files:
+            return {"version": head, "deleted_rows": 0}
+        reader = spark.read
+        if meta.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        scan = _with_positions(
+            reader.parquet(*[os.path.join(path, f) for f in files])
+        )
+        parent_dv = meta.get("dv") or {"files": [], "rows": 0}
+        if parent_dv["files"]:
+            scan = _anti_join_dv(scan, _dv_frame(spark, path, parent_dv))
+        matched = scan.filter(F.coalesce(condition, F.lit(False)))
+        # one table scan total: the matched set feeds a count and two
+        # writes below, and is O(deleted rows)
+        matched = matched.localCheckpoint()
+        deleted = matched.count()
+        if deleted == 0:
+            return {"version": head, "deleted_rows": 0}
+        commit_id = uuid.uuid4().hex
+        dv_dir = os.path.join(path, "_dv", commit_id)
+        matched.select(
+            F.col("__dv_rel").alias("_dv_file"),
+            F.col("__dv_pos").cast("long").alias("_dv_pos"),
+        ).write.mode("error").parquet(dv_dir)
+        change_dir = os.path.join(path, "_changes", commit_id)
+        data_cols = [c for c in matched.columns if c not in ("__dv_rel", "__dv_pos")]
+        matched.select(*data_cols).withColumn(
+            "_change_type", F.lit("delete")
+        ).write.mode("error").parquet(change_dir)
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "op": "delete",
+            "commit_id": commit_id,
+            "n_files": meta["n_files"],
+            "files": meta["files"],
+            "change": {
+                "files": [
+                    os.path.relpath(p, path) for p in _list_part_files(change_dir)
+                ],
+                "op_hint": "delete",
+            },
+            "dv": {
+                "files": list(parent_dv["files"])
+                + [os.path.relpath(p, path) for p in _list_part_files(dv_dir)],
+                "rows": parent_dv["rows"] + deleted,
+            },
+        }
+        for key in ("schema", "evolved", "stats_cols", "file_stats"):
+            if key in meta:
+                manifest[key] = meta[key]
+        if log.try_publish_version(manifest, head + 1, commit_id):
+            return {"version": head + 1, "deleted_rows": deleted}
+        # lost the CAS: the new head may hold different rows — redo the
+        # whole read-modify-write (the stranded dirs are vacuum debris)
+    raise RuntimeError(
+        f"snapshot_delete_where(use_dv=True) lost the read-modify-write "
+        f"race {max_retries} times at {path!r}."
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,
@@ -1048,8 +1258,11 @@ def snapshot_compact(
     additionally range-partitions + sorts on those columns (OPTIMIZE's
     clustering half): a streaming sink's arrival-ordered files have
     useless min-max stats, and re-clustering restores file skipping on
-    the sort columns. Returns ``{"version", "files_before",
-    "files_after"}``."""
+    the sort columns. Compaction also MATERIALIZES any deletion vector
+    (``snapshot_delete_where(use_dv=True)`` accrual): the rewrite reads
+    the logical head (DV applied), so the new version's files hold
+    survivors only and carry no DV — readers stop paying the anti-join.
+    Returns ``{"version", "files_before", "files_after"}``."""
     _require_local(path)
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
@@ -1058,8 +1271,11 @@ def snapshot_compact(
         if not versions:
             raise FileNotFoundError(f"no snapshot commits at {path!r}")
         head = versions[-1]
-        files_before = _read_manifest(path, head)["n_files"]
-        if files_before <= target_files:
+        head_meta = _read_manifest(path, head)
+        files_before = head_meta["n_files"]
+        if files_before <= target_files and not head_meta.get("dv"):
+            # nothing to do — but a DV-bearing head always compacts
+            # (materialization is the point even at low file counts)
             return {
                 "version": head,
                 "files_before": files_before,
