@@ -187,6 +187,7 @@ HEADLINE_V2_EXTRA = [
     "customer_snapshot_pruned_read",
     "customer_dv_delete_state",
     "customer_dv_cdf_replay",
+    "customer_dv_merge_state",
 ]
 
 #: Quiet-host reading of the calibration probe (min-of-8 on an idle

@@ -535,6 +535,77 @@ def customer_dv_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_dv_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector MERGE (sources/snapshots
+    ``snapshot_merge_upsert(use_dv=True)``): matched rows go into the
+    vector, update rows append as new files, one atomic manifest
+    publish — MERGE writes O(updates), not a table rewrite. Built as
+    append(all) -> DV DELETE acctbal<0 -> DV MERGE (VIP re-segmentation
+    + synthetic insert keys); keys whose only row was deleted count as
+    UNMATCHED and re-insert (upsert semantics, no resurrection). The
+    oracle recomputes the final world directly."""
+    import shutil
+
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _snap_cache_path("customer_dv_merge", sf_dir, "customer")
+    if len(snapshots.snapshot_history(path)) != 3:
+        shutil.rmtree(path, ignore_errors=True)
+        snapshots.snapshot_commit(cust, path)
+        snapshots.snapshot_delete_where(
+            spark, path, F.col("c_acctbal") < 0.0, use_dv=True
+        )
+        updates = cust.filter(F.col("c_custkey") % 100 == 0).select(
+            "c_custkey",
+            F.lit("VIP").alias("c_mktsegment"),
+            (F.col("c_acctbal") + F.lit(500.0)).alias("c_acctbal"),
+        )
+        inserts = cust.filter(F.col("c_custkey") % 250 == 0).select(
+            (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+            F.lit("NEW").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+        snapshots.snapshot_merge_upsert(
+            spark,
+            path,
+            updates.unionByName(inserts).coalesce(1),
+            ["c_custkey"],
+            use_dv=True,
+        )
+    cur = snapshots.snapshot_read(spark, path)
+    return cur.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(exact_scaled(F.col("c_acctbal"))) / 100.0, 2).alias(
+            "total_acctbal"
+        ),
+    )
+
+
+_DV_MERGE_SQL = f"""
+WITH upd AS (
+  SELECT c_custkey, 'VIP' AS c_mktsegment, c_acctbal + 500.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW', 0.0 FROM customer WHERE c_custkey % 250 = 0
+), base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_acctbal >= 0
+), merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM({sql_scaled('c_acctbal')}) AS BIGINT) / 100.0, 2)
+         AS total_acctbal
+FROM merged GROUP BY c_mktsegment
+"""
+
+
 _DV_STATE_SQL = f"""
 SELECT c_mktsegment,
        COUNT(*) AS n_customers,
@@ -576,6 +647,12 @@ SPECS = [
         "customer_dv_cdf_replay",
         customer_dv_cdf_replay,
         _DV_STATE_SQL,
+        ("cdc", "io", "snapshot"),
+    ),
+    QuerySpec(
+        "customer_dv_merge_state",
+        customer_dv_merge_state,
+        _DV_MERGE_SQL,
         ("cdc", "io", "snapshot"),
     ),
     QuerySpec("customer_snapshot_diff", customer_snapshot_diff, _DIFF_SQL, ("cdc", "join")),

@@ -804,6 +804,7 @@ def snapshot_merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     max_retries: int = 5,
+    use_dv: bool = False,
 ) -> dict:
     """``MERGE INTO table USING updates ON keys`` (upsert form: matched
     rows replaced by the update, unmatched updates inserted) with the
@@ -815,11 +816,22 @@ def snapshot_merge_upsert(
     every real MERGE implementation rejects it) and schema-compatible
     with the table. Returns ``{"version", "updated", "inserted"}``.
 
-    Plan shape: one left_anti join on the keys (survivors) + one union
-    — the keys side is ``updates``, typically small enough that AQE
-    broadcasts it; the table side is scanned once. On a lake format
-    this is file-pruned MERGE; here the whole head is rewritten (the
-    snapshot layer tracks files per COMMIT, not per key range)."""
+    Plan shape (``use_dv=False``): one left_anti join on the keys
+    (survivors) + one union — the keys side is ``updates``, typically
+    small enough that AQE broadcasts it; the table side is scanned
+    once and the whole head is REWRITTEN.
+
+    ``use_dv=True`` makes MERGE write O(updates) instead: the matched
+    table rows' physical positions go into the deletion vector, every
+    update row is appended as new data files, and ONE manifest publish
+    commits both — at 100 TB, upserting a million rows stops costing a
+    table rewrite. The match scan is additionally file-pruned when the
+    table records stats for a single join key: files whose recorded
+    key range cannot intersect the updates' (exact) key min/max are
+    skipped — safe with no caller contract, because a matching row's
+    key necessarily lies inside the updates' range. Change data is
+    identical in both modes (update_preimage / update_postimage /
+    insert), so CDF consumers cannot tell the strategies apart."""
     from pyspark.sql import functions as F
 
     _require_local(path)
@@ -836,6 +848,10 @@ def snapshot_merge_upsert(
         )
     updates = updates.localCheckpoint()  # one plan, stable across retries
     n_updates = updates.count()
+    if use_dv:
+        return _merge_upsert_dv(
+            spark, path, updates, key_cols, n_updates, max_retries
+        )
     for _ in range(max_retries):
         versions = _versions(path)
         if not versions:
@@ -886,6 +902,159 @@ def snapshot_merge_upsert(
     raise RuntimeError(
         f"snapshot_merge_upsert lost the read-modify-write race "
         f"{max_retries} times at {path!r}."
+    )
+
+
+def _merge_upsert_dv(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    n_updates: int,
+    max_retries: int,
+) -> dict:
+    """Deletion-vector MERGE (see :func:`snapshot_merge_upsert`).
+
+    The update rows ARE the commit's new data files — independent of
+    which head the merge lands on — so they are written ONCE before
+    the retry loop; only the match scan (whose positions feed the DV)
+    and the change set re-derive per attempt. One manifest publish,
+    CAS-pinned to the head the scan read, commits the appended files
+    and the grown vector atomically."""
+    from pyspark.sql import functions as F
+
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(path, "data", commit_id)
+    updates.write.mode("error").parquet(data_dir)
+    new_files = [os.path.relpath(p, path) for p in _list_part_files(data_dir)]
+    # exact key bounds of the update set (bounded scalars) — used to
+    # stats-prune the match scan for single-key merges
+    key_bounds = None
+    if len(key_cols) == 1 and n_updates:
+        k = key_cols[0]
+        lo, hi = updates.agg(F.min(k), F.max(k)).first()
+        if lo is not None:
+            key_bounds = [(k, ">=", lo), (k, "<=", hi)]
+    log = _log(path)
+    stats_memo: dict[tuple, dict] = {}
+    for _ in range(max_retries):
+        versions = _versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot commits at {path!r}")
+        head = versions[-1]
+        meta = _read_manifest(path, head)
+        if "schema" in meta:
+            if _schema_compat(meta["schema"], updates.schema.json()) != "same":
+                raise ValueError(
+                    f"snapshot_merge_upsert at {path!r}: updates schema "
+                    f"{sorted(updates.columns)} is not the table schema — "
+                    "appending mismatched files would corrupt readers."
+                )
+        scan_files = meta["files"]
+        if key_bounds and meta.get("file_stats"):
+            # a matching table row's key lies inside the updates' exact
+            # [min, max], so files whose recorded range cannot intersect
+            # it cannot contain matches — safe, no caller contract
+            fstats = meta["file_stats"]
+            scan_files = [
+                f for f in scan_files if _file_may_match(fstats.get(f), key_bounds)
+            ]
+        parent_dv = meta.get("dv") or {"files": [], "rows": 0}
+        data_cols = list(updates.columns)
+        if scan_files:
+            reader = spark.read
+            if meta.get("evolved"):
+                reader = reader.option("mergeSchema", "true")
+            scan = _with_positions(
+                reader.parquet(*[os.path.join(path, f) for f in scan_files])
+            )
+            if "schema" not in meta and set(
+                c for c in scan.columns if c not in ("__dv_rel", "__dv_pos")
+            ) != set(data_cols):
+                raise ValueError(
+                    f"snapshot_merge_upsert: updates columns "
+                    f"{sorted(data_cols)} != table columns"
+                )
+            if parent_dv["files"]:
+                scan = _anti_join_dv(scan, _dv_frame(spark, path, parent_dv))
+            matched_old = scan.join(
+                updates.select(*key_cols), key_cols, "left_semi"
+            ).localCheckpoint()
+            updated = matched_old.count()
+            cur_keys = scan.select(*key_cols)
+        else:
+            matched_old = None
+            updated = 0
+            cur_keys = updates.select(*key_cols).limit(0)
+        ins_rows = updates.join(cur_keys, key_cols, "left_anti")
+        change = ins_rows.select(*data_cols).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        if updated:
+            change = (
+                matched_old.select(*data_cols)
+                .withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    updates.join(cur_keys, key_cols, "left_semi")
+                    .select(*data_cols)
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+                .unionByName(change)
+            )
+        attempt_id = uuid.uuid4().hex
+        new_dv_files: list[str] = []
+        if updated:
+            dv_dir = os.path.join(path, "_dv", attempt_id)
+            matched_old.select(
+                F.col("__dv_rel").alias("_dv_file"),
+                F.col("__dv_pos").cast("long").alias("_dv_pos"),
+            ).write.mode("error").parquet(dv_dir)
+            new_dv_files = [
+                os.path.relpath(p, path) for p in _list_part_files(dv_dir)
+            ]
+        change_dir = os.path.join(path, "_changes", attempt_id)
+        change.write.mode("error").parquet(change_dir)
+        inserted = ins_rows.count()
+        files = meta["files"] + new_files
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "op": "merge",
+            "commit_id": commit_id,
+            "n_files": len(files),
+            "files": files,
+            "change": {
+                "files": [
+                    os.path.relpath(p, path) for p in _list_part_files(change_dir)
+                ],
+                "op_hint": "merge",
+            },
+        }
+        if parent_dv["files"] or new_dv_files:
+            manifest["dv"] = {
+                "files": list(parent_dv["files"]) + new_dv_files,
+                "rows": parent_dv["rows"] + updated,
+            }
+        for key in ("schema", "evolved", "stats_cols"):
+            if key in meta:
+                manifest[key] = meta[key]
+        if meta.get("stats_cols"):
+            skey = tuple(meta["stats_cols"])
+            if skey not in stats_memo:
+                stats_memo[skey] = _collect_file_stats(
+                    path, new_files, meta["stats_cols"]
+                )
+            manifest["file_stats"] = {
+                **meta.get("file_stats", {}),
+                **stats_memo[skey],
+            }
+        if log.try_publish_version(manifest, head + 1, commit_id):
+            return {"version": head + 1, "updated": updated, "inserted": inserted}
+        # lost the CAS: re-derive the match on the new head (the
+        # stranded _dv/_changes attempt dirs are vacuum debris)
+    raise RuntimeError(
+        f"snapshot_merge_upsert(use_dv=True) lost the read-modify-write "
+        f"race {max_retries} times at {path!r}."
     )
 
 

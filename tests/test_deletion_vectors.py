@@ -298,6 +298,131 @@ def test_dv_delete_concurrent_append_retries_on_new_head(spark, tmp_path):
     ]
 
 
+def test_dv_merge_upserts_without_rewriting(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 100).repartition(4), path)
+    before_dirs = _data_commit_dirs(path)
+    upd = spark.createDataFrame(
+        [(7, 700), (42, 4200), (200, 400)], "id long, doubled long"
+    )
+    r = snapshots.snapshot_merge_upsert(spark, path, upd, ["id"], use_dv=True)
+    assert (r["updated"], r["inserted"]) == (2, 1)
+    rows = {x.id: x.doubled for x in snapshots.snapshot_read(spark, path).collect()}
+    assert len(rows) == 101
+    assert rows[7] == 700 and rows[42] == 4200 and rows[200] == 400
+    assert rows[3] == 6  # untouched rows intact
+    # exactly ONE new data dir (the update rows); parent files untouched
+    after_dirs = _data_commit_dirs(path)
+    assert len(after_dirs) == len(before_dirs) + 1
+    assert set(before_dirs) <= set(after_dirs)
+    m = snapshots._read_manifest(path, r["version"])
+    assert m["op"] == "merge" and m["dv"]["rows"] == 2
+    # time travel: pre-merge world intact
+    pre = {
+        x.id: x.doubled
+        for x in snapshots.snapshot_read(spark, path, version=1).collect()
+    }
+    assert pre[7] == 14 and 200 not in pre
+
+
+def test_dv_merge_change_feed_nets_to_state(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 20), path)
+    upd = spark.createDataFrame([(3, 33), (30, 60)], "id long, doubled long")
+    snapshots.snapshot_merge_upsert(spark, path, upd, ["id"], use_dv=True)
+    ch = snapshots.snapshot_table_changes(spark, path, 0)
+    tagged = sorted(
+        (x.id, x._change_type)
+        for x in ch.filter(F.col("_commit_version") == 2).collect()
+    )
+    assert tagged == [
+        (3, "update_postimage"),
+        (3, "update_preimage"),
+        (30, "insert"),
+    ]
+    adds = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("id", "doubled")
+    rems = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("id", "doubled")
+    assert sorted(
+        (r2.id, r2.doubled) for r2 in adds.exceptAll(rems).collect()
+    ) == sorted(
+        (r2.id, r2.doubled)
+        for r2 in snapshots.snapshot_read(spark, path).collect()
+    )
+
+
+def test_dv_merge_prunes_match_scan_by_key_range(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    for lo in (0, 25, 50, 75):
+        snapshots.snapshot_commit(
+            _df(spark, lo, lo + 25).coalesce(1), path, stats_cols=["id"]
+        )
+    # all update keys land in the first file's range: the DV written by
+    # the merge must reference positions in ONE file only
+    upd = spark.createDataFrame([(3, 33), (11, 111)], "id long, doubled long")
+    r = snapshots.snapshot_merge_upsert(spark, path, upd, ["id"], use_dv=True)
+    assert (r["updated"], r["inserted"]) == (2, 0)
+    dv = snapshots._read_manifest(path, r["version"])["dv"]
+    dv_df = spark.read.parquet(*[os.path.join(path, f) for f in dv["files"]])
+    assert dv_df.select("_dv_file").distinct().count() == 1
+    rows = {x.id: x.doubled for x in snapshots.snapshot_read(spark, path).collect()}
+    assert rows[3] == 33 and rows[11] == 111 and len(rows) == 100
+
+
+def test_dv_merge_on_dv_deleted_table_does_not_resurrect(spark, tmp_path):
+    """A key whose only table row is hidden by the DV counts as
+    UNMATCHED: the merge re-inserts it (upsert semantics), it does not
+    resurrect the deleted row or double-count."""
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 10), path)
+    snapshots.snapshot_delete_where(spark, path, F.col("id") < 5, use_dv=True)
+    upd = spark.createDataFrame([(2, 222), (7, 777)], "id long, doubled long")
+    r = snapshots.snapshot_merge_upsert(spark, path, upd, ["id"], use_dv=True)
+    assert (r["updated"], r["inserted"]) == (1, 1)
+    rows = {x.id: x.doubled for x in snapshots.snapshot_read(spark, path).collect()}
+    assert set(rows) == {2, 5, 6, 7, 8, 9}
+    assert rows[2] == 222 and rows[7] == 777
+
+
+def test_dv_merge_rejects_schema_drift(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 10), path)
+    bad = spark.createDataFrame([(1, "x")], "id long, doubled string")
+    with pytest.raises(ValueError, match="not the table schema"):
+        snapshots.snapshot_merge_upsert(spark, path, bad, ["id"], use_dv=True)
+
+
+def test_dv_merge_concurrent_append_retries(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 10), path)
+
+    from pubg_data_pipeline_spark.sources.commitproto import TxnLog
+
+    calls = {"n": 0}
+    orig = TxnLog.try_publish_version
+
+    def racy(self, manifest, version, commit_id):
+        if calls["n"] == 0 and manifest.get("op") == "merge":
+            calls["n"] += 1
+            snapshots.snapshot_commit(_df(spark, 100, 103), path)
+        return orig(self, manifest, version, commit_id)
+
+    TxnLog.try_publish_version = racy
+    try:
+        upd = spark.createDataFrame([(3, 33), (101, 1)], "id long, doubled long")
+        r = snapshots.snapshot_merge_upsert(spark, path, upd, ["id"], use_dv=True)
+    finally:
+        TxnLog.try_publish_version = orig
+    # the retry re-derived on the new head: 101 now EXISTS -> updated,
+    # and the concurrent append's other rows survive
+    assert (r["updated"], r["inserted"]) == (2, 0)
+    rows = {x.id: x.doubled for x in snapshots.snapshot_read(spark, path).collect()}
+    assert rows[3] == 33 and rows[101] == 1 and rows[100] == 200 and rows[102] == 204
+
+
 def test_streaming_cdf_rides_through_dv_delete(spark, tmp_path):
     """The snapshot_cdf stream serves a DV delete exactly like a
     rewrite delete: its recorded change files, rows tagged delete."""
