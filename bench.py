@@ -188,6 +188,7 @@ HEADLINE_V2_EXTRA = [
     "customer_dv_delete_state",
     "customer_dv_cdf_replay",
     "customer_dv_merge_state",
+    "lineitem_zorder_pruned_read",
 ]
 
 #: Quiet-host reading of the calibration probe (min-of-8 on an idle

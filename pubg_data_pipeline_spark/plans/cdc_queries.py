@@ -618,6 +618,56 @@ GROUP BY c_mktsegment
 """
 
 
+def lineitem_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (sources/snapshots ``snapshot_compact(
+    zorder_by=...)``): lineitem committed arrival-ordered, Morton-
+    clustered on (l_orderkey, l_partkey), then read back through a
+    TWO-dimensional pruned read — manifest min/max stats skip files on
+    both clustered columns, which a linear sort cannot do for the
+    second one (tests/test_snapshots.py asserts the skip counts; this
+    oracle pins that the curve layout never changes semantics)."""
+    import shutil
+
+    from pubg_data_pipeline_spark.sources import snapshots
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    path = _snap_cache_path("lineitem_zorder", sf_dir, "lineitem")
+    if len(snapshots.snapshot_history(path)) != 2:
+        shutil.rmtree(path, ignore_errors=True)
+        snapshots.snapshot_commit(
+            li.orderBy(F.xxhash64("l_orderkey", "l_partkey")),
+            path,
+            stats_cols=["l_orderkey", "l_partkey"],
+        )
+        snapshots.snapshot_compact(
+            spark, path, target_files=16, zorder_by=["l_orderkey", "l_partkey"]
+        )
+    pruned = snapshots.snapshot_read(
+        spark,
+        path,
+        where=[("l_orderkey", "<=", 15000), ("l_partkey", "<=", 500)],
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(exact_scaled(F.col("l_quantity"))) / 100.0, 2).alias(
+            "total_qty"
+        ),
+    )
+
+
+_ZORDER_READ_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM({sql_scaled('l_quantity')}) AS BIGINT) / 100.0, 2)
+         AS total_qty
+FROM lineitem
+WHERE l_orderkey <= 15000 AND l_partkey <= 500
+GROUP BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec(
         "error_events_with_band", error_events_with_band, _TEMPORAL_JOIN_SQL, ("cdc", "join", "time")
@@ -654,6 +704,12 @@ SPECS = [
         customer_dv_merge_state,
         _DV_MERGE_SQL,
         ("cdc", "io", "snapshot"),
+    ),
+    QuerySpec(
+        "lineitem_zorder_pruned_read",
+        lineitem_zorder_pruned_read,
+        _ZORDER_READ_SQL,
+        ("io", "snapshot"),
     ),
     QuerySpec("customer_snapshot_diff", customer_snapshot_diff, _DIFF_SQL, ("cdc", "join")),
     QuerySpec("customer_merge_upsert", customer_merge_upsert, _MERGE_SQL, ("cdc", "join")),

@@ -1407,12 +1407,94 @@ def _delete_where_dv(
     )
 
 
+def _zorder_cluster(df: DataFrame, cols: list[str], target_files: int) -> DataFrame:
+    """Cluster ``df`` on the Morton (Z-order) curve over ``cols`` —
+    pure Column expressions, whole-stage codegen, no UDF:
+
+    1. each column is normalized to a double (temporals via their
+       epoch instant) and linearly bucketed into ``2^bits`` ranks with
+       ``width_bucket`` against its global min/max (two bounded
+       scalars per column, one agg job);
+    2. the rank bits are interleaved — bit ``i`` of column ``j`` lands
+       at position ``i*k + j`` — so rows close in EVERY dimension get
+       close z-values (``bits = min(16, 62/k)`` keeps the interleaved
+       value inside a signed long);
+    3. ``repartitionByRange`` + ``sortWithinPartitions`` on the
+       z-value tiles the curve across ``target_files`` files.
+
+    Files then cover small hyper-rectangles of the key space, so
+    min/max stats prune on ANY clustered column — a linear sort only
+    ever prunes on its leading column. This is Delta OPTIMIZE ZORDER's
+    design; linear-scaling buckets instead of sampled range IDs is the
+    one simplification (skewed columns cluster less evenly but never
+    less correctly — clustering is a layout optimization, rows are
+    identical)."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    if k < 2:
+        raise ValueError(
+            "zorder_by needs >= 2 columns — for one column use "
+            "sort_within_by (a linear sort IS the optimal 1-D layout)."
+        )
+    bits = min(16, 62 // k)
+    n = 1 << bits
+    dtypes = dict(df.dtypes)
+    norm = []
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt is None:
+            raise ValueError(f"zorder_by column {c!r} not in {sorted(dtypes)}")
+        if dt in ("timestamp", "timestamp_ntz", "date"):
+            norm.append(F.col(c).cast("timestamp").cast("double"))
+        elif dt in (
+            "tinyint",
+            "smallint",
+            "int",
+            "bigint",
+            "float",
+            "double",
+        ) or dt.startswith("decimal"):
+            norm.append(F.col(c).cast("double"))
+        else:
+            raise ValueError(
+                f"zorder_by column {c!r} has unorderable-for-bucketing type "
+                f"{dt!r} — z-order needs numeric/temporal columns."
+            )
+    aggs = []
+    for i, e in enumerate(norm):
+        aggs += [F.min(e).alias(f"mn{i}"), F.max(e).alias(f"mx{i}")]
+    bounds = df.agg(*aggs).first()
+    buckets = []
+    for i, e in enumerate(norm):
+        mn, mx = bounds[2 * i], bounds[2 * i + 1]
+        if mn is None or mx is None or not (mx > mn):
+            buckets.append(F.lit(0).cast("long"))  # constant/all-null column
+        else:
+            wb = F.width_bucket(e, F.lit(mn), F.lit(mx), F.lit(n))
+            wb = F.least(F.greatest(wb, F.lit(1)), F.lit(n)) - F.lit(1)
+            buckets.append(F.coalesce(wb, F.lit(0)).cast("long"))  # NULL -> rank 0
+    z = F.lit(0).cast("long")
+    for j, bk in enumerate(buckets):
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(bk, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return (
+        df.withColumn("__zval", z)
+        .repartitionByRange(target_files, "__zval")
+        .sortWithinPartitions("__zval")
+        .drop("__zval")
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,
     target_files: int = 8,
     max_retries: int = 5,
     sort_within_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE for snapshot tables: rewrite the head version's file
     list into ``target_files`` files as one overwrite commit — rows
@@ -1427,7 +1509,15 @@ def snapshot_compact(
     additionally range-partitions + sorts on those columns (OPTIMIZE's
     clustering half): a streaming sink's arrival-ordered files have
     useless min-max stats, and re-clustering restores file skipping on
-    the sort columns. Compaction also MATERIALIZES any deletion vector
+    the sort columns. ``zorder_by`` instead clusters on the Morton
+    curve over >= 2 numeric/temporal columns (see
+    :func:`_zorder_cluster`): files tile hyper-rectangles of the key
+    space, so the manifest's min/max stats prune on ANY clustered
+    column — the multi-dimensional file skipping Delta's OPTIMIZE
+    ZORDER exists for, where a linear sort only serves its leading
+    column. An explicit clustering request always rewrites (the
+    file-count fast path applies only to bare compactions).
+    Compaction also MATERIALIZES any deletion vector
     (``snapshot_delete_where(use_dv=True)`` accrual): the rewrite reads
     the logical head (DV applied), so the new version's files hold
     survivors only and carry no DV — readers stop paying the anti-join.
@@ -1435,6 +1525,8 @@ def snapshot_compact(
     _require_local(path)
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
+    if sort_within_by and zorder_by:
+        raise ValueError("pass sort_within_by OR zorder_by, not both")
     for _ in range(max_retries):
         versions = _versions(path)
         if not versions:
@@ -1442,7 +1534,12 @@ def snapshot_compact(
         head = versions[-1]
         head_meta = _read_manifest(path, head)
         files_before = head_meta["n_files"]
-        if files_before <= target_files and not head_meta.get("dv"):
+        if (
+            files_before <= target_files
+            and not head_meta.get("dv")
+            and not zorder_by
+            and not sort_within_by
+        ):
             # nothing to do — but a DV-bearing head always compacts
             # (materialization is the point even at low file counts)
             return {
@@ -1451,7 +1548,9 @@ def snapshot_compact(
                 "files_after": files_before,
             }
         df = snapshot_read(spark, path, version=head)
-        if sort_within_by:
+        if zorder_by:
+            df = _zorder_cluster(df, zorder_by, target_files)
+        elif sort_within_by:
             df = df.repartitionByRange(target_files, *sort_within_by)
             df = df.sortWithinPartitions(*sort_within_by)
         else:

@@ -753,3 +753,80 @@ def test_restore_then_pruned_or_empty_read_uses_manifest_schema(spark, tmp_path)
     snapshots.snapshot_restore(spark, path, v_empty, record_changes=False)
     back = snapshots.snapshot_read(spark, path)
     assert back.count() == 0 and back.columns == ["id", "doubled"]
+
+
+def test_zorder_compact_prunes_on_every_clustered_dimension(spark, tmp_path):
+    """OPTIMIZE ZORDER semantics: after Morton clustering on (x, y),
+    manifest stats prune files for a range on EITHER column — a linear
+    sort_within_by only ever serves its leading column."""
+    path = str(tmp_path / "tbl")
+    grid = (
+        spark.range(0, 10_000)
+        .select(
+            (F.col("id") % 100).alias("x"),
+            (F.col("id") / 100).cast("long").alias("y"),
+            F.col("id").alias("v"),
+        )
+        .orderBy(F.xxhash64("id"))  # arrival order: useless stats
+    )
+    snapshots.snapshot_commit(grid, path, stats_cols=["x", "y"])
+    c = snapshots.snapshot_compact(spark, path, target_files=16, zorder_by=["x", "y"])
+    m = snapshots._read_manifest(path, c["version"])
+    fs = m["file_stats"]
+
+    def kept(where):
+        return sum(
+            1 for f in m["files"] if snapshots._file_may_match(fs.get(f), where)
+        )
+
+    assert kept([("x", ">=", 10), ("x", "<=", 20)]) < 16
+    assert kept([("y", ">=", 10), ("y", "<=", 20)]) < 16
+    # rows identical, pruned read exact
+    assert snapshots.snapshot_read(spark, path).count() == 10_000
+    assert (
+        snapshots.snapshot_read(
+            spark, path, where=[("x", ">=", 10), ("x", "<=", 20)]
+        ).count()
+        == 11 * 100
+    )
+    # the z-order rewrite is still a provably-empty change set
+    assert snapshots.snapshot_table_changes(spark, path, 1).count() == 0
+
+
+def test_zorder_validation_and_edge_inputs(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 1.0, "a", None), (2, 1.0, "b", None)],
+        "k long, const double, s string, nul timestamp",
+    )
+    snapshots.snapshot_commit(df, path)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        snapshots.snapshot_compact(spark, path, zorder_by=["k"])
+    with pytest.raises(ValueError, match="not in"):
+        snapshots.snapshot_compact(spark, path, zorder_by=["k", "missing"])
+    with pytest.raises(ValueError, match="numeric/temporal"):
+        snapshots.snapshot_compact(spark, path, zorder_by=["k", "s"])
+    with pytest.raises(ValueError, match="not both"):
+        snapshots.snapshot_compact(
+            spark, path, sort_within_by=["k"], zorder_by=["k", "const"]
+        )
+    # constant and all-NULL columns cluster without dividing by zero
+    c = snapshots.snapshot_compact(
+        spark, path, target_files=2, zorder_by=["k", "const", "nul"]
+    )
+    assert snapshots.snapshot_read(spark, path, version=c["version"]).count() == 2
+
+
+def test_explicit_clustering_rewrites_even_at_low_file_count(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshots.snapshot_commit(_df(spark, 0, 100).coalesce(1), path)
+    # bare compact: fast path, no new version
+    before = snapshots.snapshot_history(path)[-1]["version"]
+    assert (
+        snapshots.snapshot_compact(spark, path, target_files=4)["version"] == before
+    )
+    # requested clustering: always rewrites
+    c = snapshots.snapshot_compact(
+        spark, path, target_files=4, sort_within_by=["id"]
+    )
+    assert c["version"] == before + 1
