@@ -253,7 +253,16 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubg_data_pipeline_spark.functions.vectors import as_double_vec, dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.repartition(spark.sparkContext.defaultParallelism, "label").select(
+    # Round-robin spread, NOT hash-by-label: the cell count can be far
+    # below the core count (10 labels here), so hash-partitioning on
+    # the block key collapses the O(n²/k) pair generation onto <= k
+    # tasks (observed: the whole scoring stage ran as ONE task while 31
+    # cores idled). The planner still blocks the join on `label`
+    # (broadcast at this size, shuffle on label at cluster scale); the
+    # round-robin pass only guarantees the probe side enters it evenly
+    # spread (optimization guide §2.5 — synthetic keys with too few
+    # distinct values).
+    raw = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "label", "vec_id", as_double_vec(F.col("embedding")).alias("e")
     )
     # Materialize the norm as a named column BEFORE the transform
@@ -700,7 +709,16 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubg_data_pipeline_spark.functions.vectors import as_double_vec, dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.repartition(spark.sparkContext.defaultParallelism, "label").select(
+    # Round-robin spread, NOT hash-by-label: the cell count can be far
+    # below the core count (10 labels here), so hash-partitioning on
+    # the block key collapses the O(n²/k) pair generation onto <= k
+    # tasks (observed: the whole scoring stage ran as ONE task while 31
+    # cores idled). The planner still blocks the join on `label`
+    # (broadcast at this size, shuffle on label at cluster scale); the
+    # round-robin pass only guarantees the probe side enters it evenly
+    # spread (optimization guide §2.5 — synthetic keys with too few
+    # distinct values).
+    raw = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "label", "vec_id", as_double_vec(F.col("embedding")).alias("e")
     )
     with_norm = raw.select(

@@ -34,6 +34,19 @@ _RUNTIME_CONFS: dict[str, str] = {
     # Deterministic wall-clock semantics matching the DuckDB oracle
     # (naive timestamps read as-is).
     "spark.sql.session.timeZone": "UTC",
+    # Read parquet timestamp[us] isAdjustedToUTC=false as session-zoned
+    # TimestampType instead of TimestampNTZType (the pre-3.4 behavior).
+    # Under the pinned UTC session timezone the values are identical,
+    # but the plan shape is not: with NTZ inference on, every consumer
+    # pays a cast(ts as timestamp) ABOVE the scan, which blocks parquet
+    # predicate pushdown on time filters (observed: PushedFilters lost
+    # every ts range predicate; with this flag the same filter reaches
+    # the scan as GreaterThan(ts, ...)). At 100 TB that pushdown is
+    # row-group/file skipping on the primary clustering axis of an
+    # events table — the single highest-leverage scan optimization
+    # (optimization guide §6). load_table keeps its NTZ-normalizing
+    # branch for robustness if a foreign session drops this conf.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Runtime re-planning: coalesce small partitions, split skewed ones.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
