@@ -51,6 +51,19 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let the planner pick shuffled-hash over sort-merge when its size
+    # conditions hold (one side much smaller AND its per-partition
+    # build fits memory), and let AQE rewrite SMJ->SHJ at runtime when
+    # every post-shuffle partition is under the threshold — skipping
+    # both sort passes (optimization guide §3.1 and §9 recommend this
+    # baseline). Measured on the SMJ-bearing queries: 9-query A/B at
+    # sf0.1 went 21.2s -> 14.5s with no regression surviving re-probe.
+    # Memory safety at cluster scale: the AQE rewrite is bounded by the
+    # per-partition threshold below, and the static preference still
+    # requires the planner's canBuildLocalHashMap check; both are
+    # plain runtime confs a deployment can override.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "128m",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
@@ -60,14 +73,24 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's required runtime confs to an existing session.
 
     Idempotent; call at every entry point that may receive a session
-    built elsewhere.
+    built elsewhere. Memoized per session object: load_table calls
+    this for every table it opens, and each conf.set is a py4j
+    round-trip — a 5-table query was paying ~40 needless driver RPCs
+    per construction. The flag lives on the session instance, so a new
+    or foreign session is always configured on first touch.
     """
+    if getattr(spark, "_pds_confs_applied", None) == id(_RUNTIME_CONFS):
+        return spark
     for key, value in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             # Non-runtime conf on this build — best effort.
             pass
+    try:
+        spark._pds_confs_applied = id(_RUNTIME_CONFS)
+    except Exception:
+        pass
     return spark
 
 
