@@ -347,10 +347,19 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     )
     e0_ids = _persisted_rdd_ids(spark) - before
     und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    with_deg = _degree_oriented(und)
+    _release_rdds(spark, e0_ids)
+    return _wedge_triangles(with_deg)
+
+
+def _degree_oriented(und: DataFrame) -> DataFrame:
+    """Degree-orient a symmetrized undirected edge list ``(u, v)``:
+    attach both endpoint degrees, keep each undirected edge once,
+    oriented low-(deg,id) -> high-(deg,id). Eagerly checkpointed — the
+    wedge join reads it three times, and the caller may release the
+    upstream edge blocks as soon as this returns."""
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    # attach both endpoint degrees, keep each undirected edge once,
-    # oriented low-(deg,id) -> high-(deg,id)
-    with_deg = (
+    return (
         und.join(deg, "u")
         .join(
             deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")),
@@ -361,12 +370,14 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
             | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
-        # three join legs read this; checkpoint so orientation runs
-        # once (EAGER: lets e0's blocks be released right away — the
-        # returned plan must not re-read e0 after that)
         .localCheckpoint(eager=True)
     )
-    _release_rdds(spark, e0_ids)
+
+
+def _wedge_triangles(with_deg: DataFrame) -> DataFrame:
+    """The wedge equi-join + closing-edge pattern over an already
+    degree-oriented (and materialized) edge list; one row per triangle,
+    members sorted."""
     d1 = with_deg
     d2 = with_deg.select(F.col("u").alias("v"), F.col("v").alias("w"))
     d3 = with_deg.select(F.col("u").alias("u"), F.col("v").alias("w"))
@@ -396,18 +407,33 @@ def clustering_coefficients(
     degree-1 nodes have an undefined denominator and report 0.0.
     """
     # one eager checkpoint serves BOTH the degree table and the
-    # triangle join's four references — without it an expensive
-    # upstream pair pipeline would re-execute per consumer (the same
-    # hazard triangles() guards internally; see its comment)
+    # triangle join's references — without it an expensive upstream
+    # pair pipeline would re-execute per consumer (the same hazard
+    # triangles() guards internally; see its comment)
+    spark = edges.sparkSession
+    before = _persisted_rdd_ids(spark)
     e0 = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .localCheckpoint(eager=True)
     )
-    und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e0_ids = _persisted_rdd_ids(spark) - before
+    # Materialize the symmetrized edge list ONCE and share it between
+    # the degree table and the orientation (previously this function
+    # computed und/deg itself for the coefficient AND called the public
+    # triangles(), which re-checkpointed e0 and recomputed und/deg from
+    # scratch for the orientation — one whole union+distinct exchange,
+    # one groupBy and one checkpoint materialization of pure double
+    # work per execution).
+    und = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _release_rdds(spark, e0_ids)
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
     tri_nodes = (
-        triangles(e0, src="u", dst="v")
+        _wedge_triangles(_degree_oriented(und))
         .select(F.explode(F.array("id_a", "id_b", "id_c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -491,13 +517,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
+        # No re-join against `nodes`: the symmetrized edge list contains
+        # every node as a destination (each undirected edge contributes
+        # both directions, and every vertex has degree >= 1), so
+        # `contrib` covers the node set exactly each iteration — the
+        # former nodes.join(contrib, "left") + coalesce(c, 0) was an
+        # identity that cost one join + one exchange per iteration
+        # (plan: 10 joins -> 5 for 5 iterations). Dangling-node mass
+        # redistribution is exactly the case this would matter for, and
+        # the symmetrization rules it out by construction.
+        ranks = contrib.select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.col("c")).alias("rank"),
         )
     return ranks

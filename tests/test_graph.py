@@ -169,6 +169,37 @@ def test_pagerank_empty_graph(spark):
     assert graph.pagerank(df).count() == 0
 
 
+def test_pagerank_matches_reference_on_path_graph(spark):
+    """Pin the node-coverage property the r8 optimization relies on:
+    each iteration's contribution aggregate covers EVERY vertex (the
+    symmetrized edge list has each node as a destination), so dropping
+    the per-iteration re-join against the node set changes nothing.
+    A path graph exercises degree-1 endpoints — the nodes that would
+    silently vanish if coverage ever broke — and values are checked
+    against a pure-Python reference walker."""
+    from pubg_data_pipeline_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in graph.pagerank(df, iterations=5).collect()}
+
+    und = set()
+    for a, b in edges:
+        und |= {(a, b), (b, a)}
+    nodes = sorted({x for e in und for x in e})
+    deg = {n: sum(1 for u, _ in und if u == n) for n in nodes}
+    ranks = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(5):
+        contrib = {n: 0.0 for n in nodes}
+        for u, v in und:
+            contrib[v] += ranks[u] / deg[u]
+        ranks = {n: 0.15 / len(nodes) + 0.85 * contrib[n] for n in nodes}
+
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - ranks[n]) < 1e-12
+
+
 def test_string_node_ids_converge_exactly(spark):
     """r5 review fix: component labels that can't cast to decimal must
     use the exact changed-row convergence probe — under ANSI the old
