@@ -144,16 +144,6 @@ def connected_components(
         .join(loop_nodes, "node", "left_anti")
         .select("node", F.col("node").alias("comp"))
     )
-    labels, labels_ids = _ckpt(init.unionByName(self_only), eager=True)
-    # e0 fed sym, e, and the self-loop union; sym fed e. Both are dead
-    # weight once labels materialize — release their blocks so repeated
-    # CC calls in one session don't accumulate checkpoint storage.
-    _release_rdds(spark, e0_ids | sym_ids)
-    if n_edges == 0:
-        # only self-loops (or no edges): already at fixpoint; the edge
-        # table won't be read again
-        _release_rdds(spark, _e_ids)
-        return labels.select("node", F.col("comp").alias("component"))
     # Convergence detection: labels only ever decrease. For NUMERIC ids
     # sum(comp) is strictly monotone until fixpoint — two equal
     # consecutive sums mean no label moved, one tiny aggregation per
@@ -163,10 +153,42 @@ def connected_components(
     # throws, and legacy NULL sums would fake instant convergence — so
     # they use an exact changed-row probe against the previous labels
     # (limit(1) short-circuits; one small extra join per round).
+    labels, labels_ids = _ckpt(init.unionByName(self_only), eager=False)
     numeric_comp = dict(labels.dtypes)["comp"] in (
         "tinyint", "smallint", "int", "bigint",
     ) or dict(labels.dtypes)["comp"].startswith("decimal")
-    prev_sum = None
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    # Seed the convergence detector with the INIT labels' sum, riding
+    # the very action that materializes the init checkpoint (lazy ckpt
+    # + sum, replacing the former eager ckpt's internal action — zero
+    # extra jobs): labels are monotone non-increasing, so round-1 sum
+    # == init sum proves round 1 moved nothing and init was already
+    # the fixpoint. Dup graphs are star/clique shaped — init
+    # (least(node, min-neighbor)) IS their fixpoint — so this detects
+    # convergence after ONE round instead of the two the prev_sum=None
+    # seed forced (the string path always had this: it compares
+    # against the previous labels directly). Saves a full
+    # propagate+jump round (4-6 serial jobs) on init-fixpoint graphs,
+    # costs nothing on the rest.
+    if numeric_comp:
+        prev_sum = _label_sum(labels)
+    else:
+        prev_sum = None
+        labels.count()  # materialize the lazy init checkpoint
+    # e0 fed sym, e, and the self-loop union; sym fed e. Both are dead
+    # weight once labels materialize — release their blocks so repeated
+    # CC calls in one session don't accumulate checkpoint storage.
+    _release_rdds(spark, e0_ids | sym_ids)
+    if n_edges == 0:
+        # only self-loops (or no edges): already at fixpoint; the edge
+        # table won't be read again
+        _release_rdds(spark, _e_ids)
+        return labels.select("node", F.col("comp").alias("component"))
     for _ in range(max_iter):
         # 1. neighbor min: comp'(n) = min(comp(n), min_{m in N(n)} comp(m))
         nbr_min = (
@@ -198,10 +220,8 @@ def connected_components(
             eager=False,
         )
         if numeric_comp:
-            cur_sum = jumped.agg(
-                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
-            converged = prev_sum is not None and cur_sum == prev_sum
+            cur_sum = _label_sum(jumped)
+            converged = cur_sum == prev_sum
             prev_sum = cur_sum
         else:
             converged = (

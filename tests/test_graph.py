@@ -145,6 +145,25 @@ def test_connected_components_two_cliques_and_bridge(spark):
     assert comps2 == {0, 100}
 
 
+def test_init_fixpoint_component_mixed_with_live_chain(spark):
+    """The convergence detector is seeded with the INIT labels' sum so
+    an init-fixpoint graph (star/clique — the dominant dup-graph shape)
+    converges after one round. The risk case of that seeding is a MIXED
+    graph: one component already at fixpoint after init while another
+    still needs propagation rounds — the global sum keeps moving, so
+    the loop must NOT stop early and both components must come out
+    exact."""
+    star = [(1, k) for k in range(2, 8)]  # init-fixpoint: all label 1
+    chain = [(i, i + 1) for i in range(100, 130)]  # needs ~log2(30) rounds
+    comp = _cc(spark, star + chain)
+    assert {comp[k] for k in range(1, 8)} == {1}
+    assert {comp[k] for k in range(100, 131)} == {100}
+    # pure init-fixpoint graph (single clique) stays exact too
+    clique = [(a, b) for a in range(50, 56) for b in range(a + 1, 56)]
+    comp2 = _cc(spark, clique)
+    assert set(comp2.values()) == {50} and len(comp2) == 6
+
+
 def test_pagerank_invariants_star_and_symmetry(spark):
     from pubg_data_pipeline_spark.operators import graph
 
