@@ -964,12 +964,23 @@ def prefix_filtered_jaccard_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("__df", "shingle"))).alias("__ord"))
     )
     n = F.size("__ord")
+    # Lazy localCheckpoint: `sized` feeds BOTH join legs below (prefix
+    # and full-probe), and without the barrier the whole rarest-first
+    # ordering chain (doc_freq aggregate + join + collect_list +
+    # array_sort over every posting) is planned and EXECUTED twice —
+    # at 100 TB that duplicate is a second full-corpus aggregation.
+    # Lazy (not eager): the first consumer's action computes and caches
+    # it with no extra job barrier — the eager+repartition variant was
+    # measured WORSE at sf0.1 (1.98 s vs 1.65 s, the barrier costing
+    # more than the duplicate saves at 17 MB), while this lazy form is
+    # a wash locally (8-pass interleaved A/B: 1.376 vs 1.394 s min)
+    # and strictly halves the ordering work at scale.
     sized = ordered.select(
         "__id",
         "__ord",
         n.alias("__n"),
         (n - F.ceil(F.lit(threshold) * n) + 1).cast("int").alias("__plen"),
-    )
+    ).localCheckpoint(eager=False)
     prefix = sized.select(
         F.col("__id").alias("__pid"),
         F.col("__n").alias("__n_p"),
