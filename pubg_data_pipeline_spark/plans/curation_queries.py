@@ -637,6 +637,13 @@ def doc_bigram_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__lp") / F.col("n_bigrams"), 4).alias("avg_logprob"),
             F.round(F.exp(-F.col("__lp") / F.col("n_bigrams")), 2).alias("bigram_ppl"),
         )
+        # Lazy localCheckpoint: `scored` is referenced twice (median
+        # scalar + final select), and without the barrier the whole
+        # train+score LM pipeline is planned twice — exchange reuse
+        # recovers some of it, but the per-doc scored frame is tiny and
+        # caching it guarantees the pipeline runs once at any scale
+        # (interleaved A/B at sf0.1: 1.00 -> 0.87 s median, rows equal).
+        .localCheckpoint(eager=False)
     )
     med = scored.agg(F.expr("percentile(bigram_ppl, 0.5)").alias("__m"))
     return scored.crossJoin(F.broadcast(med)).select(
