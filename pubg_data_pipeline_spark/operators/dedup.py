@@ -461,14 +461,22 @@ def _shingle_pair_intersections(
     # shingle, ordered pairs from each list) — one shuffle of the
     # exploded shingles instead of a self-join's two, ~1.5x faster at
     # sf0.1.
+    # Lazy localCheckpoint: `posting` feeds BOTH the pair generation
+    # and the per-doc sizes below, and AQE (Spark 4.1.2) does NOT
+    # reuse the identical groupBy("shingle") exchange between two
+    # consumers (verified with a minimal self-join repro: AQE off ->
+    # ReusedExchange + 1 scan, AQE on -> 2 full builds) — without the
+    # barrier the collect_list index build ran twice. Materializing the
+    # inverted index once is the standard derived-index trade at scale;
+    # measured at sf0.1 (interleaved 3-way A/B): uncapped 1.37 -> 0.86 s
+    # median, capped 1.07 -> 0.91 s, rows identical for both.
     posting = exploded.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc")).alias("docs")
-    )
+    ).localCheckpoint(eager=False)
     # Per-doc shingle counts derived from the posting lists rather than
-    # a second groupBy over `exploded`: both consumers now share the
-    # groupBy("shingle") exchange (ReusedExchange), so the expensive
-    # tokenize/shingle projection runs ONCE per corpus scan instead of
-    # twice. The re-explode here is cheap (no regex, just the lists).
+    # a second groupBy over `exploded`, so the tokenize/shingle
+    # projection never runs a second time; the re-explode of the
+    # checkpointed lists is cheap (no regex, reads the cache).
     sizes = (
         posting.select(F.explode("docs").alias("doc"))
         .groupBy("doc")
