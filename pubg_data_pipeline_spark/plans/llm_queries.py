@@ -645,12 +645,13 @@ def doc_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFram
     the capped shingle universe, so numerator and denominator stay
     consistent; the oracle applies the identical cap."""
     docs = load_table(spark, sf_dir, "documents")
-    # NOT wired to the shared persisted shingle table: the df-cap path
-    # has three consumers of the exploded frame (keep aggregate, the
-    # semi-join, the posting groupBy) which Catalyst serves from ONE
-    # reused exchange when built inline — explode-from-cache x3 beats
-    # the saved regex pass by ~30% the wrong way (measured 1.08 s
-    # inline vs 1.42 s shared at sf0.1).
+    # NOT wired to the shared persisted shingle table: measured 1.08 s
+    # inline vs 1.42 s shared at sf0.1 — explode-from-cache per consumer
+    # of the exploded frame costs more than the saved regex pass. (The
+    # original rationale credited exchange reuse, which AQE does not
+    # actually perform — see _shingle_pair_intersections — but the
+    # empirical ordering stands, re-confirmed after the posting-index
+    # checkpoint: inline 0.91 s vs shared-form variants ~1.0 s.)
     pairs = dedup.ngram_jaccard_pairs(
         docs, "text", "doc_id", shingle_n=3, threshold=0.05, max_doc_freq=4
     )
