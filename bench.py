@@ -246,6 +246,25 @@ def main(argv: list[str] | None = None) -> None:
         out_path = argv[argv.index("--out") + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Core count determines which detail/baseline FILES this run uses:
+    # the driver benches at 32 cores AND at a lower count for scaling,
+    # and a low-core run writing the 32-core BENCH_DETAIL.json poisons
+    # the regression tracker's baseline (round-8 postmortem: an 8-core
+    # pre-flight between two 32-core runs fabricated a "stands" flag).
+    cpus = str(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 32)
+    core_suffix = "" if cpus == "32" else f"_c{cpus}"
+    # Neutralize the cross-run derived-index disk caches BEFORE the
+    # session starts: every bench invocation must compute from the
+    # parquet inputs alone. The first timed pass at the target SF
+    # rebuilds them (its reading is recorded in "first_pass" below and
+    # discarded by the min-of-3), so the reported timings are the
+    # declared probe-only semantics while a fresh clone's first run
+    # and the committed numbers now agree by construction.
+    import shutil
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cache_dir in (".ivf_cache", ".index_cache"):
+        shutil.rmtree(os.path.join(here, cache_dir), ignore_errors=True)
     spark = get_spark(app_name="pubg-pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
@@ -290,7 +309,13 @@ def main(argv: list[str] | None = None) -> None:
     # only add a fourth full execution to the wall clock — with ~100
     # headline queries that pass alone is ~1.5 min of driver budget.
     timings: dict[str, float] = {}
-    for _ in range(timed_passes):
+    # First-pass (cold) readings are recorded separately in the detail
+    # file: with the disk caches wiped above, pass 0 at the target SF
+    # pays every index/derived-artifact build, so first_pass - min IS
+    # the per-query build cost a reader can audit (the min stays the
+    # declared steady-state probe semantics).
+    first_pass: dict[str, float] = {}
+    for pass_i in range(timed_passes):
         for name in names:
             start = time.perf_counter()
             try:
@@ -303,6 +328,8 @@ def main(argv: list[str] | None = None) -> None:
                 timings.pop(name, None)
                 continue
             elapsed = round(time.perf_counter() - start, 3)
+            if pass_i == 0:
+                first_pass[name] = elapsed
             timings[name] = min(timings.get(name, elapsed), elapsed)
             # Symmetric consistency: a timed success supersedes an error
             # from an earlier (warmup or timed) pass.
@@ -317,7 +344,7 @@ def main(argv: list[str] | None = None) -> None:
     # protocol now runs in both modes, so every flagged entry carries a
     # verdict a reader can trust without independent re-timing.
     regressions = _regressions_vs_last_recorded(
-        timings, sf=sf_val, full_mode=all_mode
+        timings, sf=sf_val, full_mode=all_mode, core_suffix=core_suffix
     )
     # Outlier re-measure pass (round-6 postmortem): when contention
     # spans the whole sweep, every min-of-3 is inflated and the tracker
@@ -400,11 +427,20 @@ def main(argv: list[str] | None = None) -> None:
     # JSON line passed ~3KB at 121 queries (round-4 postmortem: the head
     # of the line — including "value" — was cut off and the driver
     # recorded parsed: null). The regression tracker reads this file.
-    detail_name = out_path or ("BENCH_FULL.json" if all_mode else "BENCH_DETAIL.json")
+    detail_name = out_path or (
+        f"BENCH_FULL{core_suffix}.json" if all_mode else f"BENCH_DETAIL{core_suffix}.json"
+    )
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
+    # The detail file additionally records the cold (pass-0) readings
+    # and which disk caches were wiped, so the steady-state min-of-3
+    # semantics are self-documenting in the artifact.
+    detail_obj = dict(result)
+    detail_obj["first_pass"] = first_pass
+    detail_obj["cache_dirs_wiped"] = [".ivf_cache", ".index_cache"]
+    detail_obj["cpus"] = cpus
     try:
         with open(detail_path, "w") as f:
-            json.dump(result, f, indent=1, sort_keys=True)
+            json.dump(detail_obj, f, indent=1, sort_keys=True)
     except OSError as exc:
         # re-bind into result: when no query errors preceded this,
         # `errors` was empty at the binding above and the message would
@@ -439,6 +475,7 @@ def _regressions_vs_last_recorded(
     root: str | None = None,
     sf: float | str | None = None,
     full_mode: bool = False,
+    core_suffix: str = "",
 ) -> dict[str, dict[str, float]]:
     """Per-query comparison against the most recent recorded run:
     BENCH_DETAIL.json (written by the previous completed bench run —
@@ -447,7 +484,11 @@ def _regressions_vs_last_recorded(
     overrides, for tests). ``full_mode`` compares against the previous
     full sweep instead (BENCH_FULL.json, then BENCH_FULL_r{N}.json) —
     headline and sweep populations/pass counts differ, so their
-    baselines must not cross. Queries now > ``factor``× slower are
+    baselines must not cross. ``core_suffix`` (e.g. ``"_c8"``) keys the
+    baseline files by core count for the same reason — low-core runs
+    compare only against low-core baselines (round-8 postmortem: an
+    8-core detail file between two 32-core runs fabricated a
+    cross-core "stands" flag). Queries now > ``factor``× slower are
     flagged so an environment/testdata drift is caught by the builder
     before the driver sees it. Sub-``min_sec`` queries are ignored
     (pure scheduling noise at that magnitude)."""
@@ -458,13 +499,14 @@ def _regressions_vs_last_recorded(
     stem = "BENCH_FULL" if full_mode else "BENCH"
     candidates = []
     detail = os.path.join(
-        here, "BENCH_FULL.json" if full_mode else "BENCH_DETAIL.json"
+        here,
+        f"BENCH_FULL{core_suffix}.json" if full_mode else f"BENCH_DETAIL{core_suffix}.json",
     )
     if os.path.exists(detail):
         candidates.append(detail)
     rounds = []
-    for path in glob.glob(os.path.join(here, f"{stem}_r*.json")):
-        m = re.search(rf"{stem}_r(\d+)\.json$", path)
+    for path in glob.glob(os.path.join(here, f"{stem}_r*{core_suffix}.json")):
+        m = re.search(rf"{stem}_r(\d+){core_suffix}\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
     candidates += [p for _, p in sorted(rounds, reverse=True)]

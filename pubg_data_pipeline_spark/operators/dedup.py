@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pubg_data_pipeline_spark.operators.ckpt import barrier
+
 from pubg_data_pipeline_spark.functions.text import doc_fingerprint, word_shingles
 
 
@@ -470,9 +472,12 @@ def _shingle_pair_intersections(
     # inverted index once is the standard derived-index trade at scale;
     # measured at sf0.1 (interleaved 3-way A/B): uncapped 1.37 -> 0.86 s
     # median, capped 1.07 -> 0.91 s, rows identical for both.
-    posting = exploded.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc")).alias("docs")
-    ).localCheckpoint(eager=False)
+    posting = barrier(
+        exploded.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("doc")).alias("docs")
+        ),
+        site="dedup:shingle_posting",
+    )
     # Per-doc shingle counts derived from the posting lists rather than
     # a second groupBy over `exploded`, so the tokenize/shingle
     # projection never runs a second time; the re-explode of the
@@ -988,7 +993,8 @@ def prefix_filtered_jaccard_pairs(
         "__ord",
         n.alias("__n"),
         (n - F.ceil(F.lit(threshold) * n) + 1).cast("int").alias("__plen"),
-    ).localCheckpoint(eager=False)
+    )
+    sized = barrier(sized, site="dedup:ppjoin_sized")
     prefix = sized.select(
         F.col("__id").alias("__pid"),
         F.col("__n").alias("__n_p"),

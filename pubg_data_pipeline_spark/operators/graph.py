@@ -8,21 +8,25 @@ operators/dedup.py) must be closed into CLUSTERS so one canonical
 document per duplicate group survives — pairs alone under-delete
 (A~B, B~C but A!~C still means keep only one of {A,B,C}).
 
-Algorithm: iterative min-label propagation with pointer jumping
+Algorithm: iterative min-label propagation with pointer DOUBLING
 ("hash-to-min", Rastogi et al. 2012, "Finding Connected Components in
 Map-Reduce in Logarithmic Rounds"). Each round every node takes the
-min component id over itself and its neighbors, then shortcuts through
-its current component pointer (label(label(n))) — the pointer-jump
-halves chain depth, giving O(log d) rounds on diameter-d components
-instead of O(d) for plain neighbor flooding.
+min component id over itself and its neighbors (fused into one
+aggregate via per-node self-edges), then shortcuts through its
+component pointer TWICE (label(label(label(n)))) — doubling cuts
+chain depth ~4x per round, giving O(log d) rounds on diameter-d
+components instead of O(d) for plain neighbor flooding.
 
-Scale notes (100 TB): each round is two shuffles on the node id
-(neighbor min + pointer join), both over the *node/edge* tables — no
+Scale notes (100 TB): each round is one join+aggregate on the node id
+plus two pointer self-joins, all over the *node/edge* tables — no
 per-component serialization point, no driver-side graph. Rounds
 localCheckpoint their result: iterative self-joins otherwise double
 the Catalyst plan every round (analysis time goes exponential) and
 replay the whole lineage on failure. Dedup graphs converge in 2-4
 rounds (components are near-cliques of duplicates, diameter ~1-2).
+Graphs that fit one loop partition compile their rounds without AQE
+(one scheduler job per round instead of one per exchange); wider
+graphs keep AQE for runtime skew-splitting.
 """
 
 from __future__ import annotations
@@ -30,35 +34,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# DataFrame.unpersist() is a NO-OP for localCheckpoint blocks (they
+# are registered at the RDD layer, not the Dataset cache manager —
+# verified: the persistent-RDD count is unchanged after
+# df.unpersist()), so superseded per-round checkpoints must be
+# released through the block manager's own registry or they
+# accumulate for the process lifetime. The helpers live in ckpt.py
+# (shared with every plan-level barrier site).
+from pubg_data_pipeline_spark.operators.ckpt import (
+    persisted_rdd_ids as _persisted_rdd_ids,
+    release_rdds as _release_rdds,
+    reliable_checkpoint_dir,
+)
 
-def _persisted_rdd_ids(spark: SparkSession) -> set[int]:
-    """Ids of every RDD currently registered with the block manager.
-    localCheckpoint registers its backing RDD here at CALL time (even
-    eager=False), so diffing before/after a checkpoint identifies
-    exactly the blocks that checkpoint owns."""
-    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
-    it = m.keysIterator()
-    out: set[int] = set()
-    while it.hasNext():
-        out.add(it.next())
-    return out
 
-
-def _release_rdds(spark: SparkSession, ids: set[int]) -> None:
-    """Unpersist the given RDD ids. DataFrame.unpersist() is a NO-OP
-    for localCheckpoint blocks (they are registered at the RDD layer,
-    not the Dataset cache manager — verified: the persistent-RDD count
-    is unchanged after df.unpersist()), so superseded per-round
-    checkpoints must be released through the block manager's own
-    registry or they accumulate for the process lifetime."""
-    if not ids:
-        return
-    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
-    it = m.valuesIterator()
-    while it.hasNext():
-        r = it.next()
-        if r.id() in ids:
-            r.unpersist(False)
+def _ckpt_eager(df: DataFrame) -> DataFrame:
+    """Eager lineage barrier honoring the cluster escape hatch: with
+    SPARK_GRAFT_CHECKPOINT_DIR set, a reliable DataFrame.checkpoint
+    (executor-loss tolerant); otherwise the fast executor-local one."""
+    d = reliable_checkpoint_dir()
+    if d is None:
+        return df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        spark.sparkContext.setCheckpointDir(d)
+    return df.checkpoint(eager=True)
 
 
 def connected_components(
@@ -86,6 +86,12 @@ def connected_components(
     """
 
     spark = edges.sparkSession
+    if checkpoint_dir is None:
+        # cluster escape hatch: a session-level reliable-checkpoint dir
+        # (SPARK_GRAFT_CHECKPOINT_DIR) applies when no explicit dir is
+        # passed, so deployments get executor-loss-tolerant rounds
+        # without touching every call site
+        checkpoint_dir = reliable_checkpoint_dir()
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -104,145 +110,177 @@ def connected_components(
     # and executed twice — measured 2x the whole-query cost at sf0.1.
     # After the checkpoint the union reads a cached RDD twice instead.
     e0, e0_ids = _ckpt(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), eager=True)
-    sym, sym_ids = _ckpt(
-        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct(),
-        eager=False,
+    # One fast count over the just-cached blocks sizes everything below
+    # (the former separate symmetrize-checkpoint + count pass is folded
+    # into the single edge-table build — one setup job saved).
+    n_raw = e0.count()
+    if n_raw == 0:
+        # empty LOCAL relation with the contract schema — must not read
+        # e0 (its checkpoint blocks are released and unrecomputable)
+        schema = e0.select(
+            F.col("a").alias("node"), F.col("a").alias("component")
+        ).schema
+        _release_rdds(spark, e0_ids)
+        return spark.createDataFrame([], schema)
+    # Size the loop's shuffle width to the edge count (~500k symmetrized
+    # edges per partition), exactly as AQE would coalesce it: the
+    # near-dup edge list is orders smaller than the corpus, and running
+    # log-d rounds of 32-way shuffles over a few thousand edges spends
+    # everything on task scheduling.
+    n_parts = max(
+        1, min(spark.sparkContext.defaultParallelism, (2 * n_raw) // 500_000)
     )
-    # Size the loop's shuffle width to the edge count (~500k edges per
-    # partition), exactly as AQE would coalesce it: the near-dup edge
-    # list is orders smaller than the corpus, and running log-d rounds
-    # of 32-way shuffles over a few thousand edges spends everything on
-    # task scheduling. The count also materializes the symmetrized
-    # checkpoint so each loop round starts from cached edges.
-    n_edges = sym.count()
-    n_parts = max(1, min(sym.sparkSession.sparkContext.defaultParallelism, n_edges // 500_000))
-    # Partition by "b" — the loop's only join against e keys on b
-    # (labels renamed node->b), so the edge side never reshuffles
-    # inside the loop.
-    e, _e_ids = _ckpt(sym.repartition(n_parts, "b"), eager=True)
-    # Initialize at least(node, min_neighbor) — the first half of a
-    # propagation round folded into the init aggregate. Dup graphs are
-    # near-cliques, and a clique is already at fixpoint after this, so
-    # the loop's first round detects convergence immediately (one full
-    # round saved on the dominant shape; chains just shift by one).
-    # Every node of the symmetrized edge list appears as "a"; nodes
-    # whose ONLY edges were self-loops vanished in the a != b filter,
-    # so they are unioned back as their own singleton component — the
-    # documented contract is every node appearing in ``edges``.
-    init = (
-        e.groupBy(F.col("a").alias("node"))
-        .agg(F.min("b").alias("__mn"))
-        .select("node", F.least(F.col("node"), F.col("__mn")).alias("comp"))
-    )
-    loop_nodes = e.select(F.col("a").alias("node")).distinct()
-    self_only = (
-        e0.select(F.col("a").alias("node"))
-        .union(e0.select(F.col("b").alias("node")))
-        .distinct()
-        .join(loop_nodes, "node", "left_anti")
-        .select("node", F.col("node").alias("comp"))
-    )
-    # Convergence detection: labels only ever decrease. For NUMERIC ids
-    # sum(comp) is strictly monotone until fixpoint — two equal
-    # consecutive sums mean no label moved, one tiny aggregation per
-    # round (which doubles as the action materializing the round's
-    # checkpoint); decimal(38,0) keeps it exact under ANSI at any id
-    # scale. Non-numeric ids (string doc keys) cannot be cast — ANSI
-    # throws, and legacy NULL sums would fake instant convergence — so
-    # they use an exact changed-row probe against the previous labels
-    # (limit(1) short-circuits; one small extra join per round).
-    labels, labels_ids = _ckpt(init.unionByName(self_only), eager=False)
-    numeric_comp = dict(labels.dtypes)["comp"] in (
-        "tinyint", "smallint", "int", "bigint",
-    ) or dict(labels.dtypes)["comp"].startswith("decimal")
-
-    def _label_sum(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    # Seed the convergence detector with the INIT labels' sum, riding
-    # the very action that materializes the init checkpoint (lazy ckpt
-    # + sum, replacing the former eager ckpt's internal action — zero
-    # extra jobs): labels are monotone non-increasing, so round-1 sum
-    # == init sum proves round 1 moved nothing and init was already
-    # the fixpoint. Dup graphs are star/clique shaped — init
-    # (least(node, min-neighbor)) IS their fixpoint — so this detects
-    # convergence after ONE round instead of the two the prev_sum=None
-    # seed forced (the string path always had this: it compares
-    # against the previous labels directly). Saves a full
-    # propagate+jump round (4-6 serial jobs) on init-fixpoint graphs,
-    # costs nothing on the rest.
-    if numeric_comp:
-        prev_sum = _label_sum(labels)
-    else:
-        prev_sum = None
-        labels.count()  # materialize the lazy init checkpoint
-    # e0 fed sym, e, and the self-loop union; sym fed e. Both are dead
-    # weight once labels materialize — release their blocks so repeated
-    # CC calls in one session don't accumulate checkpoint storage.
-    _release_rdds(spark, e0_ids | sym_ids)
-    if n_edges == 0:
-        # only self-loops (or no edges): already at fixpoint; the edge
-        # table won't be read again
-        _release_rdds(spark, _e_ids)
-        return labels.select("node", F.col("comp").alias("component"))
-    for _ in range(max_iter):
-        # 1. neighbor min: comp'(n) = min(comp(n), min_{m in N(n)} comp(m))
-        nbr_min = (
-            e.join(labels.withColumnRenamed("node", "b"), "b")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
+    # Loop-scoped execution mode: when the whole graph fits ONE loop
+    # partition there is nothing for AQE to decide (no skew to split,
+    # nothing to coalesce, every exchange is 1-way) — but AQE still
+    # charges one stage-materialization JOB per exchange per round,
+    # which at sf0.1 made a 600-edge / 3-round closure cost 40 driver
+    # jobs (~2s of pure scheduling). Compiling the loop without AQE at
+    # an explicit 1-way width turns each round into a single job. For
+    # any graph wider than one partition AQE stays on: its runtime
+    # skew-split/coalesce earns the constants at real scale, so the
+    # switch is derived from data size, not from the local core count.
+    loop_aqe_off = n_parts == 1
+    conf_saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    try:
+        if loop_aqe_off:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        # Symmetrize, then append one SELF-EDGE (n, n) per node: the
+        # per-round neighbor-min over this table sees the node's own
+        # label through its self-edge, so a round is ONE join + ONE
+        # aggregate — the former least(own, nbr) LEFT JOIN against the
+        # labels and the separate singleton-node union branch both fold
+        # into the aggregate (guide §2.4: two exchanges per round
+        # removed). Self-loop-only nodes ride the same self-edge path
+        # and keep their singleton component.
+        sym = (
+            e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        stepped = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
+        nodes = (
+            e0.select("a").union(e0.select(F.col("b").alias("a"))).distinct()
+        )
+        # Partition by "b" — the loop's only join against e keys on b
+        # (labels renamed node->b), so the edge side never reshuffles
+        # inside the loop.
+        e, _e_ids = _ckpt(
+            sym.unionByName(nodes.select("a", F.col("a").alias("b"))).repartition(
+                n_parts, "b"
+            ),
+            eager=True,
+        )
+        # Initialize at least(node, min_neighbor) — the first half of a
+        # propagation round folded into the init aggregate (the
+        # self-edge makes min(b) include the node itself). Dup graphs
+        # are near-cliques, and a clique is already at fixpoint after
+        # this, so the loop's first round detects convergence
+        # immediately (one full round saved on the dominant shape).
+        init = e.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("comp"))
+        # Convergence detection: labels only ever decrease. For NUMERIC
+        # ids sum(comp) is strictly monotone until fixpoint — two equal
+        # consecutive sums mean no label moved, one tiny aggregation per
+        # round (which doubles as the action materializing the round's
+        # checkpoint); decimal(38,0) keeps it exact under ANSI at any id
+        # scale. Non-numeric ids (string doc keys) cannot be cast — ANSI
+        # throws, and legacy NULL sums would fake instant convergence —
+        # so they use an exact changed-row probe against the previous
+        # labels (limit(1) short-circuits; one small join per round).
+        labels, labels_ids = _ckpt(init, eager=False)
+        numeric_comp = dict(labels.dtypes)["comp"] in (
+            "tinyint", "smallint", "int", "bigint",
+        ) or dict(labels.dtypes)["comp"].startswith("decimal")
+
+        def _label_sum(frame: DataFrame):
+            return frame.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+
+        # Seed the convergence detector with the INIT labels' sum,
+        # riding the very action that materializes the init checkpoint:
+        # labels are monotone non-increasing, so round-1 sum == init sum
+        # proves round 1 moved nothing and init was already the fixpoint.
+        if numeric_comp:
+            prev_sum = _label_sum(labels)
+        else:
+            prev_sum = None
+            labels.count()  # materialize the lazy init checkpoint
+        # e0 fed sym, nodes and e; dead weight once e materializes —
+        # release its blocks so repeated CC calls in one session don't
+        # accumulate checkpoint storage.
+        _release_rdds(spark, e0_ids)
+
+        def _jump(frame: DataFrame) -> DataFrame:
+            """comp'(n) = comp(comp(n)) — one pointer-jump shortcut.
+            comp is always some node's id and every node carries a
+            label, so the left join's coalesce is pure safety."""
+            ptr = frame.select(
+                F.col("node").alias("comp"), F.col("comp").alias("comp2")
             )
-        )
-        # 2. pointer jump: comp''(n) = comp'(comp'(n)) — halves chains.
-        ptr = stepped.select(
-            F.col("node").alias("comp"), F.col("comp").alias("comp2")
-        )
-        jumped, jumped_ids = _ckpt(
-            stepped.join(ptr, "comp", "left")
-            .select(
+            return frame.join(ptr, "comp", "left").select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))
                 ).alias("comp"),
-            ),
-            eager=False,
-        )
-        if numeric_comp:
-            cur_sum = _label_sum(jumped)
-            converged = cur_sum == prev_sum
-            prev_sum = cur_sum
-        else:
-            converged = (
-                jumped.join(
-                    labels.select("node", F.col("comp").alias("__prev")), "node"
-                )
-                .filter(F.col("comp") != F.col("__prev"))
-                .limit(1)
-                .count()
-                == 0
             )
-        # the action above materialized `jumped`; the superseded round's
-        # blocks are now dead — release before rebinding (the final
-        # round's blocks back the returned frame and stay)
-        _release_rdds(spark, labels_ids)
-        labels, labels_ids = jumped, jumped_ids
-        if converged:
-            break
-    # only the final labels blocks back the returned frame; the edge
-    # table is loop-internal
-    _release_rdds(spark, _e_ids)
+
+        for _ in range(max_iter):
+            # 1. neighbor min fused with self: the self-edge contributes
+            # the node's own label, so this single aggregate IS
+            # least(comp(n), min_{m in N(n)} comp(m)) over every node.
+            stepped = (
+                e.join(labels.withColumnRenamed("node", "b"), "b")
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("comp").alias("comp"))
+            )
+            # 2. POINTER DOUBLING: two jump passes per round (quarters
+            # chain depth per round instead of halving it). Each jump
+            # references its input twice (self-join); persisting the
+            # input makes the diamond compute once — AQE in Spark 4.1.2
+            # never emits ReusedExchange for duplicated subtrees (round-8
+            # probes), and the two exchanges hash different columns so
+            # even static planning cannot share them. Plain persist (not
+            # localCheckpoint) keeps lineage intact, so reliable-
+            # checkpoint deployments stay executor-loss recoverable and
+            # the blocks are releasable via the Dataset cache manager.
+            stepped.persist()
+            j1 = _jump(stepped)
+            j1.persist()
+            jumped, jumped_ids = _ckpt(_jump(j1), eager=False)
+            if numeric_comp:
+                cur_sum = _label_sum(jumped)
+                converged = cur_sum == prev_sum
+                prev_sum = cur_sum
+            else:
+                converged = (
+                    jumped.join(
+                        labels.select("node", F.col("comp").alias("__prev")), "node"
+                    )
+                    .filter(F.col("comp") != F.col("__prev"))
+                    .limit(1)
+                    .count()
+                    == 0
+                )
+            # the action above materialized `jumped`; the round's
+            # intermediates and the superseded labels are now dead —
+            # release before rebinding (the final round's checkpoint
+            # blocks back the returned frame and stay)
+            stepped.unpersist()
+            j1.unpersist()
+            _release_rdds(spark, labels_ids)
+            labels, labels_ids = jumped, jumped_ids
+            if converged:
+                break
+        # only the final labels blocks back the returned frame; the edge
+        # table is loop-internal
+        _release_rdds(spark, _e_ids)
+    finally:
+        for k, v in conf_saved.items():
+            spark.conf.set(k, v)
     return labels.select("node", F.col("comp").alias("component"))
 
 
@@ -360,10 +398,9 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     # rationale as connected_components' edge checkpoint above.
     spark = edges.sparkSession
     before = _persisted_rdd_ids(spark)
-    e0 = (
+    e0 = _ckpt_eager(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
     )
     e0_ids = _persisted_rdd_ids(spark) - before
     und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
@@ -379,7 +416,7 @@ def _degree_oriented(und: DataFrame) -> DataFrame:
     wedge join reads it three times, and the caller may release the
     upstream edge blocks as soon as this returns."""
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    return (
+    return _ckpt_eager(
         und.join(deg, "u")
         .join(
             deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")),
@@ -390,7 +427,6 @@ def _degree_oriented(und: DataFrame) -> DataFrame:
             | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
-        .localCheckpoint(eager=True)
     )
 
 
@@ -432,10 +468,9 @@ def clustering_coefficients(
     # triangles() guards internally; see its comment)
     spark = edges.sparkSession
     before = _persisted_rdd_ids(spark)
-    e0 = (
+    e0 = _ckpt_eager(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
     )
     e0_ids = _persisted_rdd_ids(spark) - before
     # Materialize the symmetrized edge list ONCE and share it between
@@ -445,10 +480,9 @@ def clustering_coefficients(
     # scratch for the orientation — one whole union+distinct exchange,
     # one groupBy and one checkpoint materialization of pure double
     # work per execution).
-    und = (
+    und = _ckpt_eager(
         e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     _release_rdds(spark, e0_ids)
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
@@ -507,15 +541,14 @@ def pagerank(
     """
     spark = edges.sparkSession
     before = _persisted_rdd_ids(spark)
-    e0 = (
+    e0 = _ckpt_eager(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
     )
     e0_ids = _persisted_rdd_ids(spark) - before
     und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
-    edges_deg = und.join(deg, "u").localCheckpoint(eager=True)
+    edges_deg = _ckpt_eager(und.join(deg, "u"))
     # e0's blocks fed the eager edges_deg materialization and are dead
     # weight afterwards — release them (via the block-manager registry;
     # DataFrame.unpersist() is a no-op for checkpoint blocks) so

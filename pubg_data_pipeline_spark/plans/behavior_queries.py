@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pubg_data_pipeline_spark.operators.ckpt import barrier
+
 from pubg_data_pipeline_spark.plans.base import QuerySpec, exact_scaled, sql_scaled
 from pubg_data_pipeline_spark.sources.tables import load_table
 
@@ -306,7 +308,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tiles would otherwise re-execute the whole upstream lineage
         # ~2^3 times (measured 6.8 s -> 1.5 s at sf0.1). The frame is
         # one row per customer — small by construction.
-        df = df.localCheckpoint(eager=True)
+        df = barrier(df, site=f"behavior:rfm_tile:{metric}", eager=True)
         ranked = W.global_rank(
             df, F.col(metric), tiebreak="o_custkey", ascending=True, out_col="__r"
         )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pubg_data_pipeline_spark.operators.ckpt import barrier
+
 from pubg_data_pipeline_spark.functions.text import (
     clean_text,
     rolling_fingerprint,
@@ -643,8 +645,8 @@ def doc_bigram_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recovers some of it, but the per-doc scored frame is tiny and
         # caching it guarantees the pipeline runs once at any scale
         # (interleaved A/B at sf0.1: 1.00 -> 0.87 s median, rows equal).
-        .localCheckpoint(eager=False)
     )
+    scored = barrier(scored, site="curation:bigram_ppl_scored")
     med = scored.agg(F.expr("percentile(bigram_ppl, 0.5)").alias("__m"))
     return scored.crossJoin(F.broadcast(med)).select(
         "doc_id",
@@ -735,7 +737,8 @@ def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A/B, min-of-5, quiet host): 0.80 -> 0.64 s, rows identical.
     with_tok = docs.select(
         "doc_id", token_count(F.col("text")).alias("n_tok")
-    ).filter(F.col("n_tok") > 0).localCheckpoint(eager=False)
+    ).filter(F.col("n_tok") > 0)
+    with_tok = barrier(with_tok, site="curation:prefix_with_tok")
     scanned = global_prefix_sum(
         with_tok,
         F.col("doc_id").cast("double"),

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pubg_data_pipeline_spark.operators.ckpt import barrier
+
 from pubg_data_pipeline_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -480,7 +482,8 @@ def quality_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         token_count(F.col("text")).alias("n_tokens"),
         quality_score(F.col("text")).alias("q"),
-    ).localCheckpoint(eager=False)
+    )
+    docs = barrier(docs, site="llm:token_budget_scored")
     scanned = global_prefix_sum(
         docs,
         F.col("q"),
@@ -1776,7 +1779,8 @@ def doc_quality_trained_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["stop_ratio"].alias("x2"),
         cols["punct_ratio"].alias("x3"),
         (cols["quality"] >= 0.6).cast("double").alias("y"),
-    ).localCheckpoint(eager=True)
+    )
+    feats = barrier(feats, site="llm:calibration_feats", eager=True)
     fx = [F.col("x1"), F.col("x2"), F.col("x3")]
     w = ml.train_logistic(feats, fx, F.col("y"), iterations=24, lr=4.0, round_dp=8)
     acc = ml.train_accuracy(feats, w, fx, F.col("y"))

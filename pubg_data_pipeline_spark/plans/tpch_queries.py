@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pubg_data_pipeline_spark.operators.ckpt import barrier
+
 from pubg_data_pipeline_spark.plans.base import QuerySpec, exact_scaled, sql_scaled
 from pubg_data_pipeline_spark.sources.tables import load_table
 
@@ -610,10 +612,9 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans -> 7). Interleaved A/B at sf0.1: 1.14 -> 0.90 s median,
     # rows identical. The cached frame is the per-part aggregate — the
     # query's own output cardinality.
-    per_part = (
-        scoped.groupBy("ps_partkey")
-        .agg(F.sum("v_cents").alias("part_cents"))
-        .localCheckpoint(eager=False)
+    per_part = barrier(
+        scoped.groupBy("ps_partkey").agg(F.sum("v_cents").alias("part_cents")),
+        site="tpch:important_stock_per_part",
     )
     total = per_part.agg(F.sum("part_cents").alias("total_cents"))
     return (

@@ -99,3 +99,33 @@ def test_compact_summary_line_fits_any_tail_window():
     parsed = json.loads(compact)
     assert parsed["metric"] == "headline_queries_total"
     assert "value" in parsed and "queries" not in parsed
+
+
+def test_core_suffix_isolates_low_core_baselines(tmp_path):
+    # A low-core run (SPARK_GRAFT_CPUS != 32) must compare only against
+    # low-core baselines: round-8 postmortem — an 8-core detail file
+    # written between two 32-core runs fabricated a cross-core "stands"
+    # flag on an untouched query.
+    _write(tmp_path / "BENCH_DETAIL.json", {"queries": {"q": 0.4}})      # 32-core
+    _write(tmp_path / "BENCH_DETAIL_c8.json", {"queries": {"q": 1.0}})   # 8-core
+    out = bench._regressions_vs_last_recorded(
+        {"q": 1.2}, root=str(tmp_path), core_suffix="_c8"
+    )
+    assert out == {}  # 1.2 vs the 8-core 1.0 baseline: no flag
+    out = bench._regressions_vs_last_recorded({"q": 1.2}, root=str(tmp_path))
+    assert out["q"]["prev"] == 0.4  # the 32-core track is unchanged
+
+
+def test_core_suffix_falls_back_to_matching_round_artifacts(tmp_path):
+    # With no _c8 detail file, an 8-core run falls back to the driver's
+    # own low-core artifacts (BENCH_r{N}_c8.json) — never to the
+    # 32-core BENCH_r{N}.json files.
+    _write(tmp_path / "BENCH_r08.json", {"queries": {"q": 0.4}})
+    _write(tmp_path / "BENCH_r08_c8.json", {"queries": {"q": 1.0}})
+    out = bench._regressions_vs_last_recorded(
+        {"q": 1.7}, root=str(tmp_path), core_suffix="_c8"
+    )
+    assert out["q"]["prev"] == 1.0
+    # and the 32-core track ignores the _c8 artifact
+    out = bench._regressions_vs_last_recorded({"q": 1.7}, root=str(tmp_path))
+    assert out["q"]["prev"] == 0.4

@@ -5,6 +5,8 @@ single-partition sorts, partial aggregation, filter pushdown."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pubg_data_pipeline_spark.plans import all_specs
@@ -292,3 +294,11 @@ def test_prefix_sum_consumers_tokenize_once(spark):
         plan = _plan(spark, name)
         assert "Scan ExistingRDD" in plan, name
         assert "Scan parquet" not in plan, name
+        # format-robust guard (the two asserts above lose their teeth
+        # if load_table ever serves a non-parquet source): EVERY scan
+        # in the plan, whatever its format, must be the cached RDD —
+        # the barrier is the only thing standing between
+        # global_prefix_sum's three input references and three regex
+        # tokenizations of the corpus.
+        scan_kinds = set(re.findall(r"Scan (\w+)", plan))
+        assert scan_kinds <= {"ExistingRDD"}, f"{name}: source re-scanned: {scan_kinds}"
