@@ -58,9 +58,15 @@ def test_barrier_reliable_mode_preserves_results(spark, tmp_path, monkeypatch):
     got = sorted((r["k"], r["n"]) for r in out.collect())
     assert got == expected
     assert "test:reliable" not in ckpt._SITE_BLOCKS  # no local blocks registered
+    # files land under the SESSION's checkpoint dir — ckpt_dir if this
+    # test set it first, or an earlier test's dir the barrier correctly
+    # reused (setCheckpointDir is once-per-session)
     import os
 
-    assert any(os.scandir(ckpt_dir)), "reliable checkpoint wrote nothing"
+    actual_dir = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    assert any(os.scandir(actual_dir.replace("file:", ""))), (
+        "reliable checkpoint wrote nothing"
+    )
 
 
 def test_connected_components_reliable_env_matches_local(spark, tmp_path, monkeypatch):
